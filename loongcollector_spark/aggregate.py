@@ -1,0 +1,86 @@
+"""Aggregation / partitioning / lineage stage (SURVEY.md §2.5).
+
+The reference's "aggregation" is grouping + batching with self-monitor counts
+(no numeric folds in-pipeline). Our north-rule aggregates are the per-sink
+event counts / token & byte totals / drop counts (≙ mOutSuccessfulEventsTotal,
+mDiscardedEventsTotal self-metrics, ProcessorParseRegexNative.cpp:100-103) and
+the pack-id/shard-hash physical grouping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .routing import SINK_COL
+
+PACK_ID_COL = "__pack_id__"
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """Per-partition lineage: ``__pack_id__`` ≈ the reference's monotonic
+    per-source pack id (aggregator_base.go:141-150) = partition id + row index
+    within partition, both computed without any shuffle."""
+    return df.withColumn(
+        PACK_ID_COL,
+        F.concat_ws(
+            "-",
+            F.spark_partition_id().cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        ),
+    )
+
+
+def partition_for_sinks(
+    df: DataFrame,
+    keys: Sequence[str] = (SINK_COL,),
+    num_partitions: int | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Explicit pre-write repartitioning by (sink/source/route) keys —
+    aggregator_shardhash semantics (plugins/aggregator/shardhash:65-128 md5
+    bucketing ≙ Spark HashPartitioning). ``salt_buckets`` > 0 adds a salt
+    column derived deterministically from doc_id to spread a hot key
+    (the reference isolates hot pipelines via multi-tenant queues instead;
+    salting is our scale-path equivalent)."""
+    cols = [F.col(k) for k in keys]
+    if salt_buckets > 0:
+        salt = (F.crc32(F.col("doc_id").cast("string")) % salt_buckets).alias("__salt__")
+        df = df.withColumn("__salt__", salt)
+        cols = cols + [F.col("__salt__")]
+    out = df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+    return out.drop("__salt__") if salt_buckets > 0 else out
+
+
+def sink_aggregates(
+    routed: DataFrame,
+    n_tok_col: str = "n_tok",
+    bytes_col: str | None = None,
+    sink_col: str = SINK_COL,
+) -> DataFrame:
+    """Per-sink aggregate counts: events, token total, byte total. Partial
+    (map-side) aggregation is automatic for these folds; one shuffle on the
+    (tiny-cardinality) sink key."""
+    aggs = [
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.col(n_tok_col)).alias("tokens_total"),
+    ]
+    if bytes_col:
+        aggs.append(F.sum(F.length(F.col(bytes_col))).alias("bytes_total"))
+    return routed.groupBy(sink_col).agg(*aggs).orderBy(sink_col)
+
+
+@dataclass
+class GroupByValues:
+    """aggregator_content_value_group
+    (plugins/aggregator/contentvaluegroup:66-210): group by field values,
+    `_`-joined group key stamped as topic."""
+
+    group_keys: Sequence[str]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        key = F.concat_ws("_", *[F.coalesce(F.col(k), F.lit("")) for k in self.group_keys])
+        return df.withColumn("__group_topic__", key).repartition(*[F.col(k) for k in self.group_keys])

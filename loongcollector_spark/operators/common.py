@@ -1,0 +1,91 @@
+"""CommonParserOptions — the shared keep/discard-unmatch truth table of all
+native parsers (reference core/plugin/processor/CommonParserOptions.{h,cpp}):
+
+- ``KeepingSourceWhenParseFail``   (default false)
+- ``KeepingSourceWhenParseSucceed`` (default false)
+- ``RenamedSourceKey``             (default = SourceKey)
+- ``CopingRawLog``                 (legacy; adds ``__raw_log__`` on failure)
+
+Semantics (CommonParserOptions.cpp:92-117):
+- ShouldAddSourceContent(ok) = (ok and keep_succeed) or (not ok and keep_fail)
+  → re-add the source value under RenamedSourceKey.
+- ShouldAddLegacyUnmatchedRawLog(ok) = not ok and keep_fail and coping_raw_log
+  → also add it under ``__raw_log__``.
+- ShouldEraseEvent: failed parse with keep_fail=false drops the event when
+  nothing else remains in it (the driver loop erases the event in-place,
+  ProcessorParseRegexNative.cpp:108-126).
+
+Parsed keys never overwrite pre-existing keys (AddLog,
+ProcessorParseRegexNative.cpp:176-184); the re-added source/raw-log keys are
+added last and also never overwrite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .base import FIELDS
+
+RAW_LOG_KEY = "__raw_log__"  # CommonParserOptions::legacyUnmatchedRawLogKey
+
+
+@dataclass
+class ParserOptions:
+    source_key: str = "content"
+    keep_fail: bool = False  # KeepingSourceWhenParseFail
+    keep_succeed: bool = False  # KeepingSourceWhenParseSucceed
+    renamed_source_key: str | None = None  # default: source_key
+    coping_raw_log: bool = False
+
+    @property
+    def renamed(self) -> str:
+        return self.renamed_source_key or self.source_key
+
+    def finalize(
+        self,
+        df: DataFrame,
+        success: Column,
+        new_map: Column,
+        src: Column | None = None,
+    ) -> DataFrame:
+        """Apply the truth table: merge parsed keys, re-add/rename source,
+        drop failed rows. ``new_map`` holds the parsed key→value pairs (only
+        meaningful where ``success``); ``src`` is the source value (defaults
+        to fields[source_key])."""
+        if src is None:
+            src = F.element_at(F.col(FIELDS), F.lit(self.source_key))
+
+        empty = F.expr("map()")
+        # event contents minus the consumed source key
+        base = F.map_filter(F.col(FIELDS), lambda k, v: k != F.lit(self.source_key))
+
+        add_source = (
+            (success & F.lit(self.keep_succeed)) | (~success & F.lit(self.keep_fail))
+        ) & src.isNotNull()
+        add_raw = (~success & F.lit(self.keep_fail and self.coping_raw_log)) & src.isNotNull()
+
+        # LAST_WIN precedence (later wins): raw_log < renamed_source < parsed < base
+        merged = F.map_concat(
+            F.when(add_raw, F.create_map(F.lit(RAW_LOG_KEY), src)).otherwise(empty),
+            F.when(add_source, F.create_map(F.lit(self.renamed), src)).otherwise(empty),
+            F.when(success, new_map).otherwise(empty),
+            base,
+        )
+
+        out = df.withColumn(FIELDS, merged)
+        if not self.keep_fail:
+            # ShouldEraseEvent: drop rows whose parse failed and nothing remains
+            out = out.filter(success | (F.size(F.col(FIELDS)) > 0))
+        return out
+
+
+def parsed_map(pairs: Mapping[str, Column]) -> Column:
+    args: list[Column] = []
+    for k, v in pairs.items():
+        args.append(F.lit(k))
+        args.append(v.cast("string"))
+    return F.create_map(*args) if args else F.expr("map()")

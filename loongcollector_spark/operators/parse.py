@@ -1,0 +1,247 @@
+"""Field-extraction parsers (SURVEY.md §2.1), all JVM-side Column expressions.
+
+Each parser consumes ``fields[source_key]`` and merges extracted keys back into
+the ``fields`` map under CommonParserOptions keep/discard semantics.
+
+- RegexParser       ≙ processor_parse_regex_native
+  (core/plugin/processor/ProcessorParseRegexNative.cpp:29-253) and the Go
+  processor_regex (plugins/processor/regex/regex.go:32-139)
+- DelimiterParser   ≙ processor_parse_delimiter_native
+  (core/plugin/processor/ProcessorParseDelimiterNative.cpp:30-425)
+- JsonParser        ≙ processor_parse_json_native
+  (core/plugin/processor/ProcessorParseJsonNative.cpp:44-483)
+- TimestampParser   ≙ processor_parse_timestamp_native
+  (core/plugin/processor/ProcessorParseTimestampNative.cpp:29-247)
+- GrokParser        ≙ processor_grok (plugins/processor/grok/processor_grok.go:41-449)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .base import FIELDS, Operator
+from .common import ParserOptions, parsed_map
+from .grok_patterns import DEFAULT_PATTERNS
+
+
+def _src(options: ParserOptions) -> Column:
+    return F.element_at(F.col(FIELDS), F.lit(options.source_key))
+
+
+@dataclass
+class RegexParser(Operator):
+    """Full-match regex → capture groups under ``keys``.
+
+    The reference full-matches (boost::regex_match); we anchor with
+    ``^(?:...)$`` (group indices unchanged) and use N ``regexp_extract`` calls
+    — common subexpression elimination in codegen dedupes the matcher, and the
+    whole stage stays in WholeStageCodegen. Whole-line fast path when the
+    pattern is ``(.*)`` (ProcessorParseRegexNative.cpp:147-151)."""
+
+    regex: str
+    keys: Sequence[str]
+    options: ParserOptions = field(default_factory=ParserOptions)
+    full_match: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        if self.regex == "(.*)" and len(self.keys) == 1:
+            # whole-line fast path: constant-fold to a rename
+            new_map = parsed_map({self.keys[0]: src})
+            return self.options.finalize(df, src.isNotNull(), new_map, src)
+        rx = f"^(?:{self.regex})$" if self.full_match else self.regex
+        success = src.isNotNull() & src.rlike(rx)
+        new_map = parsed_map(
+            {k: F.regexp_extract(src, rx, i + 1) for i, k in enumerate(self.keys)}
+        )
+        return self.options.finalize(df, success, new_map, src)
+
+
+class OverflowTreatment:
+    EXTEND = "extend"  # extra cols → __column{i}__ (ProcessorParseDelimiterNative.cpp:340)
+    KEEP = "keep"  # extra cols re-joined into the last key
+    DISCARD = "discard"  # extra cols dropped
+
+
+@dataclass
+class DelimiterParser(Operator):
+    """Split by multi-char separator; quote-aware single-char path via from_csv.
+
+    AllowingShortenedFields / OverflowedFieldsTreatment per
+    ProcessorParseDelimiterNative.cpp:206-364."""
+
+    separator: str
+    keys: Sequence[str]
+    options: ParserOptions = field(default_factory=ParserOptions)
+    allow_shortened: bool = False
+    overflow: str = OverflowTreatment.EXTEND
+    quote: str | None = None
+    max_overflow_cols: int = 8  # static bound for EXTEND key generation
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        n = len(self.keys)
+        if self.quote and len(self.separator) == 1:
+            schema = ", ".join(f"`_c{i}` string" for i in range(n + self.max_overflow_cols))
+            arr_struct = F.from_csv(
+                src, F.lit(schema), {"sep": self.separator, "quote": self.quote}
+            )
+            arr = F.array(
+                *[arr_struct.getField(f"_c{i}") for i in range(n + self.max_overflow_cols)]
+            )
+            arr = F.filter(arr, lambda x, i: x.isNotNull() | (i < F.lit(n)))
+        else:
+            arr = F.split(src, re.escape(self.separator), -1)
+
+        size = F.size(arr)
+        success = src.isNotNull() & (
+            (size >= n) if not self.allow_shortened else (size >= F.lit(1))
+        )
+
+        pairs: dict[str, Column] = {}
+        for i, k in enumerate(self.keys):
+            v = F.element_at(arr, i + 1)
+            if self.overflow == OverflowTreatment.KEEP and i == n - 1:
+                v = F.when(
+                    size > n, F.array_join(F.slice(arr, n, F.greatest(size - n + 1, F.lit(1))), self.separator)
+                ).otherwise(v)
+            if self.allow_shortened:
+                v = F.when(size >= i + 1, v)  # missing trailing keys absent, not null
+            pairs[k] = v
+        new_map = parsed_map(pairs)
+        if self.allow_shortened:
+            # drop NULL-valued entries for short rows (reference only adds present cols)
+            new_map = F.map_filter(new_map, lambda k, v: v.isNotNull())
+        if self.overflow == OverflowTreatment.EXTEND:
+            extend_pairs = {
+                f"__column{n + i}__": F.when(size >= n + i + 1, F.element_at(arr, n + i + 1))
+                for i in range(self.max_overflow_cols)
+            }
+            ext = F.map_filter(parsed_map(extend_pairs), lambda k, v: v.isNotNull())
+            new_map = F.map_concat(new_map, ext)
+        return self.options.finalize(df, success, new_map, src)
+
+
+@dataclass
+class JsonParser(Operator):
+    """One-level JSON-object parse; every member stringified exactly like
+    RapidjsonValueToString (ProcessorParseJsonNative.cpp:379-403): scalar →
+    decimal/true/false text, null → "", object/array → compact JSON text.
+    Spark's from_json to map<string,string> matches this except null (NULL →
+    coalesce "")."""
+
+    options: ParserOptions = field(default_factory=ParserOptions)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        m = F.from_json(src, "map<string,string>")
+        # non-object JSON (arrays/scalars) and malformed input both yield NULL
+        success = src.isNotNull() & m.isNotNull()
+        new_map = F.transform_values(
+            F.coalesce(m, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+        )
+        return self.options.finalize(df, success, new_map, src)
+
+
+@dataclass
+class TimestampParser(Operator):
+    """Parse fields[source_key] with a Spark datetime pattern into an
+    ``event_time`` column (reference rewrites the event timestamp,
+    ProcessorParseTimestampNative.cpp:29-247). Rows older than
+    ``history_discard_hours`` relative to the max time in the batch are
+    dropped (history timeout discard, lines 125-178)."""
+
+    source_format: str
+    options: ParserOptions = field(default_factory=ParserOptions)
+    timezone: str | None = None  # e.g. "GMT+08:00"
+    out_col: str = "event_time"
+    history_discard_hours: float | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        ts = F.to_timestamp(src, self.source_format)
+        if self.timezone:
+            ts = F.to_utc_timestamp(ts, self.timezone)
+        success = src.isNotNull() & ts.isNotNull()
+        out = df.withColumn(self.out_col, ts)
+        out = self.options.finalize(out, success, F.expr("map()"), src)
+        if self.history_discard_hours is not None:
+            cutoff = F.expr(
+                f"max({self.out_col}) over () - interval {int(self.history_discard_hours * 3600)} seconds"
+            )
+            out = out.filter(F.col(self.out_col) >= cutoff)
+        return out
+
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]\.@-]+))?(?::(int|float))?\}")
+
+
+def expand_grok(pattern: str, custom: dict[str, str] | None = None, _depth: int = 0) -> str:
+    """Expand %{SYNTAX:SEMANTIC} grok references into a plain named-group regex
+    (plan-time, pure python — the executor only ever sees the expanded regex).
+    Mirrors processor_grok.go:241-320 compilation."""
+    if _depth > 20:
+        raise ValueError("grok pattern recursion too deep")
+    lib = dict(DEFAULT_PATTERNS)
+    if custom:
+        lib.update(custom)
+
+    def sub(m: re.Match) -> str:
+        name, semantic = m.group(1), m.group(2)
+        if name not in lib:
+            raise KeyError(f"unknown grok pattern %{{{name}}}")
+        inner = expand_grok(lib[name], custom, _depth + 1)
+        if semantic:
+            safe = re.sub(r"\W", "_", semantic)
+            return f"(?P<{safe}>{inner})"
+        return f"(?:{inner})"
+
+    return _GROK_REF.sub(sub, pattern)
+
+
+@dataclass
+class GrokParser(Operator):
+    """Grok parse: Match[] patterns tried in order, first with captures wins
+    (processor_grok.go:147-192) — implemented as a coalesce over expanded
+    regexes; named captures become fields."""
+
+    match: Sequence[str]
+    options: ParserOptions = field(default_factory=ParserOptions)
+    custom_patterns: dict[str, str] | None = None
+    ignore_parse_failure: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        expanded: list[tuple[str, list[str]]] = []
+        for pat in self.match:
+            rx = expand_grok(pat, self.custom_patterns)
+            names = list(re.compile(rx).groupindex.keys())
+            # Spark (Java regex) supports (?<name>...) not (?P<name>...)
+            expanded.append((rx.replace("(?P<", "(?<"), names))
+
+        success = F.lit(False)
+        new_map = F.expr("map()")
+        for rx, names in reversed(expanded):
+            ok = src.isNotNull() & src.rlike(f"^(?:{rx})$")
+            jrx = f"^(?:{rx})$"
+            groups = re.compile(rx.replace("(?<", "(?P<")).groupindex
+            pairs = {nm: F.regexp_extract(src, jrx, groups[nm]) for nm in names}
+            new_map = F.when(ok, parsed_map(pairs)).otherwise(new_map)
+            success = success | ok
+
+        opts = self.options
+        if self.ignore_parse_failure:
+            # grok keeps the event (and the source) untouched on failure
+            opts = ParserOptions(
+                source_key=opts.source_key,
+                keep_fail=True,
+                keep_succeed=opts.keep_succeed,
+                renamed_source_key=opts.renamed_source_key,
+                coping_raw_log=False,
+            )
+        return opts.finalize(df, success, new_map, src)

@@ -1,0 +1,385 @@
+"""Enrichment / field transforms (SURVEY.md §2.4) — pure Column expressions
+over the ``fields`` map. All run JVM-side under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .base import FIELDS, Operator, fget, fhas, fremove
+from .common import parsed_map
+
+
+@dataclass
+class AddFields(Operator):
+    """processor_add_fields (plugins/processor/addfields/processor_add_fields.go:26-103):
+    add constant fields; IgnoreIfExist keeps pre-existing values."""
+
+    fields_to_add: Mapping[str, str]
+    ignore_if_exist: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        new = parsed_map({k: F.lit(v) for k, v in self.fields_to_add.items()})
+        if self.ignore_if_exist:
+            merged = F.map_concat(new, F.col(FIELDS))  # existing wins (LAST_WIN)
+        else:
+            merged = F.map_concat(F.col(FIELDS), new)
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class Rename(Operator):
+    """processor_rename (plugins/processor/rename/processor_rename.go:26-157)."""
+
+    mapping: Mapping[str, str]  # source_key -> dest_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        renamed = parsed_map(
+            {dst: fget(src) for src, dst in self.mapping.items()}
+        )
+        renamed = F.map_filter(renamed, lambda k, v: v.isNotNull())
+        base = fremove(self.mapping.keys())
+        return df.withColumn(FIELDS, F.map_concat(base, renamed))
+
+
+@dataclass
+class Drop(Operator):
+    """processor_drop (plugins/processor/drop/processor_drop.go:24-70)."""
+
+    drop_keys: Sequence[str]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(FIELDS, fremove(self.drop_keys))
+
+
+@dataclass
+class PickKey(Operator):
+    """processor_pick_key (plugins/processor/pickkey/processor_pick_key.go:26-117):
+    Include whitelist wins over Exclude blacklist."""
+
+    include: Sequence[str] = ()
+    exclude: Sequence[str] = ()
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.include:
+            arr = F.array(*[F.lit(k) for k in self.include])
+            m = F.map_filter(F.col(FIELDS), lambda k, v: F.array_contains(arr, k))
+        elif self.exclude:
+            m = fremove(self.exclude)
+        else:
+            m = F.col(FIELDS)
+        return df.withColumn(FIELDS, m)
+
+
+@dataclass
+class DropLastKey(Operator):
+    """processor_drop_last_key (plugins/processor/droplastkey/processor_drop_last_key.go:26-95):
+    drop ``drop_key`` only when every ``include`` key is present (i.e. parse
+    succeeded) — used to drop raw content after a successful parse."""
+
+    drop_key: str
+    include: Sequence[str]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for k in self.include:
+            cond = cond & fhas(k)
+        dropped = fremove([self.drop_key])
+        return df.withColumn(
+            FIELDS, F.when(cond, dropped).otherwise(F.col(FIELDS))
+        )
+
+
+@dataclass
+class StringReplace(Operator):
+    """processor_string_replace (plugins/processor/stringreplace/processor_string_replace.go:41-146).
+    method: 'regex' | 'const' | 'unquote'."""
+
+    source_key: str
+    method: str = "regex"
+    match: str = ""
+    replace_string: str = ""
+    dest_key: str | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        if self.method == "regex":
+            out = F.regexp_replace(src, self.match, self.replace_string)
+        elif self.method == "const":
+            out = F.replace(src, F.lit(self.match), F.lit(self.replace_string))
+        elif self.method == "unquote":
+            quoted = src.rlike('^".*"$') | src.rlike("^'.*'$")
+            out = F.when(quoted, F.expr(
+                f"substring(element_at({FIELDS}, '{self.source_key}'), 2, "
+                f"length(element_at({FIELDS}, '{self.source_key}')) - 2)"
+            )).otherwise(src)
+        else:
+            raise ValueError(f"unknown method {self.method}")
+        dest = self.dest_key or self.source_key
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(src.isNotNull(), F.create_map(F.lit(dest), out)).otherwise(F.expr("map()")),
+        )
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class Desensitize(Operator):
+    """processor_desensitize_native (core/plugin/processor/ProcessorDesensitizeNative.cpp:28-255):
+    regex = "(" + prefix_pattern + ")" + content_pattern; CONST replaces the
+    matched content with ``$1<replacing_string>``; MD5 replaces it with the MD5
+    hex of the matched content. ``replacing_all`` toggles global replace."""
+
+    source_key: str
+    method: str = "const"  # 'const' | 'md5'
+    content_pattern: str = ""  # ReplacedContentPattern
+    prefix_pattern: str = ""  # ContentPatternBeforeReplacedString
+    replacing_string: str = "********"
+    replacing_all: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        rx = f"({self.prefix_pattern})(?:{self.content_pattern})"
+        if self.method == "const":
+            repl = "$1" + self.replacing_string.replace("\\", "\\\\").replace("$", "\\$")
+            out = F.regexp_replace(src, rx, repl)
+            if not self.replacing_all:
+                # first occurrence only: splice around the first full match
+                full = F.regexp_extract(src, rx, 0)
+                pre = F.regexp_extract(src, rx, 1)
+                start = F.instr(src, full)
+                out = F.when(full == "", src).otherwise(
+                    F.concat(
+                        src.substr(F.lit(1), start - 1),
+                        pre,
+                        F.lit(self.replacing_string),
+                        src.substr(start + F.length(full), F.length(src)),
+                    )
+                )
+        elif self.method == "md5":
+            # regexp_replace can't call md5 per match → splice the first match
+            # (ProcessorDesensitizeNative.cpp:232 replaces the matched span with
+            # the MD5 hex of the matched content)
+            full = F.regexp_extract(src, rx, 0)
+            pre = F.regexp_extract(src, rx, 1)
+            content = full.substr(F.length(pre) + 1, F.length(full))
+            start = F.instr(src, full)
+            out = F.when(full == "", src).otherwise(
+                F.concat(
+                    src.substr(F.lit(1), start - 1),
+                    pre,
+                    F.md5(content),
+                    src.substr(start + F.length(full), F.length(src)),
+                )
+            )
+        else:
+            raise ValueError(f"unknown method {self.method}")
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(src.isNotNull(), F.create_map(F.lit(self.source_key), out)).otherwise(
+                F.expr("map()")
+            ),
+        )
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class Base64Encode(Operator):
+    """processor_base64_encoding (plugins/processor/base64/encoding:25-74)."""
+
+    source_key: str
+    new_key: str
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        out = F.base64(src.cast("binary"))
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(src.isNotNull(), F.create_map(F.lit(self.new_key), out)).otherwise(F.expr("map()")),
+        )
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class Base64Decode(Operator):
+    """processor_base64_decoding (plugins/processor/base64/decoding:25-74)."""
+
+    source_key: str
+    new_key: str
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        out = F.unbase64(src).cast("string")
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(src.isNotNull(), F.create_map(F.lit(self.new_key), out)).otherwise(F.expr("map()")),
+        )
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class Md5(Operator):
+    """processor_md5 (plugins/processor/md5/processor_md5.go:26-70)."""
+
+    source_key: str
+    new_key: str
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(src.isNotNull(), F.create_map(F.lit(self.new_key), F.md5(src))).otherwise(
+                F.expr("map()")
+            ),
+        )
+        return df.withColumn(FIELDS, merged)
+
+
+@dataclass
+class PackJson(Operator):
+    """processor_packjson (plugins/processor/packjson/processor_packjson.go:26-104):
+    pack source_keys into one JSON object string under dest_key."""
+
+    source_keys: Sequence[str]
+    dest_key: str
+    keep: bool = True  # Keep: retain the packed source fields
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        packed = F.to_json(
+            F.struct(*[F.coalesce(fget(k), F.lit("")).alias(k) for k in self.source_keys])
+        )
+        out = F.map_concat(F.col(FIELDS), F.create_map(F.lit(self.dest_key), packed))
+        df = df.withColumn(FIELDS, out)
+        if not self.keep:
+            df = df.withColumn(FIELDS, fremove(self.source_keys))
+        return df
+
+
+@dataclass
+class KeyValueSplitter(Operator):
+    """processor_split_key_value
+    (plugins/processor/split/keyvalue/key_value_splitter.go:26-212): split
+    fields[source_key] into pairs by ``delimiter``, each pair at the FIRST
+    ``separator``; pairs without a separator get ``no_separator_key_prefix``."""
+
+    source_key: str = "content"
+    delimiter: str = "\t"
+    separator: str = ":"
+    keep_source: bool = False
+    empty_key_prefix: str = "empty_key_"
+    no_separator_key_prefix: str = "no_separator_key_"
+    discard_when_separator_not_found: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import re as _re
+
+        src = fget(self.source_key)
+        pairs = F.split(src, _re.escape(self.delimiter), -1)
+        sep = self.separator
+
+        def kv(p: Column, i: Column) -> Column:
+            pos = F.instr(p, sep)
+            key = F.when(pos > 0, F.substring_index(p, sep, 1)).otherwise(
+                F.concat(F.lit(self.no_separator_key_prefix), (i).cast("string"))
+            )
+            key = F.when(key == "", F.concat(F.lit(self.empty_key_prefix), i.cast("string"))).otherwise(key)
+            # value = everything after the FIRST separator occurrence
+            val = F.when(pos > 0, p.substr(pos + len(sep), F.length(p))).otherwise(p)
+            return F.struct(key.alias("k"), val.alias("v"), (pos > 0).alias("had_sep"))
+
+        structs = F.transform(pairs, lambda p, i: kv(p, i + 1))
+        if self.discard_when_separator_not_found:
+            structs = F.filter(structs, lambda s: s.getField("had_sep"))
+        new_map = F.map_from_arrays(
+            F.transform(structs, lambda s: s.getField("k")),
+            F.transform(structs, lambda s: s.getField("v")),
+        )
+        new_map = F.when(src.isNotNull(), new_map).otherwise(F.expr("map()"))
+        base = F.col(FIELDS) if self.keep_source else fremove([self.source_key])
+        return df.withColumn(FIELDS, F.map_concat(base, new_map))
+
+
+@dataclass
+class Anchor(Operator):
+    """processor_anchor (plugins/processor/anchor/anchor.go:36-231): extract the
+    substring between ``start`` and ``stop`` anchors into ``field_name``."""
+
+    source_key: str
+    start: str
+    stop: str
+    field_name: str
+    keep_source: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        after = F.when(
+            F.instr(src, self.start) > 0,
+            src.substr(F.instr(src, self.start) + len(self.start), F.length(src)),
+        )
+        val = F.when(
+            after.isNotNull() & (F.instr(after, self.stop) > 0),
+            F.substring_index(after, self.stop, 1),
+        )
+        merged = F.map_concat(
+            F.col(FIELDS),
+            F.when(val.isNotNull(), F.create_map(F.lit(self.field_name), val)).otherwise(
+                F.expr("map()")
+            ),
+        )
+        df = df.withColumn(FIELDS, merged)
+        if not self.keep_source:
+            df = df.withColumn(FIELDS, fremove([self.source_key]))
+        return df
+
+
+@dataclass
+class FieldsWithCondition(Operator):
+    """processor_fields_with_condition
+    (plugins/processor/fieldswithcondition/processor_fields_with_condition.go:43-299):
+    switch-case — first matching case's actions apply; optionally drop
+    no-match rows. Case relations: equals / regexp / contains / startwith."""
+
+    cases: Sequence[dict]  # [{"when": {key: (op, value), ...}, "add": {k: v}, "drop": [k]}]
+    drop_if_not_match: bool = False
+
+    @staticmethod
+    def _cond(spec: Mapping[str, tuple[str, str]]) -> Column:
+        c = F.lit(True)
+        for key, (op, val) in spec.items():
+            v = fget(key)
+            if op == "equals":
+                c = c & (v == val)
+            elif op == "regexp":
+                c = c & v.rlike(val)
+            elif op == "contains":
+                c = c & v.contains(val)
+            elif op == "startwith":
+                c = c & v.startswith(val)
+            else:
+                raise ValueError(f"unknown relation {op}")
+        return c
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        conds = [self._cond(case.get("when", {})) for case in self.cases]
+        # build reversed when-chain: first case wins
+        expr = F.col(FIELDS)
+        for case, cond in zip(reversed(self.cases), reversed(conds)):
+            m = F.col(FIELDS)
+            drop = case.get("drop", [])
+            if drop:
+                m = fremove(drop)
+            add = case.get("add", {})
+            if add:
+                m = F.map_concat(m, parsed_map({k: F.lit(v) for k, v in add.items()}))
+            expr = F.when(cond, m).otherwise(expr)
+        out = df.withColumn(FIELDS, expr)
+        if self.drop_if_not_match:
+            matched = F.lit(False)
+            for cond in conds:
+                matched = matched | cond
+            out = out.filter(matched)
+        return out

@@ -1,0 +1,205 @@
+"""DuckDB oracle SQL for each driver-checked query.
+
+Every oracle derives the same synthetic sequences from the pre-registered
+`events` view (synth.sequences_cte — byte-identical line construction) and
+re-expresses the operator in ANSI/DuckDB SQL. Column names/aliases match the
+Spark side exactly (the driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from .flagship import CSV_KEYS, NGINX_KEYS, NGINX_REGEX
+from .synth import sequences_cte, source_lookup_values_sql
+
+
+def _q(s: str) -> str:
+    """Escape a regex/text for embedding in a single-quoted DuckDB literal
+    (DuckDB standard strings don't process backslashes)."""
+    return s.replace("'", "''")
+
+
+SEQ = f"WITH seq AS ({sequences_cte('events')})"
+
+NGINX_ANCHORED = f"^(?:{NGINX_REGEX})$"
+_RX = _q(NGINX_ANCHORED)
+
+# DuckDB's positional regexp_extract caps at group 9; the named-list form
+# returns a struct and supports all 11 nginx groups.
+_NGINX_LIST = "[" + ", ".join(f"'{k}'" for k in NGINX_KEYS) + "]"
+_NGINX_STRUCT = f"regexp_extract(line, '{_RX}', {_NGINX_LIST})"
+
+_NGINX_EXTRACTS = ",\n  ".join(f"g.{k} AS {k}" for k in NGINX_KEYS)
+
+_NGINX_EXTRACTS_NULLABLE = ",\n  ".join(
+    f"CASE WHEN matched THEN g.{k} END AS {k}" for k in NGINX_KEYS
+)
+
+
+def nginx_parsed_cte() -> str:
+    """Matched nginx rows with all 11 keys extracted (discard-unmatch)."""
+    return (
+        f"SELECT doc_id, source, n_tok, {_NGINX_EXTRACTS} FROM ("
+        f"SELECT doc_id, source, n_tok, {_NGINX_STRUCT} AS g "
+        f"FROM seq WHERE source = 'nginx' AND regexp_matches(line, '{_RX}')) nginx_g"
+    )
+
+
+# --- flagship ---------------------------------------------------------------
+
+
+def flagship_parsed_cte() -> str:
+    """All successfully parsed events across the three sources (only the
+    columns the aggregate needs)."""
+    return (
+        "SELECT doc_id, source, n_tok FROM seq WHERE "
+        f"(source = 'nginx' AND regexp_matches(line, '{_RX}')) "
+        "OR source IN ('app-json', 'csvlog')"
+    )
+
+
+def oracle_pipeline_aggregates() -> str:
+    return f"""{SEQ},
+parsed AS ({flagship_parsed_cte()}),
+enriched AS (
+  SELECT p.*, source_lookup.team_tag, source_lookup.env, source_lookup.route_key
+  FROM parsed p JOIN {source_lookup_values_sql()} ON p.source = source_lookup.source
+),
+routed AS (
+  SELECT 'sink_a' AS sink, * FROM enriched WHERE env = 'prod'
+  UNION ALL
+  SELECT 'sink_b' AS sink, * FROM enriched WHERE team_tag = 'team-b'
+  UNION ALL
+  SELECT 'sink_default' AS sink, * FROM enriched
+)
+SELECT sink, count(*) AS events, CAST(sum(n_tok) AS BIGINT) AS tokens_total
+FROM routed GROUP BY sink ORDER BY sink"""
+
+
+def oracle_routed_rows() -> str:
+    return f"""{SEQ},
+parsed AS ({flagship_parsed_cte()}),
+enriched AS (
+  SELECT p.*, source_lookup.team_tag, source_lookup.env, source_lookup.route_key
+  FROM parsed p JOIN {source_lookup_values_sql()} ON p.source = source_lookup.source
+)
+SELECT sink, doc_id, source, route_key, env, team_tag FROM (
+  SELECT 'sink_a' AS sink, * FROM enriched WHERE env = 'prod'
+  UNION ALL
+  SELECT 'sink_b' AS sink, * FROM enriched WHERE team_tag = 'team-b'
+  UNION ALL
+  SELECT 'sink_default' AS sink, * FROM enriched
+)"""
+
+
+def oracle_drop_counts() -> str:
+    return f"""{SEQ}
+SELECT source,
+  count(*) AS input_events,
+  CAST(sum(CASE WHEN source <> 'nginx' OR regexp_matches(line, '{_RX}') THEN 1 ELSE 0 END) AS BIGINT) AS parsed_events,
+  CAST(sum(CASE WHEN source = 'nginx' AND NOT regexp_matches(line, '{_RX}') THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM seq GROUP BY source ORDER BY source"""
+
+
+# --- individual operators ----------------------------------------------------
+
+
+def oracle_parse_regex_discard() -> str:
+    return f"{SEQ}\n{nginx_parsed_cte()}"
+
+
+def oracle_parse_regex_keep() -> str:
+    return f"""{SEQ}
+SELECT doc_id, {_NGINX_EXTRACTS_NULLABLE},
+  CASE WHEN NOT matched THEN line END AS raw_log
+FROM (
+  SELECT doc_id, line, regexp_matches(line, '{_RX}') AS matched, {_NGINX_STRUCT} AS g
+  FROM seq WHERE source = 'nginx') nginx_g"""
+
+
+def oracle_parse_json() -> str:
+    return f"""{SEQ}
+SELECT doc_id,
+  json_extract_string(line, '$.url') AS url,
+  json_extract_string(line, '$.status') AS status,
+  json_extract_string(line, '$.qty') AS qty,
+  json_extract_string(line, '$.cached') AS cached,
+  coalesce(json_extract_string(line, '$.note'), '') AS note
+FROM seq WHERE source = 'app-json'"""
+
+
+def oracle_parse_delimiter() -> str:
+    cols = ",\n  ".join(
+        f"split_part(line, chr(9), {i + 1}) AS {k}" for i, k in enumerate(CSV_KEYS)
+    )
+    return f"{SEQ}\nSELECT doc_id, {cols} FROM seq WHERE source = 'csvlog'"
+
+
+def oracle_dict_map() -> str:
+    return f"""{SEQ}
+SELECT doc_id, source,
+  CASE source
+    WHEN 'nginx' THEN 'web'
+    WHEN 'csvlog' THEN 'trade'
+    ELSE NULL END AS category
+FROM seq"""
+
+
+def oracle_filter_expression() -> str:
+    return f"""{SEQ},
+parsed AS ({nginx_parsed_cte()})
+SELECT doc_id, method, status FROM parsed
+WHERE (status = '404' AND method = 'GET') OR status = '500'"""
+
+
+def oracle_desensitize_const() -> str:
+    return f"""{SEQ}
+SELECT doc_id,
+  regexp_replace(line, '(curl/)(?:[0-9.]+)', '\\1***', 'g') AS content
+FROM seq WHERE source = 'nginx'"""
+
+
+def oracle_desensitize_md5() -> str:
+    # first-occurrence splice: prefix 'uid=' content digits → md5 hex
+    rx = _q("(user-)(?:[0-9]+)")
+    return f"""{SEQ},
+pre AS (
+  SELECT doc_id, 'GET /api/x?u=user-' || (length(line) % 100) || '&v=2' AS content FROM seq WHERE source = 'nginx'
+)
+SELECT doc_id,
+  CASE WHEN regexp_extract(content, '{rx}', 0) = '' THEN content
+  ELSE
+    substring(content, 1, strpos(content, regexp_extract(content, '{rx}', 0)) - 1)
+    || regexp_extract(content, '{rx}', 1)
+    || md5(substring(regexp_extract(content, '{rx}', 0), length(regexp_extract(content, '{rx}', 1)) + 1))
+    || substring(content, strpos(content, regexp_extract(content, '{rx}', 0)) + length(regexp_extract(content, '{rx}', 0)))
+  END AS content_masked
+FROM pre"""
+
+
+def oracle_kv_split() -> str:
+    return f"""{SEQ},
+kv AS (
+  SELECT doc_id, 'uid:u' || (n_tok % 50) || chr(9) || 'src:' || source || chr(9) || 'len:' || n_tok AS content
+  FROM seq
+)
+SELECT doc_id,
+  split_part(split_part(content, chr(9), 1), ':', 2) AS uid,
+  split_part(split_part(content, chr(9), 2), ':', 2) AS src,
+  split_part(split_part(content, chr(9), 3), ':', 2) AS len
+FROM kv"""
+
+
+def oracle_rate_limit() -> str:
+    return f"""{SEQ},
+parsed AS (SELECT doc_id, split_part(line, chr(9), 3) AS cmethod FROM seq WHERE source = 'csvlog')
+SELECT doc_id, cmethod FROM parsed
+QUALIFY row_number() OVER (PARTITION BY cmethod ORDER BY doc_id) <= 5"""
+
+
+def oracle_transform_chain() -> str:
+    return f"""{SEQ}
+SELECT doc_id,
+  'prod' AS env,
+  source AS origin,
+  CAST(n_tok AS VARCHAR) AS len_str
+FROM seq WHERE source <> 'nginx'"""

@@ -1,0 +1,279 @@
+"""Driver-checked queries: Spark-side callables (spark, sf_dir) -> DataFrame,
+each exercising engine operators, paired 1:1 with oracles.py DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import flagship, oracles
+from .operators.base import FIELDS, fget, to_events
+from .operators.common import RAW_LOG_KEY, ParserOptions
+from .operators.enrich import DictMap
+from .operators.filters import FilterNative, FilterRegex, RateLimit
+from .operators.parse import DelimiterParser, GrokParser, JsonParser, RegexParser
+from .operators.transforms import AddFields, Desensitize, KeyValueSplitter, Rename
+from .session import configure_existing
+from .synth import sequences_df
+from .tokens import decode_tokens
+
+
+def _seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return sequences_df(spark, sf_dir).withColumn("content", decode_tokens("tokens")).drop(
+        "tokens"
+    )
+
+
+def _nginx_events(spark, sf_dir, **opts) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "nginx")
+    return RegexParser(
+        flagship.NGINX_REGEX, flagship.NGINX_KEYS, ParserOptions(**opts)
+    ).apply(to_events(seq))
+
+
+# --- flagship ----------------------------------------------------------------
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return flagship.pipeline_aggregates(spark, sf_dir)
+
+
+def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return flagship.routed_rows(spark, sf_dir)
+
+
+def q_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return flagship.drop_counts(spark, sf_dir).select(
+        "source",
+        F.col("input_events").cast("long").alias("input_events"),
+        F.col("parsed_events").cast("long").alias("parsed_events"),
+        F.col("dropped").cast("long").alias("dropped"),
+    )
+
+
+# --- parsers -------------------------------------------------------------------
+
+
+def q_parse_regex_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _nginx_events(spark, sf_dir)  # default: discard unmatch
+    return ev.select(
+        "doc_id", "source", "n_tok", *[fget(k).alias(k) for k in flagship.NGINX_KEYS]
+    )
+
+
+def q_parse_regex_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _nginx_events(spark, sf_dir, keep_fail=True, coping_raw_log=True)
+    return ev.select(
+        "doc_id",
+        *[fget(k).alias(k) for k in flagship.NGINX_KEYS],
+        fget(RAW_LOG_KEY).alias("raw_log"),
+    )
+
+
+def q_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "app-json")
+    ev = JsonParser().apply(to_events(seq))
+    return ev.select(
+        "doc_id", *[fget(k).alias(k) for k in ["url", "status", "qty", "cached", "note"]]
+    )
+
+
+def q_parse_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "csvlog")
+    ev = DelimiterParser("\t", flagship.CSV_KEYS).apply(to_events(seq))
+    return ev.select("doc_id", *[fget(k).alias(k) for k in flagship.CSV_KEYS])
+
+
+def q_parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("n_tok") % 200).cast("string"),
+        F.lit(".1 GET /index/"),
+        F.col("source"),
+        F.lit(" "),
+        F.col("n_tok").cast("string"),
+        F.lit(" 0.043"),
+    )
+    ev = to_events(seq.withColumn("content", line))
+    g = GrokParser(
+        ["%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"]
+    ).apply(ev)
+    return g.select(
+        "doc_id",
+        *[fget(k).alias(k) for k in ["client", "method", "request", "bytes", "duration"]],
+    )
+
+
+# --- transforms / filters ------------------------------------------------------
+
+
+def q_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    df = seq.select(
+        "doc_id", "source", F.create_map(F.lit("source_val"), F.col("source")).alias(FIELDS)
+    )
+    out = DictMap(
+        {"nginx": "web", "csvlog": "trade"}, source_key="source_val", dest_key="category"
+    ).apply(df)
+    return out.select("doc_id", "source", fget("category").alias("category"))
+
+
+def q_filter_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _nginx_events(spark, sf_dir)
+    tree = {
+        "operator": "or",
+        "operands": [
+            {
+                "operator": "and",
+                "operands": [
+                    {"key": "status", "exp": "404"},
+                    {"key": "method", "exp": "GET"},
+                ],
+            },
+            {"key": "status", "exp": "500"},
+        ],
+    }
+    out = FilterNative(condition_exp=tree).apply(ev)
+    return out.select("doc_id", fget("method").alias("method"), fget("status").alias("status"))
+
+
+def q_desensitize_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "nginx")
+    ev = to_events(seq)
+    out = Desensitize(
+        source_key="content",
+        method="const",
+        prefix_pattern="curl/",
+        content_pattern="[0-9.]+",
+        replacing_string="***",
+        replacing_all=True,
+    ).apply(ev)
+    return out.select("doc_id", fget("content").alias("content"))
+
+
+def q_desensitize_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "nginx")
+    content = F.concat(
+        F.lit("GET /api/x?u=user-"),
+        (F.length("content") % 100).cast("string"),
+        F.lit("&v=2"),
+    )
+    ev = to_events(seq.withColumn("content", content))
+    out = Desensitize(
+        source_key="content", method="md5", prefix_pattern="user-", content_pattern="[0-9]+"
+    ).apply(ev)
+    return out.select("doc_id", fget("content").alias("content_masked"))
+
+
+def q_kv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    content = F.concat(
+        F.lit("uid:u"),
+        (F.col("n_tok") % 50).cast("string"),
+        F.lit("\tsrc:"),
+        F.col("source"),
+        F.lit("\tlen:"),
+        F.col("n_tok").cast("string"),
+    )
+    ev = to_events(seq.withColumn("content", content))
+    out = KeyValueSplitter(delimiter="\t", separator=":").apply(ev)
+    return out.select(
+        "doc_id", fget("uid").alias("uid"), fget("src").alias("src"), fget("len").alias("len")
+    )
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "csvlog")
+    ev = DelimiterParser("\t", flagship.CSV_KEYS).apply(to_events(seq))
+    out = RateLimit(fields_keys=["cmethod"], limit=5, order_col="doc_id").apply(ev)
+    return out.select("doc_id", fget("cmethod").alias("cmethod"))
+
+
+def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    df = seq.select(
+        "doc_id",
+        "source",
+        F.create_map(
+            F.lit("origin_src"), F.col("source"), F.lit("len_str"), F.col("n_tok").cast("string")
+        ).alias(FIELDS),
+    )
+    df = AddFields({"env": "prod"}).apply(df)
+    df = Rename({"origin_src": "origin"}).apply(df)
+    df = FilterRegex(include={"origin": "app-json|csvlog"}).apply(df)
+    return df.select(
+        "doc_id",
+        fget("env").alias("env"),
+        fget("origin").alias("origin"),
+        fget("len_str").alias("len_str"),
+    )
+
+
+QUERIES = {
+    "pipeline_e2e": q_pipeline_e2e,
+    "routed_rows": q_routed_rows,
+    "drop_counts": q_drop_counts,
+    "parse_regex_discard": q_parse_regex_discard,
+    "parse_regex_keep": q_parse_regex_keep,
+    "parse_json": q_parse_json,
+    "parse_delimiter": q_parse_delimiter,
+    "parse_grok": q_parse_grok,
+    "dict_map": q_dict_map,
+    "filter_expression": q_filter_expression,
+    "desensitize_const": q_desensitize_const,
+    "desensitize_md5": q_desensitize_md5,
+    "kv_split": q_kv_split,
+    "rate_limit": q_rate_limit,
+    "transform_chain": q_transform_chain,
+}
+
+ORACLES = {
+    "pipeline_e2e": oracles.oracle_pipeline_aggregates(),
+    "routed_rows": oracles.oracle_routed_rows(),
+    "drop_counts": oracles.oracle_drop_counts(),
+    "parse_regex_discard": oracles.oracle_parse_regex_discard(),
+    "parse_regex_keep": oracles.oracle_parse_regex_keep(),
+    "parse_json": oracles.oracle_parse_json(),
+    "parse_delimiter": oracles.oracle_parse_delimiter(),
+    "parse_grok": None,  # filled below (needs the expanded grok regex)
+    "dict_map": oracles.oracle_dict_map(),
+    "filter_expression": oracles.oracle_filter_expression(),
+    "desensitize_const": oracles.oracle_desensitize_const(),
+    "desensitize_md5": oracles.oracle_desensitize_md5(),
+    "kv_split": oracles.oracle_kv_split(),
+    "rate_limit": oracles.oracle_rate_limit(),
+    "transform_chain": oracles.oracle_transform_chain(),
+}
+
+
+def _grok_oracle() -> str:
+    import re
+
+    from .operators.parse import expand_grok
+
+    rx = expand_grok(
+        "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"
+    )
+    names = list(re.compile(rx).groupindex.items())  # (name, idx) in order
+    anon = re.sub(r"\(\?P<\w+>", "(", rx)
+    anon_anchored = f"^(?:{anon})$".replace("'", "''")
+    cols = ",\n  ".join(
+        f"CASE WHEN regexp_matches(content, '{anon_anchored}') THEN "
+        f"regexp_extract(content, '{anon_anchored}', {idx}) END AS {name}"
+        for name, idx in names
+    )
+    return f"""{oracles.SEQ},
+g AS (
+  SELECT doc_id, '10.0.' || (n_tok % 200) || '.1 GET /index/' || source || ' ' || n_tok || ' 0.043' AS content
+  FROM seq
+)
+SELECT doc_id, {cols} FROM g"""
+
+
+ORACLES["parse_grok"] = _grok_oracle()

@@ -1,0 +1,92 @@
+"""Router — fan-out to multiple sinks (reference
+core/collection_pipeline/route/Router.cpp:26-84 + Condition.cpp:36-180).
+
+Semantics: each sink has an optional condition; a row goes to EVERY matching
+sink (multi-match copies the group, Router.cpp:60-80); a sink with no condition
+always matches (Router.cpp:34). TagCondition compares a tag column to a value,
+optionally dropping the tag afterwards (DiscardingTag, Condition.cpp:66-111).
+
+Spark-first implementation: ONE pass — build an array of matching sink names
+and ``explode`` it. A row matching k sinks becomes k rows distinguished by the
+``sink`` column. This avoids the N-filtered-scans pattern (which would
+recompute the parse stage N times or require caching) and turns fan-out into a
+single narrow transformation; the per-sink write is then one shuffle
+partitioned by sink (see aggregate.partition_for_sinks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .operators.base import FIELDS, Operator, fget, fremove
+
+SINK_COL = "sink"
+
+
+@dataclass
+class RouteCondition:
+    """TagCondition (Condition.cpp:66-111) over a tag: either a top-level
+    column or an event field. None key ⇒ unconditioned (always match)."""
+
+    sink: str
+    match_key: str | None = None
+    match_value: str | None = None
+    discard_tag: bool = False
+    use_fields: bool = False  # match against fields map instead of a column
+
+    def predicate(self) -> Column:
+        if self.match_key is None:
+            return F.lit(True)
+        v = fget(self.match_key) if self.use_fields else F.col(self.match_key)
+        return v.isNotNull() & (v == F.lit(self.match_value))
+
+
+@dataclass
+class Router(Operator):
+    """Explode-based multi-match fan-out. Unrouted rows (matching no sink) are
+    dropped, mirroring Router::Route returning an empty set."""
+
+    rules: Sequence[RouteCondition]
+    drop_discarded_tags: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        matches = F.array(
+            *[
+                F.when(r.predicate(), F.lit(r.sink)).otherwise(F.lit(None))
+                for r in self.rules
+            ]
+        )
+        matched = F.filter(matches, lambda s: s.isNotNull())
+        out = df.withColumn(SINK_COL, F.explode(matched))
+        if self.drop_discarded_tags:
+            discard_cols = {r.match_key for r in self.rules if r.discard_tag and not r.use_fields and r.match_key}
+            discard_fields = [r.match_key for r in self.rules if r.discard_tag and r.use_fields and r.match_key]
+            if discard_cols:
+                out = out.drop(*discard_cols)
+            if discard_fields and FIELDS in out.columns:
+                out = out.withColumn(FIELDS, fremove(discard_fields))
+        return out
+
+
+@dataclass
+class RegexRouter(Operator):
+    """aggregator_logstore_router
+    (plugins/aggregator/logstorerouter/aggregator_router.go:43-171): first
+    regex over fields[source_key] that matches picks the target logstore;
+    unmatched rows go to ``default_sink`` (or are dropped when no_match_error)."""
+
+    source_key: str
+    patterns: Sequence[tuple[str, str]]  # (regex, sink)
+    default_sink: str | None = "default"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        expr: Column = F.lit(self.default_sink)
+        for rx, sink in reversed(self.patterns):
+            expr = F.when(src.isNotNull() & src.rlike(rx), F.lit(sink)).otherwise(expr)
+        out = df.withColumn(SINK_COL, expr)
+        return out.filter(F.col(SINK_COL).isNotNull())

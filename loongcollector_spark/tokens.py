@@ -1,0 +1,73 @@
+"""Token codec for the pre-tokenized sequences table (BASELINE.json input_hint:
+``(doc_id string, tokens array<int>, n_tok int, source string)``).
+
+Vocabulary: identity codepoint encoding — ``tokens[i] = ord(line[i])`` (ASCII
+synthetic lines), exactly reversible, so the per-row invariant "token-array
+equality" reduces to string equality after decode→process→re-encode.
+
+Two decode paths:
+- **JVM path** (default, Catalyst/codegen, no Python): ``transform + char +
+  concat_ws``. Used in oracle-checked queries so DuckDB can reproduce it.
+- **Arrow path**: numpy-vectorized decode inside ``mapInPandas`` — the
+  performance path for the fused decode+parse stage (north_star: "vectorized
+  pandas/Arrow UDF stage ... no per-row Python").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def encode_line(col) -> Column:
+    """line string -> array<int> of codepoints (JVM-side).
+
+    ``split('', '')`` yields [''] → codepoint 0; filtered out so the empty
+    string encodes to []. Synthetic lines never contain NUL."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.filter(F.transform(F.split(c, ""), lambda ch: F.ascii(ch)), lambda t: t != 0)
+
+
+def decode_tokens(col) -> Column:
+    """array<int> codepoints -> line string (JVM-side, whole-stage codegen)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.concat_ws("", F.transform(c, lambda t: F.char(t)))
+
+
+def _decode_np(tokens) -> str:
+    # tokens is a numpy array of int32/int64 codepoints (ASCII subset)
+    import numpy as np
+
+    arr = np.asarray(tokens, dtype=np.uint32)
+    if arr.size == 0:
+        return ""
+    if (arr < 128).all():
+        return arr.astype(np.uint8).tobytes().decode("ascii")
+    return "".join(map(chr, arr.tolist()))
+
+
+def decode_tokens_arrow(
+    df: DataFrame, tokens_col: str = "tokens", out_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched decode: adds ``out_col`` string column from ``tokens_col``.
+
+    Runs one Python worker pass over Arrow batches; per-batch numpy decode, no
+    per-row Python interpreter dispatch beyond the ndarray->bytes call.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = list(df.columns)
+    out_fields = list(df.schema.fields)
+    if out_col not in fields:
+        out_fields.append(StructField(out_col, StringType()))
+    schema = StructType(out_fields)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [_decode_np(t) for t in pdf[tokens_col].values]
+            yield pdf[[*fields, out_col]] if out_col not in fields else pdf[fields]
+
+    return df.mapInPandas(mapper, schema=schema)
