@@ -74,6 +74,37 @@ def sink_aggregates(
 
 
 @dataclass
+class ShardHash:
+    """aggregator_shardhash (plugins/aggregator/shardhash/aggregator_shardhash.go:67-243):
+    ``shard_count`` (power of 2, ≤512) buckets; bucket = first bucketBits bits
+    of md5 of the concatenated ``source_keys`` values (lines 65-128). Adds
+    ``__shardhash_bucket__`` and repartitions on it — Spark HashPartitioning
+    with the reference's exact md5 placement key."""
+
+    source_keys: Sequence[str]
+    shard_count: int = 8
+    bucket_col: str = "__shardhash_bucket__"
+    repartition: bool = True
+
+    def __post_init__(self):
+        if self.shard_count & (self.shard_count - 1) or not (1 <= self.shard_count <= 512):
+            raise ValueError("shard_count must be a power of 2 in [1, 512]")
+
+    def bucket(self) -> F.Column:
+        bits = self.shard_count.bit_length() - 1
+        concat = F.concat(*[F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.source_keys])
+        # top `bits` bits of the md5 = first hex char's value >> (4 - bits)
+        # (for bits<=4; wider shard counts take more hex chars)
+        nibbles = (bits + 3) // 4
+        prefix_val = F.conv(F.substring(F.md5(concat), 1, nibbles), 16, 10).cast("int")
+        return F.shiftright(prefix_val, 4 * nibbles - bits)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(self.bucket_col, self.bucket())
+        return out.repartition(self.shard_count, F.col(self.bucket_col)) if self.repartition else out
+
+
+@dataclass
 class GroupByValues:
     """aggregator_content_value_group
     (plugins/aggregator/contentvaluegroup:66-210): group by field values,

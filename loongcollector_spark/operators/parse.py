@@ -245,3 +245,244 @@ class GrokParser(Operator):
                 coping_raw_log=False,
             )
         return opts.finalize(df, success, new_map, src)
+
+
+@dataclass
+class ApsaraParser(Operator):
+    """processor_parse_apsara_native
+    (core/plugin/processor/ProcessorParseApsaraNative.cpp:37-479): parse the
+    Alibaba Apsara log line — leading ``[yyyy-MM-dd HH:mm:ss.ffffff]`` µs
+    timestamp (line 137 cached strptime), bracketed base fields
+    level/thread/file:line (ParseApsaraBaseFields:434-465), then
+    tab-separated ``key:value`` pairs (lines 203-225).
+
+    Output fields: ``microtime`` (epoch µs as string), ``__LEVEL__``,
+    ``__THREAD__``, ``__FILE__``, ``__LINE__`` plus the k:v pairs; event time
+    goes to ``event_time`` (µs precision)."""
+
+    options: ParserOptions = field(default_factory=ParserOptions)
+    out_time_col: str = "event_time"
+
+    _RX = (
+        r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)?)\]\t"
+        r"\[(\w+)\]\t\[(\d+)\]\t\[([^:\]]+):(\d+)\](?:\t(.*))?"
+    )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        rx = f"^(?:{self._RX})$"
+        success = src.isNotNull() & src.rlike(rx)
+        ts_str = F.regexp_extract(src, rx, 1)
+        ts = F.to_timestamp(ts_str, "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        rest = F.regexp_extract(src, rx, 6)
+        # tab-separated k:v tail → map (first ':' splits key from value)
+        kv_pairs = F.filter(F.split(rest, "\t", -1), lambda p: F.instr(p, ":") > 0)
+        kv = F.map_from_arrays(
+            F.transform(kv_pairs, lambda p: F.substring_index(p, ":", 1)),
+            F.transform(
+                kv_pairs, lambda p: p.substr(F.instr(p, ":") + 1, F.length(p))
+            ),
+        )
+        base = parsed_map(
+            {
+                "microtime": F.unix_micros(ts).cast("string"),
+                "__LEVEL__": F.regexp_extract(src, rx, 2),
+                "__THREAD__": F.regexp_extract(src, rx, 3),
+                "__FILE__": F.regexp_extract(src, rx, 4),
+                "__LINE__": F.regexp_extract(src, rx, 5),
+            }
+        )
+        new_map = F.map_concat(base, F.coalesce(kv, F.expr("map()")))
+        out = df.withColumn(self.out_time_col, F.when(success, ts))
+        return self.options.finalize(out, success, new_map, src)
+
+
+@dataclass
+class CsvParser(Operator):
+    """processor_csv (plugins/processor/csv/processor_csv.go:30-141):
+    RFC-4180-ish CSV decode of fields[source_key] via ``from_csv`` (quote
+    support, TrimLeadingSpace); extra columns either re-joined (quoted) into
+    ``_decode_preserve_`` (PreserveOthers) or expanded as
+    ``{expand_prefix}{i}`` keys (ExpandOthers)."""
+
+    split_keys: Sequence[str]
+    options: ParserOptions = field(default_factory=ParserOptions)
+    split_sep: str = ","
+    quote: str = '"'
+    trim_leading_space: bool = False
+    preserve_others: bool = False
+    expand_others: bool = False
+    expand_prefix: str = "expand_"
+    max_expand_cols: int = 8
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        n = len(self.split_keys)
+        total = n + self.max_expand_cols
+        schema = ", ".join(f"`_c{i}` string" for i in range(total))
+        opts = {"sep": self.split_sep, "quote": self.quote}
+        if self.trim_leading_space:
+            opts["ignoreLeadingWhiteSpace"] = "true"
+        parsed = F.from_csv(src, F.lit(schema), opts)
+        arr = F.array(*[parsed.getField(f"_c{i}") for i in range(total)])
+        arr = F.filter(arr, lambda x, i: x.isNotNull() | (i < F.lit(n)))
+        size = F.size(arr)
+        success = src.isNotNull()
+
+        pairs = {k: F.element_at(arr, i + 1) for i, k in enumerate(self.split_keys)}
+        new_map = F.map_filter(parsed_map(pairs), lambda k, v: v.isNotNull())
+        if self.expand_others:
+            extra = {
+                f"{self.expand_prefix}{i + 1}": F.when(
+                    size >= n + i + 1, F.element_at(arr, n + i + 1)
+                )
+                for i in range(self.max_expand_cols)
+            }
+            new_map = F.map_concat(
+                new_map, F.map_filter(parsed_map(extra), lambda k, v: v.isNotNull())
+            )
+        elif self.preserve_others:
+            # quoted-rejoin of the extra columns (quoteString, processor_csv.go:118-131)
+            qc = self.quote
+            rejoined = F.array_join(
+                F.transform(
+                    F.slice(arr, n + 1, F.greatest(size - n, F.lit(0))),
+                    lambda x: F.when(
+                        x.contains(self.split_sep) | x.contains(qc),
+                        F.concat(
+                            F.lit(qc), F.replace(x, F.lit(qc), F.lit(qc + qc)), F.lit(qc)
+                        ),
+                    ).otherwise(x),
+                ),
+                self.split_sep,
+            )
+            new_map = F.map_concat(
+                new_map,
+                F.when(
+                    size > n, F.create_map(F.lit("_decode_preserve_"), rejoined)
+                ).otherwise(F.expr("map()")),
+            )
+        return self.options.finalize(df, success, new_map, src)
+
+
+def _flatten_json_level(m: Column, connector: str) -> Column:
+    """One flattening step: entries whose value is a JSON object get replaced
+    by their children with ``parent{connector}child`` keys; others pass
+    through. Pure higher-order expressions (codegen-able)."""
+    entries = F.map_entries(m)
+
+    def expand(e: Column) -> Column:
+        v = e.getField("value")
+        child = F.from_json(v, "map<string,string>")
+        is_obj = v.startswith("{") & child.isNotNull()
+        children = F.transform(
+            F.map_entries(F.coalesce(child, F.expr("map()"))),
+            lambda c: F.struct(
+                F.concat(e.getField("key"), F.lit(connector), c.getField("key")).alias("key"),
+                F.coalesce(c.getField("value"), F.lit("")).alias("value"),
+            ),
+        )
+        return F.when(is_obj, children).otherwise(F.array(e))
+
+    return F.map_from_entries(F.flatten(F.transform(entries, expand)))
+
+
+@dataclass
+class JsonExpand(Operator):
+    """processor_json (plugins/processor/json/processor_json.go:29-286):
+    recursive JSON expansion of fields[source_key] — flatten nested objects to
+    ``expand_depth`` levels, joining the key path with ``expand_connector``;
+    optional ``prefix``/``use_source_key_as_prefix``. Arrays and scalars
+    stringify per the one-level JSON parser.
+
+    Depth-N flatten = N composed map transforms (expand_depth=0 → the static
+    bound ``max_depth``), all JVM-side."""
+
+    options: ParserOptions = field(default_factory=ParserOptions)
+    expand_depth: int = 0  # 0 = unlimited (bounded by max_depth)
+    expand_connector: str = "_"
+    prefix: str = ""
+    use_source_key_as_prefix: bool = False
+    max_depth: int = 5
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        m = F.from_json(src, "map<string,string>")
+        success = src.isNotNull() & m.isNotNull()
+        flat = F.transform_values(
+            F.coalesce(m, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+        )
+        depth = self.expand_depth if self.expand_depth > 0 else self.max_depth
+        for _ in range(depth - 1):
+            flat = _flatten_json_level(flat, self.expand_connector)
+        key_prefix = self.prefix + (
+            (self.options.source_key + self.expand_connector)
+            if self.use_source_key_as_prefix
+            else ""
+        )
+        if key_prefix:
+            flat = F.map_from_entries(
+                F.transform(
+                    F.map_entries(flat),
+                    lambda e: F.struct(
+                        F.concat(F.lit(key_prefix), e.getField("key")).alias("key"),
+                        e.getField("value").alias("value"),
+                    ),
+                )
+            )
+        return self.options.finalize(df, success, flat, src)
+
+
+@dataclass
+class ContainerLogParser(Operator):
+    """processor_parse_container_log_native
+    (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp:45-541):
+    containerd text ``TIME STREAM P|F CONTENT`` → ``_time_``, ``_source_``,
+    ``_part_`` flag + content (lines 176-230), or docker JSON-file
+    ``{"log":…,"time":…,"stream":…}`` (lines 37-43). ``ignoring_stdout`` /
+    ``ignoring_stderr`` filter by stream."""
+
+    mode: str = "containerd"  # 'containerd' | 'docker-json'
+    options: ParserOptions = field(default_factory=ParserOptions)
+    ignoring_stdout: bool = False
+    ignoring_stderr: bool = False
+
+    _RX = r"(\S+) (stdout|stderr) ([PF]) (.*)"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = _src(self.options)
+        if self.mode == "containerd":
+            rx = f"^(?:{self._RX})$"
+            success = src.isNotNull() & src.rlike(rx)
+            new_map = parsed_map(
+                {
+                    "_time_": F.regexp_extract(src, rx, 1),
+                    "_source_": F.regexp_extract(src, rx, 2),
+                    "_part_": F.regexp_extract(src, rx, 3),
+                    self.options.source_key: F.regexp_extract(src, rx, 4),
+                }
+            )
+            stream = F.regexp_extract(src, rx, 2)
+        elif self.mode == "docker-json":
+            m = F.from_json(src, "struct<log:string,time:string,stream:string>")
+            success = src.isNotNull() & m.isNotNull() & m.getField("log").isNotNull()
+            new_map = parsed_map(
+                {
+                    "_time_": m.getField("time"),
+                    "_source_": m.getField("stream"),
+                    # docker appends '\n' to complete lines; strip it (line 43)
+                    self.options.source_key: F.regexp_replace(
+                        m.getField("log"), r"\n$", ""
+                    ),
+                }
+            )
+            stream = m.getField("stream")
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+
+        out = self.options.finalize(df, success, new_map, src)
+        if self.ignoring_stdout:
+            out = out.filter(F.element_at(F.col(FIELDS), F.lit("_source_")) != "stdout")
+        if self.ignoring_stderr:
+            out = out.filter(F.element_at(F.col(FIELDS), F.lit("_source_")) != "stderr")
+        return out

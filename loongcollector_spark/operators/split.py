@@ -1,0 +1,226 @@
+"""Event-cardinality operators (SURVEY.md §2.2): split one raw event into N
+line events, sessionize lines into multiline records, merge adjacent events.
+
+- SplitLogString      ≙ processor_split_log_string_native
+  (core/plugin/processor/inner/ProcessorSplitLogStringNative.cpp:26-176) and
+  the Go processor_split_log_string (plugins/processor/split/logstring:29-172)
+- SplitMultiline      ≙ processor_split_multiline_log_string_native
+  (core/plugin/processor/inner/ProcessorSplitMultilineLogStringNative.cpp:37-407;
+  Multiline options core/file_server/MultilineOptions.h:40-52)
+- MergeMultilineByFlag ≙ processor_merge_multiline_log_native MergeType=flag
+  (core/plugin/processor/inner/ProcessorMergeMultilineLogNative.cpp:34-385)
+
+Spark mapping: explode/posexplode for the split; the multiline FSM becomes
+sessionization — flag record-start lines, running-sum the flag over an ordered
+window within the document, then group-concat. The window partitions by doc_id
+(massively parallel — one doc's lines are tiny), so at 100 TB the shuffle keys
+are fine-grained and skew-free.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .base import FIELDS, Operator, fget
+
+LINE_NO_COL = "__line_no__"
+FILE_OFFSET_KEY = "__file_offset__"
+
+
+class UnmatchedTreatment:
+    """MultilineOptions.h:32 UnmatchedContentTreatment."""
+
+    DISCARD = "discard"
+    SINGLE_LINE = "single_line"
+
+
+@dataclass
+class SplitLogString(Operator):
+    """Split fields[source_key] by ``split_char`` into one event per line
+    (one row → N rows). A single trailing separator does not produce an empty
+    last event (the reference iterates line begins/ends). With
+    ``enable_position_meta`` each line event carries its byte offset within the
+    original blob under ``__file_offset__`` (SetPosition,
+    ProcessorSplitLogStringNative.cpp:151), computed with an O(n) array fold —
+    no shuffle."""
+
+    source_key: str = "content"
+    split_char: str = "\n"
+    enable_position_meta: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        parts = F.split(src, re.escape(self.split_char), -1)
+        # drop ONE trailing empty element (blob ending in split_char)
+        n = F.size(parts)
+        parts = F.when(
+            (n > 1) & (F.element_at(parts, -1) == ""), F.slice(parts, 1, n - 1)
+        ).otherwise(parts)
+
+        if self.enable_position_meta:
+            sep_len = len(self.split_char)
+            # running byte offsets: offsets[i] = sum(len(parts[j]) + sep_len, j<i)
+            offsets = F.aggregate(
+                parts,
+                F.struct(
+                    F.lit(0).cast("long").alias("off"),
+                    F.array().cast("array<long>").alias("arr"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc.getField("off") + F.length(x) + sep_len).alias("off"),
+                    F.concat(acc.getField("arr"), F.array(acc.getField("off"))).alias("arr"),
+                ),
+                lambda acc: acc.getField("arr"),
+            )
+            zipped = F.arrays_zip(parts.alias("line"), offsets.alias("off"))
+            others = [c for c in df.columns if c != FIELDS]
+            out = df.select(*others, F.col(FIELDS), F.posexplode(zipped).alias(LINE_NO_COL, "__z__"))
+            new_fields = F.map_concat(
+                F.map_filter(F.col(FIELDS), lambda k, v: k != F.lit(self.source_key)),
+                F.create_map(
+                    F.lit(self.source_key),
+                    F.col("__z__").getField("line"),
+                    F.lit(FILE_OFFSET_KEY),
+                    F.col("__z__").getField("off").cast("string"),
+                ),
+            )
+            return out.withColumn(FIELDS, new_fields).drop("__z__")
+
+        others = [c for c in df.columns if c != FIELDS]
+        out = df.select(*others, F.col(FIELDS), F.posexplode(parts).alias(LINE_NO_COL, "__line__"))
+        new_fields = F.map_concat(
+            F.map_filter(F.col(FIELDS), lambda k, v: k != F.lit(self.source_key)),
+            F.create_map(F.lit(self.source_key), F.col("__line__")),
+        )
+        return out.withColumn(FIELDS, new_fields).drop("__line__")
+
+
+def _record_ids(
+    df: DataFrame,
+    start_flag: Column,
+    doc_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Sessionize: record_id = running count of start-flag lines up to and
+    including this one, per document (SURVEY.md §2.2 mapping)."""
+    w = Window.partitionBy(doc_col).orderBy(order_col)
+    return df.withColumn("__rec__", F.sum(start_flag.cast("int")).over(w))
+
+
+@dataclass
+class SplitMultiline(Operator):
+    """Multiline record assembly over line events.
+
+    Input: one row per line with ``doc_col`` + ``order_col`` (e.g. the output
+    of SplitLogString). ``start_pattern`` marks the first line of each record
+    (StartPattern FSM path, ProcessorSplitMultilineLogStringNative.cpp:139-227);
+    optional ``end_pattern`` closes a record (lines after an end and before the
+    next start are unmatched). Lines before the first start are unmatched:
+    DISCARD drops them, SINGLE_LINE emits each as its own record
+    (UnmatchedContentTreatment, MultilineOptions.h:32).
+
+    Output: one row per record — doc/meta columns, ``fields[source_key]`` =
+    '\\n'-joined record text, record's first ``order_col`` as its line_no."""
+
+    start_pattern: str
+    source_key: str = "content"
+    doc_col: str = "doc_id"
+    order_col: str = LINE_NO_COL
+    end_pattern: str | None = None
+    unmatched: str = UnmatchedTreatment.DISCARD
+    joiner: str = "\n"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        line = fget(self.source_key)
+        start = line.rlike(self.start_pattern)
+        df = _record_ids(df, start, self.doc_col, self.order_col)
+
+        if self.end_pattern is not None:
+            # within a record, lines strictly after the first end-match are unmatched
+            w = Window.partitionBy(self.doc_col, "__rec__").orderBy(self.order_col)
+            ended = F.lag(
+                F.sum(line.rlike(self.end_pattern).cast("int")).over(w), 1, 0
+            ).over(w)
+            df = df.withColumn("__unmatched__", (F.col("__rec__") == 0) | (ended > 0))
+        else:
+            df = df.withColumn("__unmatched__", F.col("__rec__") == 0)
+
+        matched = df.filter(~F.col("__unmatched__"))
+        meta = [
+            c
+            for c in df.columns
+            if c not in (FIELDS, self.order_col, "__rec__", "__unmatched__", self.doc_col)
+        ]
+        grouped = (
+            matched.groupBy(self.doc_col, "__rec__")
+            .agg(
+                F.min(self.order_col).alias(self.order_col),
+                F.concat_ws(
+                    self.joiner,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col(self.order_col).alias("o"), line.alias("l")))
+                        ),
+                        lambda s: s.getField("l"),
+                    ),
+                ).alias("__record__"),
+                *[F.first(c).alias(c) for c in meta],
+            )
+            .drop("__rec__")
+        )
+        out = grouped.withColumn(
+            FIELDS, F.create_map(F.lit(self.source_key), F.col("__record__"))
+        ).drop("__record__")
+
+        if self.unmatched == UnmatchedTreatment.SINGLE_LINE:
+            singles = df.filter(F.col("__unmatched__")).drop("__rec__", "__unmatched__")
+            out = out.unionByName(singles, allowMissingColumns=True)
+        return out
+
+
+@dataclass
+class MergeMultilineByFlag(Operator):
+    """MergeType=flag (ProcessorMergeMultilineLogNative.cpp MergeLogsByFlag:113):
+    container runtime partial-log merging — events whose ``flag_key`` field is
+    'P' (partial) are joined with following events until an 'F' (full) event
+    closes the record. Record boundary = previous event was 'F' (or first)."""
+
+    flag_key: str = "_part_"
+    source_key: str = "content"
+    doc_col: str = "doc_id"
+    order_col: str = LINE_NO_COL
+    joiner: str = ""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.doc_col).orderBy(self.order_col)
+        prev_full = F.lag(fget(self.flag_key) == "F", 1, True).over(w)
+        df = _record_ids(df, prev_full, self.doc_col, self.order_col)
+        line = fget(self.source_key)
+        meta = [
+            c for c in df.columns if c not in (FIELDS, self.order_col, "__rec__", self.doc_col)
+        ]
+        grouped = (
+            df.groupBy(self.doc_col, "__rec__")
+            .agg(
+                F.min(self.order_col).alias(self.order_col),
+                F.concat_ws(
+                    self.joiner,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col(self.order_col).alias("o"), line.alias("l")))
+                        ),
+                        lambda s: s.getField("l"),
+                    ),
+                ).alias("__record__"),
+                *[F.first(c).alias(c) for c in meta],
+            )
+            .drop("__rec__")
+        )
+        return grouped.withColumn(
+            FIELDS, F.create_map(F.lit(self.source_key), F.col("__record__"))
+        ).drop("__record__")

@@ -383,3 +383,113 @@ class FieldsWithCondition(Operator):
                 matched = matched | cond
             out = out.filter(matched)
         return out
+
+
+@dataclass
+class Appender(Operator):
+    """processor_appender (plugins/processor/appender/processor_appender.go:31-199):
+    append ``value`` to the existing ``key`` field (creates it when absent);
+    ``{{env_name}}``-style platform vars are resolved driver-side by the caller
+    before construction (we take the already-expanded string). ``sort_labels``
+    re-sorts a comma-separated ``k=v`` label string after the append."""
+
+    key: str
+    value: str
+    delimiter: str = ""
+    sort_labels: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cur = fget(self.key)
+        appended = F.when(
+            cur.isNotNull(), F.concat(cur, F.lit(self.delimiter + self.value))
+        ).otherwise(F.lit(self.value))
+        if self.sort_labels:
+            appended = F.array_join(
+                F.array_sort(F.split(appended, ",", -1)), ","
+            )
+        return df.withColumn(
+            FIELDS,
+            F.map_concat(F.col(FIELDS), F.create_map(F.lit(self.key), appended)),
+        )
+
+
+@dataclass
+class Encrypt(Operator):
+    """processor_encrypt (plugins/processor/encrypt/processor_encrypt.go:41-214):
+    AES-CBC encrypt each source key's value, output hex. Spark-native
+    ``aes_encrypt(expr, key, 'CBC', 'PKCS', iv)`` + ``hex()`` — fully JVM-side.
+    Key/IV are hex strings as in the reference config."""
+
+    source_keys: Sequence[str]
+    key_hex: str
+    iv_hex: str
+    keep_source_value_if_error: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = F.col(FIELDS)
+        for sk in self.source_keys:
+            src = fget(sk)
+            enc = F.lower(
+                F.hex(
+                    F.expr(
+                        f"aes_encrypt(element_at({FIELDS}, '{sk}'), "
+                        f"unhex('{self.key_hex}'), 'CBC', 'PKCS', unhex('{self.iv_hex}'))"
+                    )
+                )
+            )
+            val = F.when(src.isNotNull(), enc)
+            if self.keep_source_value_if_error:
+                val = F.coalesce(val, src)
+            out = F.map_concat(
+                out,
+                F.when(val.isNotNull(), F.create_map(F.lit(sk), val)).otherwise(
+                    F.expr("map()")
+                ),
+            )
+        return df.withColumn(FIELDS, out)
+
+
+@dataclass
+class LogToMetric(Operator):
+    """processor_log_to_sls_metric
+    (plugins/processor/logtoslsmetric/processor_log_to_sls_metric.go:32-381):
+    reshape log rows into metric rows — label fields validated against
+    ``^[a-zA-Z_][a-zA-Z0-9_]*$``, sorted by name and joined as
+    ``k1#$#v1|k2#$#v2`` into ``__labels__``; each (name,value) metric pair
+    becomes a row with numeric-validated ``__value__``; invalid rows dropped."""
+
+    metric_labels: Sequence[str]
+    metric_values: Mapping[str, str]  # name_key -> value_key ... but static names here
+    time_col: str | None = None
+
+    _NUM_RX = r"^-?\d+(\.\d+)?$"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        label_pairs = sorted(self.metric_labels)
+        labels = F.concat_ws(
+            "|",
+            *[
+                F.concat(F.lit(k), F.lit("#$#"), F.coalesce(fget(k), F.lit("")))
+                for k in label_pairs
+            ],
+        )
+        metrics = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("__name__"), fget(vkey).alias("__value__")
+                )
+                for name, vkey in self.metric_values.items()
+            ]
+        )
+        keep = [c for c in df.columns if c != FIELDS]
+        out = df.select(
+            *keep, labels.alias("__labels__"), F.explode(metrics).alias("__m__")
+        ).select(
+            *keep,
+            "__labels__",
+            F.col("__m__").getField("__name__").alias("__name__"),
+            F.col("__m__").getField("__value__").alias("__value__"),
+        )
+        return out.filter(F.col("__value__").rlike(self._NUM_RX)).withColumn(
+            "__value__", F.col("__value__").cast("double")
+        )

@@ -203,3 +203,139 @@ SELECT doc_id,
   source AS origin,
   CAST(n_tok AS VARCHAR) AS len_str
 FROM seq WHERE source <> 'nginx'"""
+
+
+# --- batch A: split/merge, extended parsers, aggregator queries --------------
+
+# Shared synthetic blob for line splitting: three lines per event.
+_BLOB = "('A ' || event_type || chr(10) || 'B ' || user_id || chr(10) || 'C end')"
+
+
+def oracle_split_lines() -> str:
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         string_split({_BLOB}, chr(10)) AS lines
+  FROM events
+)
+SELECT doc_id,
+  unnest(range(0, len(lines))) AS line_no,
+  unnest(lines) AS line
+FROM ev"""
+
+
+def oracle_multiline_records() -> str:
+    # ground-truth construction: even event_id docs have two records, odd one
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id, 'ERROR ' || event_type || chr(10) || ' at 1:' || user_id AS record FROM ev
+UNION ALL
+SELECT doc_id, 'ERROR tail' || chr(10) || ' at 2' AS record FROM ev WHERE event_id % 2 = 0"""
+
+
+def oracle_parse_apsara() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id,
+  CAST(CAST(1704450030 AS BIGINT) * 1000000 + event_id % 1000000 AS VARCHAR) AS microtime,
+  upper(event_type) AS level,
+  CAST(user_id AS VARCHAR) AS thread,
+  '/build/app.cpp' AS file,
+  CAST(event_id % 500 AS VARCHAR) AS line_no,
+  'GET' AS method,
+  CAST(user_id % 3 AS VARCHAR) AS status
+FROM ev"""
+
+
+def oracle_json_expand() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         '{"a":{"b":' || user_id || ',"c":{"d":"' || event_type || '"}},"e":"x-' || event_id % 7 || '"}' AS line
+  FROM events
+)
+SELECT doc_id,
+  json_extract_string(line, '$.a.b') AS a_b,
+  json_extract_string(line, '$.a.c.d') AS a_c_d,
+  json_extract_string(line, '$.e') AS e
+FROM ev"""
+
+
+def oracle_parse_csv() -> str:
+    # ground truth: field b is the quoted 'event_type, x' text
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id,
+  CAST(event_id AS VARCHAR) AS a,
+  event_type || ', x' AS b,
+  CAST(user_id AS VARCHAR) AS c
+FROM ev"""
+
+
+def oracle_container_log() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id,
+         CASE WHEN event_id % 4 = 0 THEN 'stderr' ELSE 'stdout' END AS stream
+  FROM events
+)
+SELECT doc_id,
+  '2024-01-05T10:20:30.' || event_id % 1000 || 'Z' AS time_,
+  stream AS source_,
+  'msg ' || event_type || ' ' || user_id AS content
+FROM ev WHERE stream <> 'stderr'"""
+
+
+def oracle_log_to_metric() -> str:
+    return f"""{SEQ},
+parsed AS (
+  SELECT doc_id,
+    split_part(line, chr(9), 1) AS uid,
+    split_part(line, chr(9), 3) AS cmethod,
+    split_part(line, chr(9), 4) AS value
+  FROM seq WHERE source = 'csvlog'
+)
+SELECT doc_id,
+  'cmethod#$#' || cmethod || '|uid#$#' || uid AS __labels__,
+  'bytes' AS __name__,
+  CAST(value AS DOUBLE) AS __value__
+FROM parsed"""
+
+
+def oracle_shardhash() -> str:
+    # bucket = top 3 bits of md5(doc_id||source) = hexval(first hex char) // 2
+    return f"""{SEQ},
+b AS (
+  SELECT strpos('123456789abcdef', substring(md5(doc_id || source), 1, 1)) // 2 AS bucket
+  FROM seq
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS events
+FROM b GROUP BY bucket ORDER BY bucket"""
+
+
+def oracle_content_value_group() -> str:
+    return f"""{SEQ},
+parsed AS (
+  SELECT doc_id, source, split_part(line, chr(9), 3) AS cmethod
+  FROM seq WHERE source = 'csvlog'
+)
+SELECT source || '_' || cmethod AS group_topic, count(*) AS events
+FROM parsed GROUP BY group_topic ORDER BY group_topic"""
+
+
+def oracle_regex_router() -> str:
+    return f"""{SEQ}
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(line, '^10\\.') THEN 'web'
+    WHEN regexp_matches(line, '^\\{{') THEN 'json'
+    ELSE 'other'
+  END AS sink
+FROM seq"""

@@ -215,6 +215,184 @@ def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batch A: split/merge, extended parsers, aggregator queries --------------
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias(
+            "doc_id"
+        ),
+        "event_id",
+        "event_type",
+        "user_id",
+    )
+
+
+def q_split_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.split import LINE_NO_COL, SplitLogString
+
+    ev = _events_raw(spark, sf_dir)
+    blob = F.concat(
+        F.lit("A "), F.col("event_type"), F.lit("\n"),
+        F.lit("B "), F.col("user_id").cast("string"), F.lit("\n"),
+        F.lit("C end"),
+    )
+    lines = SplitLogString().apply(to_events(ev.select("doc_id", blob.alias("content"))))
+    return lines.select(
+        "doc_id",
+        F.col(LINE_NO_COL).cast("long").alias("line_no"),
+        fget("content").alias("line"),
+    )
+
+
+def q_multiline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.split import SplitLogString, SplitMultiline
+
+    ev = _events_raw(spark, sf_dir)
+    head = F.concat(
+        F.lit("ERROR "), F.col("event_type"), F.lit("\n at 1:"),
+        F.col("user_id").cast("string"),
+    )
+    blob = F.when(
+        F.col("event_id") % 2 == 0, F.concat(head, F.lit("\nERROR tail\n at 2"))
+    ).otherwise(head)
+    lines = SplitLogString().apply(to_events(ev.select("doc_id", blob.alias("content"))))
+    recs = SplitMultiline(start_pattern=r"ERROR.*").apply(lines)
+    return recs.select("doc_id", fget("content").alias("record"))
+
+
+def q_parse_apsara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import ApsaraParser
+
+    ev = _events_raw(spark, sf_dir)
+    line = F.concat(
+        F.lit("[2024-01-05 10:20:30."),
+        F.lpad((F.col("event_id") % 1000000).cast("string"), 6, "0"),
+        F.lit("]\t["), F.upper("event_type"),
+        F.lit("]\t["), F.col("user_id").cast("string"),
+        F.lit("]\t[/build/app.cpp:"), (F.col("event_id") % 500).cast("string"),
+        F.lit("]\tmethod:GET\tstatus:"), (F.col("user_id") % 3).cast("string"),
+    )
+    out = ApsaraParser().apply(to_events(ev.select("doc_id", line.alias("content"))))
+    return out.select(
+        "doc_id",
+        fget("microtime").alias("microtime"),
+        fget("__LEVEL__").alias("level"),
+        fget("__THREAD__").alias("thread"),
+        fget("__FILE__").alias("file"),
+        fget("__LINE__").alias("line_no"),
+        fget("method").alias("method"),
+        fget("status").alias("status"),
+    )
+
+
+def q_json_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import JsonExpand
+
+    ev = _events_raw(spark, sf_dir)
+    line = F.concat(
+        F.lit('{"a":{"b":'), F.col("user_id").cast("string"),
+        F.lit(',"c":{"d":"'), F.col("event_type"),
+        F.lit('"}},"e":"x-'), (F.col("event_id") % 7).cast("string"), F.lit('"}'),
+    )
+    out = JsonExpand().apply(to_events(ev.select("doc_id", line.alias("content"))))
+    return out.select(
+        "doc_id",
+        fget("a_b").alias("a_b"),
+        fget("a_c_d").alias("a_c_d"),
+        fget("e").alias("e"),
+    )
+
+
+def q_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import CsvParser
+
+    ev = _events_raw(spark, sf_dir)
+    line = F.concat(
+        F.col("event_id").cast("string"), F.lit(',"'),
+        F.col("event_type"), F.lit(', x",'),
+        F.col("user_id").cast("string"),
+    )
+    out = CsvParser(["a", "b", "c"]).apply(to_events(ev.select("doc_id", line.alias("content"))))
+    return out.select(
+        "doc_id", fget("a").alias("a"), fget("b").alias("b"), fget("c").alias("c")
+    )
+
+
+def q_container_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import ContainerLogParser
+
+    ev = _events_raw(spark, sf_dir)
+    stream = F.when(F.col("event_id") % 4 == 0, "stderr").otherwise("stdout")
+    line = F.concat(
+        F.lit("2024-01-05T10:20:30."), (F.col("event_id") % 1000).cast("string"),
+        F.lit("Z "), stream, F.lit(" F msg "),
+        F.col("event_type"), F.lit(" "), F.col("user_id").cast("string"),
+    )
+    out = ContainerLogParser(ignoring_stderr=True).apply(
+        to_events(ev.select("doc_id", line.alias("content")))
+    )
+    return out.select(
+        "doc_id",
+        fget("_time_").alias("time_"),
+        fget("_source_").alias("source_"),
+        fget("content").alias("content"),
+    )
+
+
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.transforms import LogToMetric
+
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "csvlog")
+    ev = DelimiterParser("\t", flagship.CSV_KEYS).apply(to_events(seq))
+    out = LogToMetric(
+        metric_labels=["uid", "cmethod"], metric_values={"bytes": "value"}
+    ).apply(ev)
+    return out.select("doc_id", "__labels__", "__name__", "__value__")
+
+
+def q_shardhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import ShardHash
+
+    seq = _seq(spark, sf_dir).drop("content")
+    sh = ShardHash(["doc_id", "source"], shard_count=8)
+    out = sh.apply(seq)
+    return (
+        out.groupBy(F.col(sh.bucket_col).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .orderBy("bucket")
+    )
+
+
+def q_content_value_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import GroupByValues
+
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "csvlog")
+    ev = DelimiterParser("\t", flagship.CSV_KEYS).apply(to_events(seq))
+    promoted = ev.select("doc_id", "source", fget("cmethod").alias("cmethod"))
+    grouped = GroupByValues(["source", "cmethod"]).apply(promoted)
+    return (
+        grouped.groupBy(F.col("__group_topic__").alias("group_topic"))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .orderBy("group_topic")
+    )
+
+
+def q_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .routing import RegexRouter
+
+    seq = _seq(spark, sf_dir)
+    ev = to_events(seq)
+    out = RegexRouter(
+        source_key="content",
+        patterns=[(r"^10\.", "web"), (r"^\{", "json")],
+        default_sink="other",
+    ).apply(ev)
+    return out.select("doc_id", "sink")
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "routed_rows": q_routed_rows,
@@ -231,6 +409,16 @@ QUERIES = {
     "kv_split": q_kv_split,
     "rate_limit": q_rate_limit,
     "transform_chain": q_transform_chain,
+    "split_lines": q_split_lines,
+    "multiline_records": q_multiline_records,
+    "parse_apsara": q_parse_apsara,
+    "json_expand": q_json_expand,
+    "parse_csv": q_parse_csv,
+    "container_log": q_container_log,
+    "log_to_metric": q_log_to_metric,
+    "shardhash": q_shardhash,
+    "content_value_group": q_content_value_group,
+    "regex_router": q_regex_router,
 }
 
 ORACLES = {
@@ -249,6 +437,16 @@ ORACLES = {
     "kv_split": oracles.oracle_kv_split(),
     "rate_limit": oracles.oracle_rate_limit(),
     "transform_chain": oracles.oracle_transform_chain(),
+    "split_lines": oracles.oracle_split_lines(),
+    "multiline_records": oracles.oracle_multiline_records(),
+    "parse_apsara": oracles.oracle_parse_apsara(),
+    "json_expand": oracles.oracle_json_expand(),
+    "parse_csv": oracles.oracle_parse_csv(),
+    "container_log": oracles.oracle_container_log(),
+    "log_to_metric": oracles.oracle_log_to_metric(),
+    "shardhash": oracles.oracle_shardhash(),
+    "content_value_group": oracles.oracle_content_value_group(),
+    "regex_router": oracles.oracle_regex_router(),
 }
 
 

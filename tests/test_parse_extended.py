@@ -1,0 +1,156 @@
+"""ApsaraParser / CsvParser / JsonExpand / ContainerLogParser golden cases
+(modeled on core/unittest/processor/ProcessorParseApsaraNativeUnittest,
+plugins/processor/csv/processor_csv_test.go, processor_json tests,
+ProcessorParseContainerLogNativeUnittest)."""
+
+import pyspark.sql.functions as F
+
+from loongcollector_spark.operators.base import FIELDS, to_events
+from loongcollector_spark.operators.parse import (
+    ApsaraParser,
+    ContainerLogParser,
+    CsvParser,
+    JsonExpand,
+)
+
+
+def _events(spark, contents):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(contents)], ["i", "content"])
+    return to_events(df)
+
+
+def _fields(df):
+    return {r["i"]: dict(r[FIELDS]) for r in df.collect()}
+
+
+# --- apsara -----------------------------------------------------------------
+
+
+def test_apsara_basic(spark):
+    line = "[2024-01-05 10:20:30.123456]\t[ERROR]\t[12345]\t[/build/core/app.cpp:120]\tmethod:GET\tstatus:200"
+    out = ApsaraParser().apply(_events(spark, [line]))
+    f = _fields(out)[0]
+    assert f["__LEVEL__"] == "ERROR"
+    assert f["__THREAD__"] == "12345"
+    assert f["__FILE__"] == "/build/core/app.cpp"
+    assert f["__LINE__"] == "120"
+    assert f["method"] == "GET"
+    assert f["status"] == "200"
+    assert f["microtime"] == "1704450030123456"
+
+
+def test_apsara_no_kv_tail(spark):
+    line = "[2024-01-05 10:20:30.000001]\t[INFO]\t[1]\t[a.cpp:1]"
+    f = _fields(ApsaraParser().apply(_events(spark, [line])))[0]
+    assert f["__LEVEL__"] == "INFO"
+    assert "method" not in f
+
+
+def test_apsara_unmatched_discarded(spark):
+    out = ApsaraParser().apply(_events(spark, ["not apsara at all"]))
+    assert out.count() == 0
+
+
+# --- csv --------------------------------------------------------------------
+
+
+def test_csv_quoted_field(spark):
+    f = _fields(
+        CsvParser(["a", "b", "c"]).apply(_events(spark, ['1,"x, y",3']))
+    )[0]
+    assert f == {"a": "1", "b": "x, y", "c": "3"}
+
+
+def test_csv_expand_others(spark):
+    f = _fields(
+        CsvParser(["a"], expand_others=True, expand_prefix="ex_").apply(
+            _events(spark, ["1,2,3"])
+        )
+    )[0]
+    assert f == {"a": "1", "ex_1": "2", "ex_2": "3"}
+
+
+def test_csv_preserve_others_requotes(spark):
+    f = _fields(
+        CsvParser(["a"], preserve_others=True).apply(_events(spark, ['1,"x, y",3']))
+    )[0]
+    assert f == {"a": "1", "_decode_preserve_": '"x, y",3'}
+
+
+def test_csv_short_row(spark):
+    f = _fields(CsvParser(["a", "b", "c"]).apply(_events(spark, ["1,2"])))[0]
+    assert f == {"a": "1", "b": "2"}
+
+
+# --- json expand ------------------------------------------------------------
+
+
+def test_json_expand_depth_unlimited(spark):
+    line = '{"a":{"b":1,"c":{"d":"x"}},"e":"y"}'
+    f = _fields(JsonExpand().apply(_events(spark, [line])))[0]
+    assert f == {"a_b": "1", "a_c_d": "x", "e": "y"}
+
+
+def test_json_expand_depth_2(spark):
+    line = '{"a":{"b":1,"c":{"d":"x"}},"e":"y"}'
+    f = _fields(JsonExpand(expand_depth=2).apply(_events(spark, [line])))[0]
+    assert f["a_b"] == "1"
+    assert f["e"] == "y"
+    # depth 2 stops: a_c keeps the nested JSON text
+    assert f["a_c"] == '{"d":"x"}'
+
+
+def test_json_expand_source_key_prefix(spark):
+    f = _fields(
+        JsonExpand(use_source_key_as_prefix=True, prefix="p.").apply(
+            _events(spark, ['{"k":"v"}'])
+        )
+    )[0]
+    assert f == {"p.content_k": "v"}
+
+
+def test_json_expand_array_kept_as_text(spark):
+    f = _fields(JsonExpand().apply(_events(spark, ['{"arr":[1,2],"s":"x"}'])))[0]
+    assert f["arr"] == "[1,2]"
+    assert f["s"] == "x"
+
+
+# --- container log ----------------------------------------------------------
+
+
+def test_containerd_text(spark):
+    line = "2024-01-05T10:20:30.123Z stdout F hello world"
+    f = _fields(ContainerLogParser().apply(_events(spark, [line])))[0]
+    assert f == {
+        "_time_": "2024-01-05T10:20:30.123Z",
+        "_source_": "stdout",
+        "_part_": "F",
+        "content": "hello world",
+    }
+
+
+def test_containerd_partial_flag(spark):
+    line = "2024-01-05T10:20:30.123Z stderr P partial chunk"
+    f = _fields(ContainerLogParser().apply(_events(spark, [line])))[0]
+    assert f["_part_"] == "P"
+    assert f["_source_"] == "stderr"
+
+
+def test_docker_json(spark):
+    line = '{"log":"hello\\n","stream":"stdout","time":"2024-01-05T10:20:30.1Z"}'
+    f = _fields(ContainerLogParser(mode="docker-json").apply(_events(spark, [line])))[0]
+    assert f == {
+        "_time_": "2024-01-05T10:20:30.1Z",
+        "_source_": "stdout",
+        "content": "hello",
+    }
+
+
+def test_container_ignoring_stdout(spark):
+    lines = [
+        "2024-01-05T10:20:30Z stdout F a",
+        "2024-01-05T10:20:30Z stderr F b",
+    ]
+    out = ContainerLogParser(ignoring_stdout=True).apply(_events(spark, lines))
+    f = [dict(r[FIELDS]) for r in out.collect()]
+    assert len(f) == 1 and f[0]["content"] == "b"

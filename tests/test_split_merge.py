@@ -1,0 +1,128 @@
+"""Cardinality operators (SURVEY.md §2.2): split-by-line, multiline
+sessionization, flag-based merge — golden cases modeled on
+core/unittest/processor/ProcessorSplitLogStringNativeUnittest /
+ProcessorSplitMultilineLogStringNativeUnittest /
+ProcessorMergeMultilineLogNativeUnittest."""
+
+import pyspark.sql.functions as F
+
+from loongcollector_spark.operators.base import FIELDS, fget, to_events
+from loongcollector_spark.operators.split import (
+    LINE_NO_COL,
+    FILE_OFFSET_KEY,
+    MergeMultilineByFlag,
+    SplitLogString,
+    SplitMultiline,
+    UnmatchedTreatment,
+)
+
+
+def _blob(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    return to_events(df)
+
+
+def _collect_lines(df):
+    return sorted(
+        (r["doc_id"], r[LINE_NO_COL], r[FIELDS].get("content"), r[FIELDS].get(FILE_OFFSET_KEY))
+        for r in df.collect()
+    )
+
+
+def test_split_log_string_basic(spark):
+    out = SplitLogString().apply(_blob(spark, [("d1", "a\nbb\nccc")]))
+    assert _collect_lines(out) == [
+        ("d1", 0, "a", None),
+        ("d1", 1, "bb", None),
+        ("d1", 2, "ccc", None),
+    ]
+
+
+def test_split_log_string_trailing_newline(spark):
+    out = SplitLogString().apply(_blob(spark, [("d1", "a\nb\n")]))
+    assert [x[2] for x in _collect_lines(out)] == ["a", "b"]
+
+
+def test_split_log_string_position_meta(spark):
+    out = SplitLogString(enable_position_meta=True).apply(_blob(spark, [("d1", "a\nbb\nccc")]))
+    assert _collect_lines(out) == [
+        ("d1", 0, "a", "0"),
+        ("d1", 1, "bb", "2"),
+        ("d1", 2, "ccc", "5"),
+    ]
+
+
+def test_split_log_string_preserves_other_fields(spark):
+    df = spark.createDataFrame([("d1", "x\ny")], ["doc_id", "content"])
+    ev = to_events(df).withColumn(
+        FIELDS, F.map_concat(FIELDS, F.create_map(F.lit("tag"), F.lit("t1")))
+    )
+    out = SplitLogString().apply(ev)
+    rows = out.collect()
+    assert all(r[FIELDS]["tag"] == "t1" for r in rows)
+    assert sorted(r[FIELDS]["content"] for r in rows) == ["x", "y"]
+
+
+def _lines(spark, doc_lines):
+    rows = [(d, i, line) for d, lines in doc_lines for i, line in enumerate(lines)]
+    df = spark.createDataFrame(rows, ["doc_id", LINE_NO_COL, "content"])
+    return to_events(df)
+
+
+def test_multiline_start_pattern(spark):
+    ev = _lines(
+        spark,
+        [("d1", ["ERROR boom", "  at f1", "  at f2", "ERROR bam", "  at g1"])],
+    )
+    out = SplitMultiline(start_pattern=r"ERROR.*").apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["ERROR bam\n  at g1", "ERROR boom\n  at f1\n  at f2"]
+
+
+def test_multiline_unmatched_discard_vs_single_line(spark):
+    ev = _lines(spark, [("d1", ["orphan1", "ERROR x", "  at f"])])
+    d = SplitMultiline(start_pattern=r"ERROR.*").apply(ev)
+    assert sorted(r[FIELDS]["content"] for r in d.collect()) == ["ERROR x\n  at f"]
+    s = SplitMultiline(
+        start_pattern=r"ERROR.*", unmatched=UnmatchedTreatment.SINGLE_LINE
+    ).apply(ev)
+    assert sorted(r[FIELDS]["content"] for r in s.collect()) == ["ERROR x\n  at f", "orphan1"]
+
+
+def test_multiline_start_end_pattern(spark):
+    ev = _lines(
+        spark,
+        [("d1", ["BEGIN", "body1", "END", "junk", "BEGIN", "body2", "END"])],
+    )
+    out = SplitMultiline(start_pattern=r"BEGIN", end_pattern=r"END").apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["BEGIN\nbody1\nEND", "BEGIN\nbody2\nEND"]
+
+
+def test_merge_by_flag(spark):
+    rows = [
+        ("d1", 0, "par", "P"),
+        ("d1", 1, "tial", "P"),
+        ("d1", 2, " line", "F"),
+        ("d1", 3, "whole", "F"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", LINE_NO_COL, "content", "_part_"])
+    ev = df.select(
+        "doc_id",
+        LINE_NO_COL,
+        F.create_map(
+            F.lit("content"), F.col("content"), F.lit("_part_"), F.col("_part_")
+        ).alias(FIELDS),
+    )
+    out = MergeMultilineByFlag().apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["partial line", "whole"]
+
+
+def test_split_then_sessionize_roundtrip(spark):
+    blob = "ERROR first\n  at a\nERROR second\n  at b\n  at c"
+    ev = _blob(spark, [("d1", blob)])
+    lines = SplitLogString().apply(ev)
+    recs = SplitMultiline(start_pattern=r"ERROR.*").apply(lines)
+    joined = sorted(r[FIELDS]["content"] for r in recs.collect())
+    assert joined == ["ERROR first\n  at a", "ERROR second\n  at b\n  at c"]

@@ -1,0 +1,77 @@
+"""Appender / Encrypt / LogToMetric golden cases."""
+
+import pyspark.sql.functions as F
+
+from loongcollector_spark.operators.base import FIELDS, to_events
+from loongcollector_spark.operators.transforms import Appender, Encrypt, LogToMetric
+
+
+def _events(spark, contents):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(contents)], ["i", "content"])
+    return to_events(df)
+
+
+def _fields(df):
+    return {r["i"]: dict(r[FIELDS]) for r in df.collect()}
+
+
+def test_appender_existing_key(spark):
+    out = Appender(key="content", value="|suffix").apply(_events(spark, ["base"]))
+    assert _fields(out)[0] == {"content": "base|suffix"}
+
+
+def test_appender_missing_key_creates(spark):
+    out = Appender(key="newk", value="v1").apply(_events(spark, ["base"]))
+    assert _fields(out)[0] == {"content": "base", "newk": "v1"}
+
+
+def test_appender_sort_labels(spark):
+    out = Appender(key="content", value=",a=1", sort_labels=True).apply(
+        _events(spark, ["c=3,b=2"])
+    )
+    assert _fields(out)[0] == {"content": "a=1,b=2,c=3"}
+
+
+def test_encrypt_roundtrip(spark):
+    key = "00112233445566778899aabbccddeeff"
+    iv = "000102030405060708090a0b0c0d0e0f"
+    ev = _events(spark, ["secret-value"])
+    out = Encrypt(["content"], key_hex=key, iv_hex=iv).apply(ev)
+    enc_hex = _fields(out)[0]["content"]
+    assert enc_hex != "secret-value" and len(enc_hex) % 32 == 0
+    # decrypt back via Spark to pin semantics (deterministic with fixed IV)
+    dec = spark.range(1).select(
+        F.expr(
+            f"cast(aes_decrypt(unhex('{enc_hex}'), unhex('{key}'), 'CBC', 'PKCS') as string)"
+        ).alias("d")
+    )
+    assert dec.collect()[0]["d"] == "secret-value"
+
+
+def test_encrypt_deterministic(spark):
+    key = "00112233445566778899aabbccddeeff"
+    iv = "000102030405060708090a0b0c0d0e0f"
+    a = _fields(Encrypt(["content"], key, iv).apply(_events(spark, ["x"])))[0]["content"]
+    b = _fields(Encrypt(["content"], key, iv).apply(_events(spark, ["x"])))[0]["content"]
+    assert a == b
+
+
+def test_log_to_metric(spark):
+    rows = [(0, {"host": "h1", "region": "r1", "rt": "12.5", "qps": "3"})]
+    df = spark.createDataFrame(rows, ["i", FIELDS])
+    out = LogToMetric(
+        metric_labels=["region", "host"],
+        metric_values={"rt_ms": "rt", "qps": "qps"},
+    ).apply(df)
+    got = {(r["__name__"], r["__value__"], r["__labels__"]) for r in out.collect()}
+    assert got == {
+        ("rt_ms", 12.5, "host#$#h1|region#$#r1"),
+        ("qps", 3.0, "host#$#h1|region#$#r1"),
+    }
+
+
+def test_log_to_metric_drops_non_numeric(spark):
+    rows = [(0, {"host": "h1", "rt": "not-a-number"})]
+    df = spark.createDataFrame(rows, ["i", FIELDS])
+    out = LogToMetric(metric_labels=["host"], metric_values={"rt_ms": "rt"}).apply(df)
+    assert out.count() == 0
