@@ -1,0 +1,418 @@
+"""Driver-checked queries + DuckDB oracles for the training-data ops
+(dedup / similarity / text analysis / multimodal), over the driver's
+``documents`` and ``embeddings`` parquet tables.
+
+Duplicate fixtures are synthesized deterministically in BOTH dialects (the
+driver tables contain no duplicates by construction): exact copies at
+doc_id+1000 for doc_id%7==0, near-dup mutations (first two words dropped) at
+doc_id+1000 for doc_id%5==0, scaled embedding copies at vec_id+1000 for
+vec_id%50==0.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure_existing
+from . import similarity, text
+from .multimodal import attach_media, extract_media_features
+
+# ---------------------------------------------------------------------------
+# fixtures (dual-dialect)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_existing(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    return docs.unionByName(copies)
+
+
+_EXACT_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _mutated(docs: DataFrame) -> DataFrame:
+    """Near-dup mutation: drop the first two whitespace tokens."""
+    mut = F.array_join(
+        F.slice(F.split(F.col("text"), r"\s+"), 3, 1000000), " "
+    )
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), mut.alias("text")
+    )
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionByName(_mutated(docs))
+
+
+_NEAR_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id,
+         array_to_string(list_slice(string_split_regex(text, '\\s+'), 3, 1000000), ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# shared shingle SQL over `corpus` (3-gram distinct shingles per doc)
+_SHINGLES_SQL = """w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wl FROM corpus),
+pos AS (SELECT doc_id, unnest(wl) AS word, unnest(range(1, len(wl)+1)) AS p FROM w),
+sh0 AS (
+  SELECT doc_id,
+         word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS shingle
+  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+),
+shingles AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_dup_corpus(_docs(spark, sf_dir))
+    out = text.ExactDedup().apply(corpus)
+    return out.select("doc_id", F.col("__text_hash__").alias("text_hash"))
+
+
+def oracle_dedup_exact() -> str:
+    return f"""WITH {_EXACT_CORPUS_SQL}
+SELECT doc_id, md5(text) AS text_hash FROM corpus
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(_docs(spark, sf_dir))
+    return text.minhash_near_dup_pairs(corpus, threshold=0.5)
+
+
+def oracle_dedup_minhash() -> str:
+    return f"""WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_SQL},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sg FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)), 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram Jaccard between each doc and its known mutation (the
+    verification kernel of the dedup pipeline, measured standalone)."""
+    docs = _docs(spark, sf_dir)
+    corpus = _near_dup_corpus(docs)
+    pairs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000).alias("id_b")
+    )
+    return text.jaccard_verify(pairs, corpus, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def oracle_ngram_jaccard() -> str:
+    return f"""WITH {_NEAR_CORPUS_SQL},
+{_SHINGLES_SQL},
+pairs AS (SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM documents WHERE doc_id % 5 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+  round(CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)), 4) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes na ON na.doc_id = p.id_a
+JOIN sizes nb ON nb.doc_id = p.id_b"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.simhash16(_docs(spark, sf_dir))
+
+
+def oracle_dedup_simhash() -> str:
+    hexv = "strpos('123456789abcdef', substring(md5(word), {i}, 1))"
+    val = " + ".join(f"{hexv.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN (val // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
+),
+v AS (SELECT doc_id, ({val}) AS val FROM w),
+s AS (SELECT doc_id, {sums} FROM v GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+
+_PLANES = similarity.hyperplanes(64, 4)
+
+
+def _plane_sql(p: list[int]) -> str:
+    return "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql(p)}) > 0 THEN {1 << b} ELSE 0 END)"
+    for b, p in enumerate(_PLANES)
+)
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.brute_force_topk(embs.select("vec_id", "embedding"), queries, k=5)
+
+
+def oracle_embed_topk() -> str:
+    cos = _COS_SQL.format(a="v.e", b="q.qe")
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, v.vec_id, {cos} AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"""
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_topk(
+        embs.select("vec_id", "embedding"), queries, _PLANES, k=5
+    )
+
+
+def oracle_embed_ann_lsh() -> str:
+    cos = _COS_SQL.format(a="v.e", b="q.qe")
+    return f"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+v AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v0),
+q AS (SELECT vec_id AS qid, e AS qe, bucket AS qbucket FROM v WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, v.vec_id, {cos} AS cos
+  FROM v JOIN q ON v.bucket = q.qbucket AND v.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = embs.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = embs.unionByName(copies)
+    return similarity.embedding_near_dup_pairs(corpus, _PLANES, threshold=0.999)
+
+
+def oracle_embed_near_dup() -> str:
+    cos = _COS_SQL.format(a="a.e", b="b.e")
+    return f"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM v0
+  UNION ALL
+  SELECT vec_id + 1000 AS vec_id, list_transform(e, x -> x * 1.001) AS e
+  FROM v0 WHERE vec_id % 50 = 0
+),
+vb AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.langid(_docs(spark, sf_dir))
+
+
+def oracle_langid() -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wl FROM documents)
+SELECT doc_id,
+  CASE WHEN CAST(len(list_filter(wl, x -> list_contains([{sw}], x))) AS DOUBLE)
+            / greatest(len(wl), 1) >= 0.02
+       THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM w"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_metrics(_docs(spark, sf_dir))
+
+
+def oracle_quality() -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""WITH w AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS wl FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+    len(wl) AS n_words,
+    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(wl, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS DOUBLE) / greatest(len(wl), 1), 4) AS avg_word_len,
+    round(CAST(len(list_filter(wl, x -> list_contains([{sw}], x))) AS DOUBLE) / greatest(len(wl), 1), 4) AS stopword_ratio,
+    round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio
+  FROM w
+)
+SELECT doc_id, n_words, avg_word_len, stopword_ratio, punct_ratio,
+  round(
+    (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+    - (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 0.0 END), 4) AS quality_score
+FROM m"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.token_counts(_docs(spark, sf_dir))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("re_tokens").cast("long").alias("re_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_token_stats() -> str:
+    rx = text.TOKEN_RX  # DuckDB standard strings don't process backslashes
+    return f"""SELECT source, count(*) AS docs,
+  CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{rx}'))) AS BIGINT) AS re_tokens
+FROM documents GROUP BY source ORDER BY source"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def oracle_fingerprint() -> str:
+    hexv = "strpos('123456789abcdef', substring(md5(x), {i}, 1))"
+    val = " + ".join(
+        f"{hexv.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(lower(text), '\\s+'), x -> CAST({val} AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(_docs(spark, sf_dir))
+    out = extract_media_features(media)
+    return out.select("doc_id", "n_bytes", "first_byte", "checksum")
+
+
+def oracle_multimodal_features() -> str:
+    return """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+  CAST(list_reduce(list_prepend(0, list_transform(regexp_extract_all(text, '.'), x -> ascii(x))), (a,b) -> a + b) % 65536 AS INTEGER) AS checksum
+FROM documents"""
+
+
+DATAOPS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embed_topk": q_embed_topk,
+    "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_near_dup": q_embed_near_dup,
+    "langid": q_langid,
+    "quality": q_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+DATAOPS_ORACLES = {
+    "dedup_exact": oracle_dedup_exact(),
+    "dedup_minhash": oracle_dedup_minhash(),
+    "dedup_simhash": oracle_dedup_simhash(),
+    "ngram_jaccard": oracle_ngram_jaccard(),
+    "embed_topk": oracle_embed_topk(),
+    "embed_ann_lsh": oracle_embed_ann_lsh(),
+    "embed_near_dup": oracle_embed_near_dup(),
+    "langid": oracle_langid(),
+    "quality": oracle_quality(),
+    "token_stats": oracle_token_stats(),
+    "fingerprint": oracle_fingerprint(),
+    "multimodal_features": oracle_multimodal_features(),
+}

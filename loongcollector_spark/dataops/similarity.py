@@ -1,0 +1,159 @@
+"""Embedding similarity search over an ``embeddings``-shaped table
+``(vec_id, embedding array<float>, label)``.
+
+- Brute-force cosine top-k: the correctness baseline — broadcast the (small)
+  query set, JVM-side zip_with/aggregate dot products, per-query window top-k.
+  At 100 TB this is a single narrow map + a k-row-per-query shuffle.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic ±1 planes
+  derived from md5 so the SQL oracle reproduces them); candidates restricted
+  to the query's bucket → the scan prunes to ~1/2^planes of the data when the
+  bucket column is a partition/bucketing key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast-nested-loop against the query set,
+    then per-query top-k via window. Cast to double before the fold so the
+    arithmetic matches a double-precision SQL oracle."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    joined = vectors.crossJoin(broadcast(queries)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(v, q), 4).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign(p, d) = parity of the first hex
+    digit of md5(f"{p}-{d}"). Pure python at plan time; embedded as literals
+    in both the Spark plan and the SQL oracle."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}-{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Bucket id = Σ_b (dot(v, plane_b) > 0) << b."""
+    out = None
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(
+            dot(F.transform(vec_col, lambda x: x.cast("double")), lit_plane) > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """ANN: exact top-k restricted to the query's LSH bucket. The bucket
+    equi-join prunes the candidate set (and at scale the vectors table is
+    written bucketed/partitioned by this column, so the scan itself prunes)."""
+    from pyspark.sql import Window
+
+    vb = vectors.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("__qbucket__", lsh_bucket(F.col(qvec_col), planes))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    joined = vb.join(
+        broadcast(qb), F.col("__bucket__") == F.col("__qbucket__")
+    ).filter(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        F.col(qid_col), F.col(id_col), F.round(cosine(v, q), 4).alias("cos")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (candidates
+    share a bucket) then exact cosine ≥ threshold — the embedding analog of
+    MinHash near-dup."""
+    vb = vectors.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
+    a = vb.alias("a")
+    b = vb.alias("b")
+    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    vbv = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket__") == F.col("b.__bucket__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(va, vbv), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

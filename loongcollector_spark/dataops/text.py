@@ -1,0 +1,272 @@
+"""Text analysis + deduplication primitives over a ``documents``-shaped table
+``(doc_id, text, lang, source, n_chars)``.
+
+Everything here is pure Column expressions (whole-stage codegen; explode +
+partial-agg shapes that scale: per-doc work is independent, the only shuffles
+are the groupBy(doc_id) re-assemblies and the LSH band self-join, all keyed by
+high-cardinality keys with no skew).
+
+Hash base is md5 (same hex string in Spark and DuckDB) so every operator has a
+bit-exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Tiny English stopword set for language-ID / quality heuristics (public
+# knowledge; deliberately small so the SQL oracle mirrors it 1:1).
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+MOD31 = 2147483647  # 2^31 - 1, fingerprint modulus
+
+
+def words(col) -> Column:
+    """Lowercased whitespace tokenization."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.split(F.lower(c), r"\s+")
+
+
+def shingles(words_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined). Empty array when < n words."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words_col) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words_col, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(F.size(words_col) >= n, grams).otherwise(F.array()))
+
+
+def minhash_signature(shingles_col: Column, k: int = 8) -> Column:
+    """K-element MinHash signature: sig[s] = min(md5(s || ':' || shingle)).
+
+    md5-as-hex-string min is a valid uniform min-hash (lexicographic order on
+    hex = numeric order on the 128-bit value) and is reproducible in any SQL
+    engine."""
+    def hasher(s: int):
+        # NB: must be a single-arg lambda — a two-arg lambda would make
+        # F.transform pass (element, index) and clobber the seed.
+        return lambda x: F.md5(F.concat(F.lit(f"{s}:"), x))
+
+    sigs = [F.array_min(F.transform(shingles_col, hasher(s))) for s in range(k)]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig_col: Column, rows_per_band: int = 2) -> Column:
+    """Band the signature: band key b = md5(sig[b*r] || … || sig[b*r+r-1]).
+    Returns array of (band_id, key) structs ready to explode."""
+    # signature length is static at plan time via the caller's k
+    return sig_col  # composed by minhash_band_pairs below
+
+
+def band_pairs(sig_col: Column, k: int, rows_per_band: int = 2) -> Column:
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        parts = [F.element_at(sig_col, b * rows_per_band + j + 1) for j in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bkey"))
+        )
+    return F.array(*bands)
+
+
+@dataclass
+class ExactDedup:
+    """Exact deduplication: hash-groupBy on md5(text), keep the lowest doc_id
+    per hash. One shuffle on the hash key (high-cardinality, skew-free)."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        h = F.md5(F.col(self.text_col)).alias("__text_hash__")
+        w = Window.partitionBy("__text_hash__").orderBy(F.col(self.id_col))
+        return (
+            df.withColumn("__text_hash__", h)
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates: (id_a, id_b) sharing ≥1 band
+    bucket. Scale shape: explode bands (k/r per doc) → self-join on
+    (band, bkey) — the join key space is the bucket space, so the shuffle is
+    uniform unless a bucket is genuinely hot (a true dup cluster)."""
+    sh = shingles(words(F.col(text_col)), shingle_n)
+    sig = minhash_signature(sh, k)
+    bands = df.select(
+        F.col(id_col), F.explode(band_pairs(sig, k, rows_per_band)).alias("bp")
+    ).select(
+        id_col, F.col("bp.band").alias("band"), F.col("bp.bkey").alias("bkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Verify candidate pairs with the true shingle-set Jaccard; emit pairs
+    with similarity ≥ threshold. The doc table is joined twice on id (shuffle
+    joins on the high-cardinality id — broadcastable when candidates are few,
+    which AQE decides at runtime)."""
+    sets = df.select(
+        F.col(id_col), shingles(words(F.col(text_col)), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.6, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join → Jaccard verify."""
+    cands = minhash_candidate_pairs(df, k=k, rows_per_band=rows_per_band)
+    return jaccard_verify(cands, df, threshold=threshold)
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: per word, val = first 16 bits of md5; per bit b, sum
+    +1/-1 over words; simhash bit b = (sum > 0). Explode + one groupBy with 16
+    conditional sums — map-side partial aggregation keeps the shuffle tiny."""
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+    val = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("int")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(val, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = w.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhash ints (JVM popcount)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def stopword_count(words_col: Column, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words_col, lambda w: F.array_contains(sw, w)))
+
+
+def quality_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality scoring: word count, mean word length, stopword ratio,
+    punctuation ratio, composite quality score (heuristics in the spirit of
+    C4/Gopher text-quality filters, SQL-oracle-reproducible)."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    avg_wlen = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    sw_ratio = F.round(stopword_count(w) / F.greatest(n_words, F.lit(1)), 4)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.round(punct / F.greatest(F.length(t), F.lit(1)), 4)
+    score = F.round(
+        F.when((n_words >= 10) & (n_words <= 100000), 0.4).otherwise(0.0)
+        + F.when((avg_wlen >= 3) & (avg_wlen <= 10), 0.3).otherwise(0.0)
+        + F.when(sw_ratio >= 0.05, 0.3).otherwise(0.0)
+        - F.when(punct_ratio > 0.2, 0.5).otherwise(0.0),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        avg_wlen.alias("avg_word_len"),
+        sw_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language ID heuristic: English stopword ratio ≥ 2% → 'en', else
+    'unknown'. (N-gram profiles degenerate to stopword profiles at this corpus
+    size; the operator shape — per-doc score + argmax — is what matters.)"""
+    w = words(F.col(text_col))
+    ratio = stopword_count(w) / F.greatest(F.size(w), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.when(ratio >= 0.02, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters-run | digits-run | single punct)."""
+    t = F.col(text_col)
+    return df.withColumn("ws_tokens", F.size(words(t))).withColumn(
+        "re_tokens", F.size(F.regexp_extract_all(t, F.lit(TOKEN_RX), 0))
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over words,
+    h = fold(words, 0, (h, w) -> (h*31 + int(md5(w)[:8], 16)) mod (2^31-1)).
+    Deterministic, order-sensitive, O(words) per doc, no shuffle."""
+    w = words(F.col(text_col))
+    wv = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+    fp = F.aggregate(
+        wv, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % MOD31
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

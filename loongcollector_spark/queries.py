@@ -449,6 +449,11 @@ ORACLES = {
     "regex_router": oracles.oracle_regex_router(),
 }
 
+from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402
+
+QUERIES.update(DATAOPS_QUERIES)
+ORACLES.update(DATAOPS_ORACLES)
+
 
 def _grok_oracle() -> str:
     import re
