@@ -330,6 +330,16 @@ SELECT source || '_' || cmethod AS group_topic, count(*) AS events
 FROM parsed GROUP BY group_topic ORDER BY group_topic"""
 
 
+def oracle_pipeline_from_config() -> str:
+    return f"""{SEQ},
+parsed AS ({nginx_parsed_cte()})
+SELECT sink, count(*) AS events FROM (
+  SELECT 'sink_4xx' AS sink FROM parsed WHERE status = '404'
+  UNION ALL
+  SELECT 'sink_all' AS sink FROM parsed
+) GROUP BY sink ORDER BY sink"""
+
+
 def oracle_regex_router() -> str:
     return f"""{SEQ}
 SELECT doc_id,

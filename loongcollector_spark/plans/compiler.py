@@ -1,0 +1,273 @@
+"""Pipeline-config compiler: a loongcollector-style pipeline config (dict —
+parsed YAML/JSON) → a composed DataFrame program.
+
+Reference lifecycle (SURVEY.md §3.1): config watcher → CollectionPipeline::Init
+builds input/processor/flusher plugin instances from the JSON IR
+(core/collection_pipeline/CollectionPipeline.cpp:121-261), Router inits from
+per-flusher Match conditions (route/Router.cpp:26-48). Here the "plugin
+registry" is PROCESSOR_REGISTRY and the built pipeline is a Chain + Router —
+the physical plan is whatever Catalyst makes of the composed expressions.
+
+Config shape (mirrors the reference's pipeline YAML):
+
+    {
+      "processors": [
+        {"Type": "processor_parse_regex_native", "SourceKey": "content",
+         "Regex": "...", "Keys": [...], "KeepingSourceWhenParseFail": true},
+        ...
+      ],
+      "flushers": [
+        {"Type": "flusher_sink", "Name": "sink_a",
+         "Match": {"Key": "env", "Value": "prod"}},
+        {"Type": "flusher_sink", "Name": "sink_default"}
+      ]
+    }
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import DataFrame
+
+from ..operators.base import Chain, Operator
+from ..operators.common import ParserOptions
+from ..operators.enrich import DictMap
+from ..operators.filters import FilterKeyRegex, FilterNative, FilterRegex
+from ..operators.parse import (
+    ApsaraParser,
+    CsvParser,
+    DelimiterParser,
+    GrokParser,
+    JsonExpand,
+    JsonParser,
+    RegexParser,
+    TimestampParser,
+)
+from ..operators.split import MergeMultilineByFlag, SplitLogString, SplitMultiline
+from ..operators.transforms import (
+    AddFields,
+    Anchor,
+    Appender,
+    Base64Decode,
+    Base64Encode,
+    Desensitize,
+    Drop,
+    DropLastKey,
+    FieldsWithCondition,
+    KeyValueSplitter,
+    Md5,
+    PackJson,
+    PickKey,
+    Rename,
+    StringReplace,
+)
+from ..routing import RouteCondition, Router
+
+
+def _parser_options(cfg: Mapping[str, Any]) -> ParserOptions:
+    """CommonParserOptions keys, reference names
+    (core/plugin/processor/CommonParserOptions.cpp:28-117)."""
+    return ParserOptions(
+        source_key=cfg.get("SourceKey", "content"),
+        keep_fail=cfg.get("KeepingSourceWhenParseFail", False),
+        keep_succeed=cfg.get("KeepingSourceWhenParseSucceed", False),
+        renamed_source_key=cfg.get("RenamedSourceKey"),
+        coping_raw_log=cfg.get("CopingRawLog", False),
+    )
+
+
+def _regex(cfg) -> Operator:
+    return RegexParser(cfg["Regex"], cfg["Keys"], _parser_options(cfg))
+
+
+def _delimiter(cfg) -> Operator:
+    return DelimiterParser(
+        cfg["Separator"],
+        cfg["Keys"],
+        _parser_options(cfg),
+        allow_shortened=cfg.get("AllowingShortenedFields", False),
+        overflow=cfg.get("OverflowedFieldsTreatment", "extend"),
+        quote=cfg.get("Quote"),
+    )
+
+
+def _json(cfg) -> Operator:
+    return JsonParser(_parser_options(cfg))
+
+
+def _grok(cfg) -> Operator:
+    return GrokParser(
+        cfg["Match"],
+        _parser_options(cfg),
+        custom_patterns=cfg.get("CustomPatterns"),
+        ignore_parse_failure=cfg.get("IgnoreParseFailure", True),
+    )
+
+
+PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
+    # parsers (§2.1)
+    "processor_parse_regex_native": _regex,
+    "processor_regex": _regex,
+    "processor_parse_delimiter_native": _delimiter,
+    "processor_parse_json_native": _json,
+    "processor_parse_apsara_native": lambda c: ApsaraParser(_parser_options(c)),
+    "processor_parse_timestamp_native": lambda c: TimestampParser(
+        c["SourceFormat"], _parser_options(c), timezone=c.get("SourceTimezone")
+    ),
+    "processor_grok": _grok,
+    "processor_csv": lambda c: CsvParser(
+        c["SplitKeys"],
+        _parser_options(c),
+        split_sep=c.get("SplitSep", ","),
+        preserve_others=c.get("PreserveOthers", False),
+        expand_others=c.get("ExpandOthers", False),
+        expand_prefix=c.get("ExpandKeyPrefix", "expand_"),
+    ),
+    "processor_json": lambda c: JsonExpand(
+        _parser_options(c),
+        expand_depth=c.get("ExpandDepth", 0),
+        expand_connector=c.get("ExpandConnector", "_"),
+        prefix=c.get("Prefix", ""),
+        use_source_key_as_prefix=c.get("UseSourceKeyAsPrefix", False),
+    ),
+    "processor_split_key_value": lambda c: KeyValueSplitter(
+        source_key=c.get("SourceKey", "content"),
+        delimiter=c.get("Delimiter", "\t"),
+        separator=c.get("Separator", ":"),
+        keep_source=c.get("KeepSource", False),
+    ),
+    # cardinality (§2.2)
+    "processor_split_log_string_native": lambda c: SplitLogString(
+        source_key=c.get("SourceKey", "content"),
+        split_char=c.get("SplitChar", "\n"),
+        enable_position_meta=c.get("EnableLogPositionMeta", False),
+    ),
+    "processor_split_multiline_log_string_native": lambda c: SplitMultiline(
+        start_pattern=c["StartPattern"],
+        source_key=c.get("SourceKey", "content"),
+        end_pattern=c.get("EndPattern"),
+        unmatched=c.get("UnmatchedContentTreatment", "discard"),
+    ),
+    "processor_merge_multiline_log_native": lambda c: MergeMultilineByFlag(
+        flag_key=c.get("FlagKey", "_part_"), source_key=c.get("SourceKey", "content")
+    ),
+    # filters (§2.3)
+    "processor_filter_native": lambda c: FilterNative(
+        condition_exp=c.get("ConditionExp"), include=c.get("Include")
+    ),
+    "processor_filter_regex": lambda c: FilterRegex(
+        include=c.get("Include", {}), exclude=c.get("Exclude", {})
+    ),
+    "processor_filter_key_regex": lambda c: FilterKeyRegex(
+        include=c.get("Include", ()), exclude=c.get("Exclude", ())
+    ),
+    # transforms / enrich (§2.4)
+    "processor_add_fields": lambda c: AddFields(
+        c["Fields"], ignore_if_exist=c.get("IgnoreIfExist", False)
+    ),
+    "processor_rename": lambda c: Rename(
+        dict(zip(c["SourceKeys"], c["DestKeys"]))
+    ),
+    "processor_drop": lambda c: Drop(c["DropKeys"]),
+    "processor_pick_key": lambda c: PickKey(
+        include=c.get("Include", ()), exclude=c.get("Exclude", ())
+    ),
+    "processor_drop_last_key": lambda c: DropLastKey(c["DropKey"], c["Include"]),
+    "processor_dict_map": lambda c: DictMap(
+        c["MapDict"],
+        c["SourceKey"],
+        dest_key=c.get("DestKey"),
+        handle_missing=c.get("HandleMissing", False),
+        missing=c.get("Missing", "Unknown"),
+        mode=c.get("Mode", "overwrite"),
+    ),
+    "processor_string_replace": lambda c: StringReplace(
+        source_key=c["SourceKey"],
+        method=c.get("Method", "regex"),
+        match=c.get("Match", ""),
+        replace_string=c.get("ReplaceString", ""),
+        dest_key=c.get("DestKey"),
+    ),
+    "processor_desensitize_native": lambda c: Desensitize(
+        source_key=c["SourceKey"],
+        method=c.get("Method", "const"),
+        content_pattern=c.get("ReplacedContentPattern", ""),
+        prefix_pattern=c.get("ContentPatternBeforeReplacedString", ""),
+        replacing_string=c.get("ReplacingString", "********"),
+        replacing_all=c.get("ReplacingAll", True),
+    ),
+    "processor_base64_encoding": lambda c: Base64Encode(c["SourceKey"], c["NewKey"]),
+    "processor_base64_decoding": lambda c: Base64Decode(c["SourceKey"], c["NewKey"]),
+    "processor_md5": lambda c: Md5(c["SourceKey"], c["NewKey"]),
+    "processor_packjson": lambda c: PackJson(
+        c["SourceKeys"], c["DestKey"], keep=c.get("Keep", True)
+    ),
+    "processor_anchor": lambda c: Anchor(
+        source_key=c["SourceKey"],
+        start=c["Start"],
+        stop=c["Stop"],
+        field_name=c["FieldName"],
+    ),
+    "processor_appender": lambda c: Appender(
+        key=c["Key"], value=c["Value"], sort_labels=c.get("SortLabels", False)
+    ),
+    "processor_fields_with_condition": lambda c: FieldsWithCondition(
+        cases=c["Cases"], drop_if_not_match=c.get("DropIfNotMatchCondition", False)
+    ),
+}
+
+
+def compile_processors(configs: list[Mapping[str, Any]]) -> Chain:
+    """Processor line → operator Chain (unknown Type is a config error, like
+    PluginRegistry::CreateProcessor failing)."""
+    ops = []
+    for cfg in configs:
+        t = cfg["Type"]
+        if t not in PROCESSOR_REGISTRY:
+            raise KeyError(f"unknown processor type: {t}")
+        ops.append(PROCESSOR_REGISTRY[t](cfg))
+    return Chain(*ops)
+
+
+def compile_router(flushers: list[Mapping[str, Any]]) -> Router:
+    """Per-flusher Match conditions → Router (unconditioned flusher always
+    matches, Router.cpp:34)."""
+    rules = []
+    for f in flushers:
+        m = f.get("Match")
+        name = f.get("Name") or f["Type"]
+        if m is None:
+            rules.append(RouteCondition(name))
+        else:
+            rules.append(
+                RouteCondition(
+                    name,
+                    m["Key"],
+                    m["Value"],
+                    discard_tag=m.get("DiscardingTag", False),
+                    use_fields=m.get("UseFields", False),
+                )
+            )
+    return Router(rules)
+
+
+class CompiledPipeline:
+    """A compiled pipeline: processors + optional router, applied lazily."""
+
+    def __init__(self, config: Mapping[str, Any]):
+        self.config = config
+        self.processors = compile_processors(config.get("processors", []))
+        self.router = (
+            compile_router(config["flushers"]) if config.get("flushers") else None
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = self.processors.apply(df)
+        if self.router is not None:
+            out = self.router.apply(out)
+        return out
+
+
+def compile_pipeline(config: Mapping[str, Any]) -> CompiledPipeline:
+    return CompiledPipeline(config)

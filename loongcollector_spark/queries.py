@@ -393,6 +393,40 @@ def q_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "sink")
 
 
+def q_pipeline_from_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-compiler path: the nginx pipeline expressed as a reference-
+    style dict config, compiled to the same DataFrame program (SURVEY.md §3.4
+    lifecycle), then per-sink counts."""
+    from .plans.compiler import compile_pipeline
+
+    config = {
+        "processors": [
+            {
+                "Type": "processor_parse_regex_native",
+                "SourceKey": "content",
+                "Regex": flagship.NGINX_REGEX,
+                "Keys": flagship.NGINX_KEYS,
+            },
+            {"Type": "processor_add_fields", "Fields": {"env": "prod"}},
+        ],
+        "flushers": [
+            {
+                "Type": "flusher_sink",
+                "Name": "sink_4xx",
+                "Match": {"Key": "status", "Value": "404", "UseFields": True},
+            },
+            {"Type": "flusher_sink", "Name": "sink_all"},
+        ],
+    }
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "nginx")
+    out = compile_pipeline(config).apply(to_events(seq))
+    return (
+        out.groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .orderBy("sink")
+    )
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "routed_rows": q_routed_rows,
@@ -419,6 +453,7 @@ QUERIES = {
     "shardhash": q_shardhash,
     "content_value_group": q_content_value_group,
     "regex_router": q_regex_router,
+    "pipeline_from_config": q_pipeline_from_config,
 }
 
 ORACLES = {
@@ -447,6 +482,7 @@ ORACLES = {
     "shardhash": oracles.oracle_shardhash(),
     "content_value_group": oracles.oracle_content_value_group(),
     "regex_router": oracles.oracle_regex_router(),
+    "pipeline_from_config": oracles.oracle_pipeline_from_config(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402

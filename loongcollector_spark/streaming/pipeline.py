@@ -1,0 +1,76 @@
+"""Streaming pipeline: the reference is an always-on agent (arrival-time
+processing, no event-time semantics — SURVEY.md §2.9); the Spark analog runs
+the SAME operator chain (all Column expressions are streaming-compatible) over
+``readStream`` with ``Trigger.AvailableNow`` for batch-catchup or continuous
+micro-batches for tailing.
+
+Watermark + windowed per-sink counts are the streaming analog of the batch
+sink_aggregates; the reference's "history timeout discard"
+(ProcessorParseTimestampNative.cpp:125-178) maps to the watermark dropping
+late rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (the agent's 'input_file'
+    tailing analog: new files are discovered per micro-batch;
+    maxFilesPerTrigger is the rate-limit knob ≙ FlusherRunner rate limiting)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    process: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """Drain everything currently available through foreachBatch and stop —
+    exactly-once per micro-batch via the streaming checkpoint (the WAL/commit
+    log plays the role of the reference's range checkpoints)."""
+    return (
+        df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_sink_counts(
+    routed: DataFrame,
+    time_col: str = "event_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Event-time windowed per-sink aggregates with late-data drop: the
+    streaming version of aggregate.sink_aggregates. Works on a streaming
+    DataFrame (append output mode once the watermark passes)."""
+    return (
+        routed.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"), F.col(sink_col))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            sink_col,
+            "events",
+            "tokens_total",
+        )
+    )

@@ -1,0 +1,142 @@
+"""Config compiler + checkpoint/resume + metrics tests."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from loongcollector_spark.operators.base import FIELDS, fget, to_events
+from loongcollector_spark.plans.checkpoint import (
+    Manifest,
+    read_all_units,
+    resumable_sink_write,
+    resumable_write,
+)
+from loongcollector_spark.plans.compiler import compile_pipeline
+
+NGINX_LIKE_CONFIG = {
+    # the reference's nginx-regex.yaml example pipeline, as dict config
+    "processors": [
+        {
+            "Type": "processor_parse_regex_native",
+            "SourceKey": "content",
+            "Regex": r"(\S+) (\w+) (\d+)",
+            "Keys": ["ip", "method", "status"],
+            "KeepingSourceWhenParseFail": False,
+        },
+        {"Type": "processor_add_fields", "Fields": {"env": "prod"}},
+        {"Type": "processor_rename", "SourceKeys": ["ip"], "DestKeys": ["client_ip"]},
+    ],
+    "flushers": [
+        {"Type": "flusher_sink", "Name": "sink_err", "Match": {"Key": "status", "Value": "500", "UseFields": True}},
+        {"Type": "flusher_sink", "Name": "sink_all"},
+    ],
+}
+
+
+def test_compile_pipeline_end_to_end(spark):
+    df = to_events(
+        spark.createDataFrame(
+            [(0, "1.2.3.4 GET 200"), (1, "5.6.7.8 POST 500"), (2, "garbage")],
+            ["i", "content"],
+        )
+    )
+    out = compile_pipeline(NGINX_LIKE_CONFIG).apply(df)
+    rows = [(r["i"], r["sink"], dict(r[FIELDS])) for r in out.collect()]
+    sinks = sorted((i, s) for i, s, _ in rows)
+    # row 2 dropped (parse fail); row 1 multi-matches err+all; row 0 only all
+    assert sinks == [(0, "sink_all"), (1, "sink_all"), (1, "sink_err")]
+    f0 = next(f for i, s, f in rows if i == 0)
+    assert f0 == {"client_ip": "1.2.3.4", "method": "GET", "status": "200", "env": "prod"}
+
+
+def test_compile_unknown_type_raises(spark):
+    with pytest.raises(KeyError, match="unknown processor type"):
+        compile_pipeline({"processors": [{"Type": "processor_nope"}]})
+
+
+def test_compiled_matches_handwritten(spark):
+    from loongcollector_spark.operators.parse import RegexParser
+
+    df = to_events(
+        spark.createDataFrame([(0, "1.2.3.4 GET 200")], ["i", "content"])
+    )
+    compiled = compile_pipeline(
+        {"processors": [NGINX_LIKE_CONFIG["processors"][0]]}
+    ).apply(df)
+    hand = RegexParser(r"(\S+) (\w+) (\d+)", ["ip", "method", "status"]).apply(df)
+    assert compiled.collect() == hand.collect()
+
+
+# --- checkpoint/resume -------------------------------------------------------
+
+
+def test_resumable_write_resumes_after_crash(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    manifest = Manifest(str(tmp_path / "manifest"))
+    data = spark.range(30).withColumn("u", (F.col("id") % 3).cast("string"))
+
+    def df_for(u):
+        return data.filter(F.col("u") == u).drop("u")
+
+    units = ["0", "1", "2"]
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_write(df_for, units, out_dir, manifest, fail_after=1)
+    assert manifest.done_units() == {"0"}
+
+    # record mtime of the completed unit — resume must not rewrite it
+    done_file = [
+        f for f in os.listdir(f"{out_dir}/unit=0") if f.endswith(".parquet")
+    ][0]
+    mtime0 = os.path.getmtime(f"{out_dir}/unit=0/{done_file}")
+
+    written = resumable_write(df_for, units, out_dir, manifest)
+    assert written == ["1", "2"]
+    assert manifest.done_units() == {"0", "1", "2"}
+    assert os.path.getmtime(f"{out_dir}/unit=0/{done_file}") == mtime0
+
+    total = read_all_units(spark, out_dir)
+    assert total.count() == 30
+    assert sorted(r["id"] for r in total.collect()) == list(range(30))
+
+
+def test_resumable_write_noop_when_all_done(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    manifest = Manifest(str(tmp_path / "manifest"))
+    data = spark.range(4).withColumn("u", F.lit("a"))
+    resumable_write(lambda u: data, ["a"], out_dir, manifest)
+    assert resumable_write(lambda u: data, ["a"], out_dir, manifest) == []
+
+
+def test_resumable_sink_write(spark, tmp_path):
+    routed = spark.createDataFrame(
+        [(1, "sink_a"), (2, "sink_a"), (3, "sink_b")], ["id", "sink"]
+    )
+    manifest = Manifest(str(tmp_path / "m"))
+    out_dir = str(tmp_path / "o")
+    w = resumable_sink_write(routed, ["sink_a", "sink_b"], out_dir, manifest)
+    assert w == ["sink_a", "sink_b"]
+    a = spark.read.parquet(f"{out_dir}/unit=sink_a")
+    assert sorted(r["id"] for r in a.collect()) == [1, 2]
+
+
+# --- metrics -----------------------------------------------------------------
+
+
+def test_observed_counters(spark):
+    from loongcollector_spark.metrics import observed
+
+    df = spark.range(10).withColumn("n_tok", F.lit(5))
+    out, obs = observed(df)
+    out.write.format("noop").mode("overwrite").save()
+    assert obs.get["events"] == 10
+    assert obs.get["tokens_total"] == 50
+
+
+def test_partition_metrics(spark):
+    from loongcollector_spark.metrics import partition_metrics
+
+    df = spark.range(100).repartition(4)
+    pm = partition_metrics(df).collect()
+    assert sum(r["events"] for r in pm) == 100
+    assert all(r["first_pack_id"] is not None for r in pm)

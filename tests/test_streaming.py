@@ -1,0 +1,119 @@
+"""Structured Streaming: same operator chain over readStream, availableNow
+drain, watermark windowed aggregates, exactly-once checkpoint resume."""
+
+import pyspark.sql.functions as F
+
+from loongcollector_spark.operators.base import FIELDS, fget, to_events
+from loongcollector_spark.operators.parse import RegexParser
+from loongcollector_spark.routing import RouteCondition, Router
+from loongcollector_spark.streaming.pipeline import (
+    read_stream,
+    run_available_now,
+    windowed_sink_counts,
+)
+
+
+def _write_input(spark, path, rows):
+    spark.createDataFrame(rows, ["doc_id", "content", "n_tok"]).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_parse_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    rows = [(f"d{i}", f"1.2.3.{i} GET {200 + i}", 10 + i) for i in range(20)]
+    _write_input(spark, inp, rows)
+
+    schema = spark.read.parquet(inp).schema
+    parser = RegexParser(r"(\S+) (\w+) (\d+)", ["ip", "method", "status"])
+
+    batch_out = parser.apply(to_events(spark.read.parquet(inp))).select(
+        "doc_id", fget("ip").alias("ip"), fget("status").alias("status")
+    )
+
+    collected = []
+
+    def process(bdf, epoch_id):
+        out = parser.apply(to_events(bdf)).select(
+            "doc_id", fget("ip").alias("ip"), fget("status").alias("status")
+        )
+        collected.extend(out.collect())
+
+    stream = read_stream(spark, inp, schema)
+    q = run_available_now(stream, str(tmp_path / "ckpt"), process)
+    q.awaitTermination(120)
+    assert sorted(collected) == sorted(batch_out.collect())
+
+
+def test_stream_checkpoint_skips_processed_files(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, inp, [("d1", "a", 1)])
+    schema = spark.read.parquet(inp).schema
+
+    seen: list[str] = []
+
+    def process(bdf, epoch_id):
+        seen.extend(r["doc_id"] for r in bdf.collect())
+
+    q = run_available_now(read_stream(spark, inp, schema), ckpt, process)
+    q.awaitTermination(120)
+    assert seen == ["d1"]
+
+    # second run with new data: only the new file is processed (exactly-once)
+    _write_input(spark, inp, [("d2", "b", 2)])
+    q2 = run_available_now(read_stream(spark, inp, schema), ckpt, process)
+    q2.awaitTermination(120)
+    assert sorted(seen) == ["d1", "d2"]
+
+
+def test_windowed_sink_counts_streaming(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    rows = [
+        ("d1", "sink_a", 5, "2024-01-01 00:00:10"),
+        ("d2", "sink_a", 7, "2024-01-01 00:00:50"),
+        ("d3", "sink_b", 3, "2024-01-01 00:01:10"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "sink", "n_tok", "ts"]).withColumn(
+        "event_time", F.to_timestamp("ts")
+    ).drop("ts").write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    stream = read_stream(spark, inp, schema)
+    agg = windowed_sink_counts(stream, window="1 minute", watermark="2 minutes")
+
+    out = []
+
+    def process(bdf, epoch):
+        out.extend(bdf.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["sink"]): (r["events"], r["tokens_total"]) for r in out}
+    assert got[("2024-01-01 00:00:00", "sink_a")] == (2, 12)
+    assert got[("2024-01-01 00:01:00", "sink_b")] == (1, 3)
+
+
+def test_stream_router_fanout(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("d1", "prod"), ("d2", "dev")], ["doc_id", "env"]
+    ).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    router = Router(
+        [RouteCondition("sink_prod", "env", "prod"), RouteCondition("sink_all")]
+    )
+    out = []
+
+    def process(bdf, epoch):
+        out.extend((r["doc_id"], r["sink"]) for r in router.apply(bdf).collect())
+
+    q = run_available_now(read_stream(spark, inp, schema), str(tmp_path / "ck"), process)
+    q.awaitTermination(120)
+    assert sorted(out) == [("d1", "sink_all"), ("d1", "sink_prod"), ("d2", "sink_all")]
