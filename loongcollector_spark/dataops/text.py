@@ -95,6 +95,22 @@ class ExactDedup:
         )
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams exploded.
+
+    This is the scale shape for everything downstream: the shingle expression
+    is evaluated ONCE per row in the explode projection and every later stage
+    works on plain columns. (Keeping shingles as nested array expressions and
+    referencing them k times would inline the whole construction k-fold —
+    lambda subtrees defeat codegen CSE and the plan blows up.)"""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles(words(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).distinct()
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -104,14 +120,35 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidates: (id_a, id_b) sharing ≥1 band
-    bucket. Scale shape: explode bands (k/r per doc) → self-join on
-    (band, bkey) — the join key space is the bucket space, so the shuffle is
+    bucket.
+
+    Dataflow (all shuffles keyed by high-cardinality ids/buckets):
+    explode shingles → k min-aggregates per doc (map-side partial agg) →
+    band keys from the k plain columns → explode bands → self-join on
+    (band, bkey). The join key space is the bucket space, so the shuffle is
     uniform unless a bucket is genuinely hot (a true dup cluster)."""
-    sh = shingles(words(F.col(text_col)), shingle_n)
-    sig = minhash_signature(sh, k)
-    bands = df.select(
-        F.col(id_col), F.explode(band_pairs(sig, k, rows_per_band)).alias("bp")
-    ).select(
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"__h{s}__")
+            for s in range(k)
+        ]
+    )
+    n_bands = k // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"__h{b * rows_per_band + j}__") for j in range(rows_per_band)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = mins.select(F.col(id_col), F.explode(band_structs).alias("bp")).select(
         id_col, F.col("bp.band").alias("band"), F.col("bp.bkey").alias("bkey")
     )
     a = bands.alias("a")
@@ -139,20 +176,33 @@ def jaccard_verify(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Verify candidate pairs with the true shingle-set Jaccard; emit pairs
-    with similarity ≥ threshold. The doc table is joined twice on id (shuffle
-    joins on the high-cardinality id — broadcastable when candidates are few,
-    which AQE decides at runtime)."""
-    sets = df.select(
-        F.col(id_col), shingles(words(F.col(text_col)), shingle_n).alias("sh")
+    with similarity ≥ threshold.
+
+    Exploded-join shape: |∩| = count of equal shingles joined through the
+    candidate pair, |∪| = n_a + n_b − |∩|. All joins are equi-joins on ids /
+    (id, shingle) — no per-row set arrays are ever collected."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("__sa__"))
+    sh_b = sh.select(F.col(id_col).alias("__idb__"), F.col("shingle").alias("__sb__"))
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("__idb__")) & (F.col("__sa__") == F.col("__sb__")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
     out = (
-        candidates.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
                 4,
             ),
         )

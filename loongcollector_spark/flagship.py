@@ -52,57 +52,173 @@ NGINX_KEYS = [
 CSV_KEYS = ["uid", "time", "cmethod", "value"]
 
 
-def decoded_sequences(spark: SparkSession, sf_dir: str, arrow: bool = False) -> DataFrame:
+def decoded_sequences(spark: SparkSession, sf_dir: str, arrow: bool = True) -> DataFrame:
     seq = sequences_df(spark, sf_dir)
     if arrow:
         return decode_tokens_arrow(seq, "tokens", "content")
     return seq.withColumn("content", decode_tokens("tokens"))
 
 
-def parsed_events(
-    spark: SparkSession, sf_dir: str, keep_unmatch: bool = False, arrow: bool = False
+def replicated_sequences(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    """Scale-up fixture: the sequences table replicated ``factor``× with
+    unique doc_ids (used by the scaling benchmark so the job is CPU-bound
+    rather than overhead-bound at test scale)."""
+    seq = sequences_df(spark, sf_dir)
+    if factor <= 1:
+        return seq
+    # explode preserves the upstream partitioning (already cluster-wide from
+    # sequences_df) — no extra shuffle of the replicated token arrays
+    return (
+        seq.withColumn("__r__", F.explode(F.sequence(F.lit(1), F.lit(factor))))
+        .withColumn("doc_id", F.concat_ws("-", "doc_id", F.col("__r__").cast("string")))
+        .drop("__r__")
+    )
+
+
+def parsed_events_from(
+    seq: DataFrame, keep_unmatch: bool = False, arrow: bool = True
 ) -> DataFrame:
-    """Per-source parse; returns the unified event frame
-    (doc_id, source, n_tok, fields)."""
-    seq = decoded_sequences(spark, sf_dir, arrow=arrow).drop("tokens")
+    """Per-source parse of a sequences frame; returns the unified event frame
+    (doc_id, source, n_tok, fields).
+
+    The source filter is applied BEFORE the decode stage: Catalyst pushes it
+    to the scan on the JVM path, and on the Arrow path it must sit below
+    mapInPandas explicitly (filters don't push through a Python stage) — so
+    the three branches decode disjoint subsets (one logical full decode
+    total, not three)."""
     opts = ParserOptions(keep_fail=keep_unmatch, coping_raw_log=keep_unmatch)
 
-    nginx = RegexParser(NGINX_REGEX, NGINX_KEYS, opts).apply(
-        to_events(seq.filter(F.col("source") == "nginx"))
-    )
-    appjson = JsonParser(opts).apply(
-        to_events(seq.filter(F.col("source") == "app-json"))
-    )
-    csvlog = DelimiterParser("\t", CSV_KEYS, opts).apply(
-        to_events(seq.filter(F.col("source") == "csvlog"))
-    )
+    def branch(source: str) -> DataFrame:
+        sub = seq.filter(F.col("source") == source)
+        if arrow:
+            sub = decode_tokens_arrow(sub, "tokens", "content")
+        else:
+            sub = sub.withColumn("content", decode_tokens("tokens"))
+        return to_events(sub.drop("tokens"))
+
+    nginx = RegexParser(NGINX_REGEX, NGINX_KEYS, opts).apply(branch("nginx"))
+    appjson = JsonParser(opts).apply(branch("app-json"))
+    csvlog = DelimiterParser("\t", CSV_KEYS, opts).apply(branch("csvlog"))
     return nginx.unionByName(appjson).unionByName(csvlog)
 
 
-def enriched(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
-    ev = parsed_events(spark, sf_dir, **kw)
+def parsed_events(
+    spark: SparkSession, sf_dir: str, keep_unmatch: bool = False, arrow: bool = True
+) -> DataFrame:
+    return parsed_events_from(sequences_df(spark, sf_dir), keep_unmatch, arrow)
+
+
+def fused_parsed_events(
+    seq: DataFrame, keep_unmatch: bool = False, arrow: bool = True
+) -> DataFrame:
+    """Single-pass variant of parsed_events_from: ONE decode stage over all
+    sources and per-source parse fused into one CASE-dispatched projection —
+    no union, one scan, one Python stage. Identical semantics/row-set to the
+    branched version (asserted in tests); preferred when the input is not
+    source-partitioned (the branched version wins when per-source partition
+    pruning applies)."""
+    import re as _re
+
+    from .operators.common import parsed_map
+    from .tokens import decode_tokens, decode_tokens_arrow
+
+    if arrow:
+        dec = decode_tokens_arrow(seq, "tokens", "content")
+    else:
+        dec = seq.withColumn("content", decode_tokens("tokens"))
+    ev = to_events(dec.drop("tokens"))
+    opts = ParserOptions(keep_fail=keep_unmatch, coping_raw_log=keep_unmatch)
+    src = F.element_at(F.col("fields"), F.lit("content"))
+
+    # nginx regex (single-matcher-pass trick, same as RegexParser)
+    rx = f"^(?:{NGINX_REGEX})$"
+    sep = "\x01"
+    repl = sep.join(f"${i + 1}" for i in range(len(NGINX_KEYS)))
+    arr_n = F.split(F.regexp_replace(src, rx, repl), sep, -1)
+    map_nginx = parsed_map(
+        {k: F.element_at(arr_n, i + 1) for i, k in enumerate(NGINX_KEYS)}
+    )
+    ok_nginx = src.rlike(rx)
+
+    # app-json one-level parse
+    m_json = F.from_json(src, "map<string,string>")
+    map_json = F.transform_values(
+        F.coalesce(m_json, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+    )
+    ok_json = m_json.isNotNull()
+
+    # csvlog tab-delimited
+    arr_c = F.split(src, _re.escape("\t"), -1)
+    map_csv = parsed_map(
+        {k: F.element_at(arr_c, i + 1) for i, k in enumerate(CSV_KEYS)}
+    )
+    ok_csv = F.size(arr_c) >= len(CSV_KEYS)
+
+    s = F.col("source")
+    success = src.isNotNull() & (
+        F.when(s == "nginx", ok_nginx)
+        .when(s == "app-json", ok_json)
+        .otherwise(ok_csv)
+    )
+    new_map = (
+        F.when(s == "nginx", map_nginx)
+        .when(s == "app-json", map_json)
+        .otherwise(map_csv)
+    )
+    return opts.finalize(ev, success, new_map, src)
+
+
+def enriched_from(spark: SparkSession, seq: DataFrame, **kw) -> DataFrame:
+    ev = parsed_events_from(seq, **kw)
     lookup = source_lookup_df(spark)
     return BroadcastLookup(lookup, on="source").apply(ev)
 
 
-def routed(spark: SparkSession, sf_dir: str, salt_buckets: int = 0, **kw) -> DataFrame:
+def enriched(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    return enriched_from(spark, sequences_df(spark, sf_dir), **kw)
+
+
+def routed_from(
+    spark: SparkSession,
+    seq: DataFrame,
+    salt_buckets: int = 0,
+    partition: bool = True,
+    **kw,
+) -> DataFrame:
     """Fan-out: sink_a ⟵ env=prod, sink_b ⟵ team_tag=team-b, sink_default ⟵ all
-    (multi-match copy semantics, Router.cpp:60-80)."""
-    df = enriched(spark, sf_dir, **kw)
+    (multi-match copy semantics, Router.cpp:60-80).
+
+    ``partition=True`` applies the explicit pre-WRITE repartition by
+    (source, route_key) [+salt] — needed when the routed rows are written to
+    per-sink files. Aggregation-only consumers pass ``partition=False``: the
+    per-sink fold partial-aggregates map-side, so forcing a full-row shuffle
+    first would only move the whole fields payload for nothing."""
+    df = enriched_from(spark, seq, **kw)
     rules = [
         RouteCondition(r["sink"], r["match_key"], r["match_value"]) for r in ROUTE_RULES
     ]
     out = Router(rules).apply(df)
-    out = partition_for_sinks(out, keys=("source", "route_key"), salt_buckets=salt_buckets)
+    if partition:
+        out = partition_for_sinks(
+            out, keys=("source", "route_key"), salt_buckets=salt_buckets
+        )
     return with_lineage(out)
+
+
+def routed(spark: SparkSession, sf_dir: str, salt_buckets: int = 0, **kw) -> DataFrame:
+    return routed_from(spark, sequences_df(spark, sf_dir), salt_buckets, **kw)
+
+
+def pipeline_aggregates_from(spark: SparkSession, seq: DataFrame, **kw) -> DataFrame:
+    r = routed_from(spark, seq, partition=False, **kw)
+    return sink_aggregates(r).select(
+        "sink", "events", F.col("tokens_total").cast("long").alias("tokens_total")
+    )
 
 
 def pipeline_aggregates(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     """Headline result: per-sink (events, tokens_total)."""
-    r = routed(spark, sf_dir, **kw)
-    return sink_aggregates(r).select(
-        "sink", "events", F.col("tokens_total").cast("long").alias("tokens_total")
-    )
+    return pipeline_aggregates_from(spark, sequences_df(spark, sf_dir), **kw)
 
 
 def routed_rows(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:

@@ -38,15 +38,24 @@ class RegexParser(Operator):
     """Full-match regex → capture groups under ``keys``.
 
     The reference full-matches (boost::regex_match); we anchor with
-    ``^(?:...)$`` (group indices unchanged) and use N ``regexp_extract`` calls
-    — common subexpression elimination in codegen dedupes the matcher, and the
-    whole stage stays in WholeStageCodegen. Whole-line fast path when the
-    pattern is ``(.*)`` (ProcessorParseRegexNative.cpp:147-151)."""
+    ``^(?:...)$`` (group indices unchanged). Whole-line fast path when the
+    pattern is ``(.*)`` (ProcessorParseRegexNative.cpp:147-151).
+
+    Performance: N ``regexp_extract`` calls would run the matcher N times per
+    row — and worse, when the source column is itself an expensive expression
+    (e.g. the token decode), Catalyst's CollapseProject inlines that
+    expression into every call and lambda-bearing subtrees defeat codegen CSE.
+    Instead we run the regex ONCE via ``regexp_replace`` emitting all groups
+    joined by an unprintable separator, then split — one matcher pass + one
+    split per row regardless of key count. ``group_sep`` (default ``\\x01``)
+    must not occur in matched text; pass ``group_sep=None`` to fall back to
+    per-group extraction."""
 
     regex: str
     keys: Sequence[str]
     options: ParserOptions = field(default_factory=ParserOptions)
     full_match: bool = True
+    group_sep: str | None = "\x01"
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
@@ -56,9 +65,17 @@ class RegexParser(Operator):
             return self.options.finalize(df, src.isNotNull(), new_map, src)
         rx = f"^(?:{self.regex})$" if self.full_match else self.regex
         success = src.isNotNull() & src.rlike(rx)
-        new_map = parsed_map(
-            {k: F.regexp_extract(src, rx, i + 1) for i, k in enumerate(self.keys)}
-        )
+        if self.group_sep is not None:
+            sep = self.group_sep
+            repl = sep.join(f"${i + 1}" for i in range(len(self.keys)))
+            arr = F.split(F.regexp_replace(src, rx, repl), sep, -1)
+            new_map = parsed_map(
+                {k: F.element_at(arr, i + 1) for i, k in enumerate(self.keys)}
+            )
+        else:
+            new_map = parsed_map(
+                {k: F.regexp_extract(src, rx, i + 1) for i, k in enumerate(self.keys)}
+            )
         return self.options.finalize(df, success, new_map, src)
 
 

@@ -78,8 +78,17 @@ def source_sql() -> str:
 
 
 def sequences_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side sequences table: (doc_id, tokens, n_tok, source)."""
+    """Spark-side sequences table: (doc_id, tokens, n_tok, source).
+
+    The test-scale parquet is a single small file → a single scan partition,
+    which would serialize every downstream CPU-bound stage (decode/parse) on
+    one core. Repartition up to the cluster's parallelism when the scan is
+    narrower — a few-MB shuffle that buys full-width execution. At real scale
+    the scan already produces thousands of splits and this is a no-op."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     line = F.expr(line_sql("spark"))
     return ev.select(
         F.expr(_DOC_ID).alias("doc_id"),

@@ -49,14 +49,38 @@ def _decode_np(tokens) -> str:
     return "".join(map(chr, arr.tolist()))
 
 
+def _decode_batch(token_lists) -> list[str]:
+    """Whole-batch decode: concatenate every row's codepoints into ONE buffer,
+    one ndarray→bytes conversion, then slice per row by offsets. The only
+    per-row Python is the bytes slice + decode (no per-token work)."""
+    import numpy as np
+
+    if len(token_lists) == 0:
+        return []
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    if lens.sum() == 0:
+        return [""] * len(token_lists)
+    flat = np.concatenate([np.asarray(t, dtype=np.uint32) for t in token_lists])
+    if (flat < 128).all():
+        buf = flat.astype(np.uint8).tobytes()
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return [
+            buf[offs[i] : offs[i + 1]].decode("ascii") for i in range(len(lens))
+        ]
+    return [_decode_np(t) for t in token_lists]
+
+
 def decode_tokens_arrow(
     df: DataFrame, tokens_col: str = "tokens", out_col: str = "content"
 ) -> DataFrame:
     """Arrow-batched decode: adds ``out_col`` string column from ``tokens_col``.
 
-    Runs one Python worker pass over Arrow batches; per-batch numpy decode, no
-    per-row Python interpreter dispatch beyond the ndarray->bytes call.
-    """
+    One Python worker pass over Arrow batches; whole-batch numpy decode (one
+    buffer concat + per-row slice — no per-token Python).
+
+    NOTE: filters on other columns (e.g. ``source``) cannot be pushed through
+    mapInPandas by Catalyst — apply them BEFORE calling this."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     fields = list(df.columns)
@@ -67,7 +91,7 @@ def decode_tokens_arrow(
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf[out_col] = [_decode_np(t) for t in pdf[tokens_col].values]
+            pdf[out_col] = _decode_batch(pdf[tokens_col].values)
             yield pdf[[*fields, out_col]] if out_col not in fields else pdf[fields]
 
     return df.mapInPandas(mapper, schema=schema)
