@@ -340,6 +340,41 @@ SELECT sink, count(*) AS events FROM (
 ) GROUP BY sink ORDER BY sink"""
 
 
+def oracle_parse_timestamp() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+FROM events"""
+
+
+def oracle_transform_chain2() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         'user=' || user_id || ';note=' || event_type || ';end' AS line
+  FROM events
+)
+SELECT doc_id,
+  to_base64(encode(line)) AS b64,
+  md5(line) AS sig,
+  regexp_replace(line, 'user=\\d+', 'user=***', 'g') AS red,
+  split_part(split_part(line, 'note=', 2), ';', 1) AS note,
+  '{"sig":"' || md5(line) || '","note":"' || split_part(split_part(line, 'note=', 2), ';', 1) || '"}' AS packed
+FROM ev"""
+
+
+def oracle_filter_key_regex() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  CAST(user_id AS VARCHAR) AS uid
+FROM events WHERE event_id % 2 = 0"""
+
+
+def oracle_rate_limit_windowed() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  event_type AS etype
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type, date_trunc('minute', ts) ORDER BY event_id) <= 2"""
+
+
 def oracle_regex_router() -> str:
     return f"""{SEQ}
 SELECT doc_id,

@@ -427,6 +427,84 @@ def q_pipeline_from_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import TimestampParser
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias(
+            "doc_id"
+        ),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("content"),
+    )
+    configure_existing(spark)
+    out = TimestampParser("yyyy-MM-dd HH:mm:ss", ParserOptions(keep_fail=True)).apply(
+        to_events(ev)
+    )
+    return out.select(
+        "doc_id", F.unix_timestamp("event_time").cast("long").alias("epoch_s")
+    )
+
+
+def q_transform_chain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 / md5 / string_replace / anchor / packjson composite."""
+    from .operators.transforms import Anchor, Base64Encode, Md5, PackJson, StringReplace
+
+    ev = _events_raw(spark, sf_dir)
+    content = F.concat(
+        F.lit("user="), F.col("user_id").cast("string"),
+        F.lit(";note="), F.col("event_type"), F.lit(";end"),
+    )
+    df = to_events(ev.select("doc_id", content.alias("content")))
+    df = Base64Encode("content", "b64").apply(df)
+    df = Md5("content", "sig").apply(df)
+    df = StringReplace("content", method="regex", match=r"user=\d+", replace_string="user=***", dest_key="red").apply(df)
+    df = Anchor(source_key="content", start="note=", stop=";", field_name="note").apply(df)
+    df = PackJson(["sig", "note"], "packed").apply(df)
+    return df.select(
+        "doc_id",
+        fget("b64").alias("b64"),
+        fget("sig").alias("sig"),
+        fget("red").alias("red"),
+        fget("note").alias("note"),
+        fget("packed").alias("packed"),
+    )
+
+
+def q_filter_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.filters import FilterKeyRegex
+    from .operators.transforms import KeyValueSplitter
+
+    ev = _events_raw(spark, sf_dir)
+    content = F.concat(
+        F.when(F.col("event_id") % 2 == 0, "uid").otherwise("uk"),
+        F.lit(":"),
+        F.col("user_id").cast("string"),
+    )
+    df = to_events(ev.select("doc_id", content.alias("content")))
+    df = KeyValueSplitter(delimiter="\t", separator=":").apply(df)
+    out = FilterKeyRegex(include=["^uid$"]).apply(df)
+    return out.select("doc_id", fget("uid").alias("uid"))
+
+
+def q_rate_limit_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-windowed rate limit (the documented divergence: event-time
+    windows instead of agent wall-clock token buckets)."""
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias(
+            "doc_id"
+        ),
+        "event_id",
+        "ts",
+        F.create_map(F.lit("etype"), F.col("event_type")).alias(FIELDS),
+    )
+    out = RateLimit(
+        fields_keys=["etype"], limit=2, window="1 minute", time_col="ts",
+        order_col="event_id",
+    ).apply(ev)
+    return out.select("doc_id", fget("etype").alias("etype"))
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "routed_rows": q_routed_rows,
@@ -454,6 +532,10 @@ QUERIES = {
     "content_value_group": q_content_value_group,
     "regex_router": q_regex_router,
     "pipeline_from_config": q_pipeline_from_config,
+    "parse_timestamp": q_parse_timestamp,
+    "transform_chain2": q_transform_chain2,
+    "filter_key_regex": q_filter_key_regex,
+    "rate_limit_windowed": q_rate_limit_windowed,
 }
 
 ORACLES = {
@@ -483,6 +565,10 @@ ORACLES = {
     "content_value_group": oracles.oracle_content_value_group(),
     "regex_router": oracles.oracle_regex_router(),
     "pipeline_from_config": oracles.oracle_pipeline_from_config(),
+    "parse_timestamp": oracles.oracle_parse_timestamp(),
+    "transform_chain2": oracles.oracle_transform_chain2(),
+    "filter_key_regex": oracles.oracle_filter_key_regex(),
+    "rate_limit_windowed": oracles.oracle_rate_limit_windowed(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402
