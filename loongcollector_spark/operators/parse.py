@@ -243,11 +243,16 @@ class GrokParser(Operator):
 
         success = F.lit(False)
         new_map = F.expr("map()")
+        sep = "\x01"
         for rx, names in reversed(expanded):
             ok = src.isNotNull() & src.rlike(f"^(?:{rx})$")
             jrx = f"^(?:{rx})$"
             groups = re.compile(rx.replace("(?<", "(?P<")).groupindex
-            pairs = {nm: F.regexp_extract(src, jrx, groups[nm]) for nm in names}
+            # single matcher pass per pattern (same trick as RegexParser):
+            # emit the named groups joined by \x01, then split
+            repl = sep.join(f"$" + "{" + nm + "}" for nm in names)
+            arr = F.split(F.regexp_replace(src, jrx, repl), sep, -1)
+            pairs = {nm: F.element_at(arr, i + 1) for i, nm in enumerate(names)}
             new_map = F.when(ok, parsed_map(pairs)).otherwise(new_map)
             success = success | ok
 

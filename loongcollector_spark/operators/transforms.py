@@ -188,6 +188,58 @@ class Desensitize(Operator):
 
 
 @dataclass
+class DesensitizeArrow(Operator):
+    """Arrow-batched desensitize — the general path for MD5 masking of EVERY
+    occurrence (ProcessorDesensitizeNative.cpp:202-232 with ReplacingAll),
+    which a single Column expression can't do (regexp_replace can't call md5
+    per match). One mapInPandas pass; the regex is compiled once per executor
+    (module-level cache ≙ the reference's per-thread compiled regex,
+    ProcessorParseRegexNative.cpp:64-67)."""
+
+    source_key: str
+    method: str = "md5"  # 'const' | 'md5'
+    content_pattern: str = ""
+    prefix_pattern: str = ""
+    replacing_string: str = "********"
+    replacing_all: bool = True
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import re as _re
+
+        src_key = self.source_key
+        rx = f"({self.prefix_pattern})(?:{self.content_pattern})"
+        method = self.method
+        const = self.replacing_string
+        count = 0 if self.replacing_all else 1
+        schema = df.schema
+
+        def mapper(batches):
+            import hashlib
+
+            pat = _re.compile(rx)
+
+            def repl(m: "_re.Match") -> str:
+                pre = m.group(1)
+                content = m.group(0)[len(pre):]
+                if method == "md5":
+                    return pre + hashlib.md5(content.encode()).hexdigest()
+                return pre + const
+
+            for pdf in batches:
+                pdf[FIELDS] = [
+                    (
+                        {**d, src_key: pat.sub(repl, d[src_key], count=count)}
+                        if d is not None and d.get(src_key) is not None
+                        else d
+                    )
+                    for d in pdf[FIELDS]
+                ]
+                yield pdf
+
+        return df.mapInPandas(mapper, schema=schema)
+
+
+@dataclass
 class Base64Encode(Operator):
     """processor_base64_encoding (plugins/processor/base64/encoding:25-74)."""
 
