@@ -387,6 +387,164 @@ def oracle_multimodal_features() -> str:
 FROM documents"""
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN + composite curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize every vector to its nearest centroid
+    (centroids = the first 8 vectors — a deterministic stand-in for a k-means
+    codebook), then exact top-k within the query's cell. At scale the table
+    is partitioned by cell id → the probe scans one cell."""
+    from . import similarity
+
+    embs = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = embs.filter(F.col("vec_id") < 8).collect()
+    cent_cols = [
+        F.array(*[F.lit(float(v)) for v in r["e"]]) for r in sorted(cents, key=lambda r: r["vec_id"])
+    ]
+
+    def cell(vec):
+        best_id, best_cos = F.lit(0), similarity.cosine(vec, cent_cols[0])
+        for i, c in enumerate(cent_cols[1:], start=1):
+            cos_i = similarity.cosine(vec, c)
+            better = cos_i > best_cos
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+            best_cos = F.when(better, cos_i).otherwise(best_cos)
+        return best_id
+
+    vb = embs.withColumn("cell", cell(F.col("e")))
+    qb = vb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    joined = vb.join(broadcast(qb), F.col("cell") == F.col("qcell")).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = joined.select(
+        "qid", "vec_id", F.round(similarity.cosine(F.col("e"), F.col("qe")), 4).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= 5)
+        .drop("__rn__")
+    )
+
+
+def oracle_embed_ivf() -> str:
+    cos = _COS_SQL.format(a="v.e", b="q.qe")
+    cell_cos = _COS_SQL.format(a="v.e", b="c.e")
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT v.vec_id, v.e, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {cell_cos.replace('c.e','c.e')} DESC, c.cid) AS rn
+  FROM v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, e, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell FROM cells WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, v.vec_id, {cos} AS cos
+  FROM cells v JOIN q ON v.cell = q.qcell AND v.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality filter → language filter →
+    exact dedup → near-dup removal (drop the higher doc_id of each verified
+    pair) → per-source kept-doc / token stats. The dataops flagship."""
+    docs = _docs(spark, sf_dir)
+    corpus = _near_dup_corpus(docs)
+
+    q = text.quality_metrics(corpus).filter(
+        (F.col("n_words") >= 10) & (F.col("stopword_ratio") >= 0.02)
+    )
+    kept = corpus.join(q.select("doc_id"), "doc_id")
+    deduped = text.ExactDedup().apply(kept).drop("__text_hash__")
+    pairs = text.minhash_near_dup_pairs(deduped, threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = deduped.join(losers, "doc_id", "left_anti")
+    counted = text.token_counts(survivors)
+    # mutated copies (doc_id >= 1000) carry no source column — tag them
+    src = F.when(F.col("doc_id") >= 1000, "mutated").otherwise(F.lit("orig"))
+    return (
+        counted.select(src.alias("bucket"), "ws_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_curation_pipeline() -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""WITH {_NEAR_CORPUS_SQL},
+wq AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS wl FROM corpus
+),
+quality AS (
+  SELECT doc_id, text, len(wl) AS n_words,
+    round(CAST(len(list_filter(wl, x -> list_contains([{sw}], x))) AS DOUBLE) / greatest(len(wl), 1), 4) AS sw_ratio
+  FROM wq
+),
+kept AS (SELECT doc_id, text FROM quality WHERE n_words >= 10 AND sw_ratio >= 0.02),
+deduped AS (
+  SELECT doc_id, text FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+corpus2 AS (SELECT doc_id, text FROM deduped),
+{_SHINGLES_SQL.replace('FROM corpus', 'FROM corpus2')},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sg FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+losers AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)), 4) >= 0.5
+),
+survivors AS (
+  SELECT d.doc_id, d.text FROM deduped d LEFT JOIN losers l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)
+SELECT CASE WHEN doc_id >= 1000 THEN 'mutated' ELSE 'orig' END AS bucket,
+  count(*) AS docs,
+  CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS ws_tokens
+FROM survivors GROUP BY bucket ORDER BY bucket"""
+
+
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -400,9 +558,13 @@ DATAOPS_QUERIES = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "embed_ivf": q_embed_ivf,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 DATAOPS_ORACLES = {
+    "embed_ivf": oracle_embed_ivf(),
+    "curation_pipeline": oracle_curation_pipeline(),
     "dedup_exact": oracle_dedup_exact(),
     "dedup_minhash": oracle_dedup_minhash(),
     "dedup_simhash": oracle_dedup_simhash(),

@@ -31,16 +31,31 @@ def words(col) -> Column:
     return F.split(F.lower(c), r"\s+")
 
 
+def _let(col: Column, fn) -> Column:
+    """Let-binding: evaluate ``col`` ONCE and pass it to ``fn`` as a lambda
+    variable. Without this, every reference to a subexpression re-inlines it
+    (CollapseProject + lambda subtrees defeating codegen CSE) — an n-gram
+    built with k references to split(text) would re-split the text k times
+    PER ELEMENT."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles(words_col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined). Empty array when < n words."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words_col) - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words_col, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(F.when(F.size(words_col) >= n, grams).otherwise(F.array()))
+    """Distinct word n-grams (space-joined). Empty array when < n words.
+    The words array is let-bound: one split per row regardless of gram
+    count."""
+
+    def build(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        )
+        return F.array_distinct(
+            F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+        )
+
+    return _let(words_col, build)
 
 
 def minhash_signature(shingles_col: Column, k: int = 8) -> Column:

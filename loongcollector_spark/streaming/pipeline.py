@@ -50,6 +50,49 @@ def run_available_now(
     )
 
 
+def stateful_rate_limit(
+    df: DataFrame,
+    key_cols: list[str],
+    limit: int,
+    output_schema,
+):
+    """Stateful streaming rate limit — the closest Spark analog of the
+    reference's token bucket (plugins/processor/ratelimit/token_bucket.go:
+    83-110): per distinct key-combo, pass rows until the running count
+    reaches ``limit``; state (the count) persists ACROSS micro-batches via
+    the state store, exactly like the agent's in-memory bucket persists
+    across poll cycles. Arrival-order semantics (the documented divergence:
+    no wall-clock refill — use windowed_sink_counts/RateLimit for event-time
+    windows).
+
+    Implemented with ``applyInPandasWithState`` (Arrow-batched custom
+    stateful operator)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType([StructField("count", LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        (count,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            remaining = limit - count
+            if remaining <= 0:
+                continue
+            out = pdf.iloc[:remaining]
+            count += len(out)
+            if len(out):
+                yield out
+        state.update((count,))
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_sink_counts(
     routed: DataFrame,
     time_col: str = "event_time",

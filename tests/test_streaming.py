@@ -100,6 +100,43 @@ def test_windowed_sink_counts_streaming(spark, tmp_path):
     assert got[("2024-01-01 00:01:00", "sink_b")] == (1, 3)
 
 
+def test_stateful_rate_limit_across_batches(spark, tmp_path):
+    """State (the per-key count) must persist across micro-batches: with
+    limit=3 and 2 rows/key per batch, batch 2 contributes only 1 row/key."""
+    from loongcollector_spark.streaming.pipeline import stateful_rate_limit
+
+    inp = str(tmp_path / "in")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [("k1", 0), ("k1", 1), ("k2", 2)], ["key", "seq"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [("k1", 3), ("k1", 4), ("k2", 5)], ["key", "seq"]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    limited = stateful_rate_limit(stream, ["key"], limit=3, output_schema=schema)
+
+    got = []
+
+    def process(bdf, epoch):
+        got.extend((r["key"], r["seq"]) for r in bdf.collect())
+
+    q = (
+        limited.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    by_key = {}
+    for k, s in got:
+        by_key.setdefault(k, []).append(s)
+    assert len(by_key["k1"]) == 3  # 2 from batch 1 + 1 from batch 2
+    assert len(by_key["k2"]) == 2  # under the limit
+
+
 def test_stream_router_fanout(spark, tmp_path):
     inp = str(tmp_path / "in")
     spark.createDataFrame(
