@@ -54,4 +54,8 @@ DEFAULT_PATTERNS: dict[str, str] = {
         r"\"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
         r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
     ),
+    "COMBINEDAPACHELOG": (
+        r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}"
+    ),
+    "QS": r"%{QUOTEDSTRING}",
 }
