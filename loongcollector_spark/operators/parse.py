@@ -173,7 +173,7 @@ class TimestampParser(Operator):
     ``history_discard_hours`` relative to the max time in the batch are
     dropped (history timeout discard, lines 125-178)."""
 
-    source_format: str
+    source_format: str  # Spark datetime pattern, or 'epoch' / 'epoch_milli'
     options: ParserOptions = field(default_factory=ParserOptions)
     timezone: str | None = None  # e.g. "GMT+08:00"
     out_col: str = "event_time"
@@ -181,7 +181,17 @@ class TimestampParser(Operator):
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
-        ts = F.to_timestamp(src, self.source_format)
+        if self.source_format == "epoch":
+            # reference %s: epoch seconds (ProcessorParseTimestampNative %s path)
+            ts = F.to_timestamp(
+                F.when(src.rlike(r"^\d+$"), src.cast("long")).cast("timestamp")
+            )
+        elif self.source_format == "epoch_milli":
+            ts = F.timestamp_millis(
+                F.when(src.rlike(r"^\d+$"), src.cast("long"))
+            )
+        else:
+            ts = F.to_timestamp(src, self.source_format)
         if self.timezone:
             ts = F.to_utc_timestamp(ts, self.timezone)
         success = src.isNotNull() & ts.isNotNull()

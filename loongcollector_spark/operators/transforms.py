@@ -356,6 +356,83 @@ class KeyValueSplitter(Operator):
 
 
 @dataclass
+class KeyValueSplitterArrow(Operator):
+    """Quote-aware key/value splitter — the reference's Quote option
+    (key_value_splitter.go:95-180: values wrapped in the quote char may
+    contain the delimiter; doubled quotes escape). Quote-aware tokenization
+    isn't expressible as a split(), so this is the Arrow path: one
+    mapInPandas pass with a compiled scanner per executor. Same anomaly
+    prefixes as the expression-based KeyValueSplitter."""
+
+    source_key: str = "content"
+    delimiter: str = "\t"
+    separator: str = ":"
+    quote: str = '"'
+    keep_source: bool = False
+    empty_key_prefix: str = "empty_key_"
+    no_separator_key_prefix: str = "no_separator_key_"
+    discard_when_separator_not_found: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src_key, delim, sep, q = self.source_key, self.delimiter, self.separator, self.quote
+        keep = self.keep_source
+        ek, nk = self.empty_key_prefix, self.no_separator_key_prefix
+        discard = self.discard_when_separator_not_found
+        schema = df.schema
+
+        def split_quoted(s: str) -> list[str]:
+            """Split on delim outside quotes; doubled quote escapes."""
+            parts, buf, i, in_q = [], [], 0, False
+            while i < len(s):
+                c = s[i]
+                if in_q:
+                    if c == q:
+                        if i + 1 < len(s) and s[i + 1] == q:
+                            buf.append(q)
+                            i += 1
+                        else:
+                            in_q = False
+                    else:
+                        buf.append(c)
+                elif c == q:
+                    in_q = True
+                elif s.startswith(delim, i):
+                    parts.append("".join(buf))
+                    buf = []
+                    i += len(delim) - 1
+                else:
+                    buf.append(c)
+                i += 1
+            parts.append("".join(buf))
+            return parts
+
+        def rewrite(d: dict) -> dict:
+            s = d.get(src_key)
+            if s is None:
+                return d
+            out = dict(d) if keep else {k: v for k, v in d.items() if k != src_key}
+            for idx, pair in enumerate(split_quoted(s), start=1):
+                p = pair.find(sep)
+                if p < 0:
+                    if discard:
+                        continue
+                    out[f"{nk}{idx}"] = pair
+                    continue
+                key, val = pair[:p], pair[p + len(sep):]
+                if key == "":
+                    key = f"{ek}{idx}"
+                out[key] = val
+            return out
+
+        def mapper(batches):
+            for pdf in batches:
+                pdf[FIELDS] = [rewrite(d) if d is not None else d for d in pdf[FIELDS]]
+                yield pdf
+
+        return df.mapInPandas(mapper, schema=schema)
+
+
+@dataclass
 class Anchor(Operator):
     """processor_anchor (plugins/processor/anchor/anchor.go:36-231): extract the
     substring between ``start`` and ``stop`` anchors into ``field_name``."""

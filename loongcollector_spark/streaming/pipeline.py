@@ -93,6 +93,70 @@ def stateful_rate_limit(
     )
 
 
+def stateful_merge_by_flag(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    order_col: str = "line_no",
+    content_col: str = "content",
+    flag_col: str = "flag",
+):
+    """Streaming multiline merge across micro-batch boundaries — the
+    streaming analog of MergeMultilineByFlag (container partial-log 'P'/'F'
+    merging, ProcessorMergeMultilineLogNative.cpp MergeLogsByFlag:113).
+
+    The agent buffers a partial record until the closing 'F' line arrives —
+    which may be in a LATER read. Here that buffer is keyed state: per doc,
+    pending partial content persists in the state store across micro-batches
+    and is emitted once completed. Rows within a batch are processed in
+    ``order_col`` order.
+
+    Output schema: (doc, order of first line, merged content)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(doc_col, StringType()),
+            StructField("record_start", LongType()),
+            StructField("record", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("pending", StringType()), StructField("start", LongType())]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        pending, start = state.get if state.exists else ("", -1)
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col)
+            for _, row in pdf.iterrows():
+                pending += row[content_col]
+                if start < 0:
+                    start = int(row[order_col])
+                if row[flag_col] == "F":
+                    out_rows.append((key[0], start, pending))
+                    pending, start = "", -1
+        state.update((pending, start))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[doc_col, "record_start", "record"])
+
+    return df.groupBy(doc_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_sink_counts(
     routed: DataFrame,
     time_col: str = "event_time",
