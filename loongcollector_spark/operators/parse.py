@@ -130,6 +130,10 @@ class DelimiterParser(Operator):
             if self.allow_shortened:
                 v = F.when(size >= i + 1, v)  # missing trailing keys absent, not null
             pairs[k] = v
+        if self.overflow == OverflowTreatment.DISCARD:
+            # ExtractingPartialFields: keys named "_" are skipped
+            # (ProcessorParseDelimiterNative.cpp:328-331)
+            pairs = {k: v for k, v in pairs.items() if k != "_"}
         new_map = parsed_map(pairs)
         if self.allow_shortened:
             # drop NULL-valued entries for short rows (reference only adds present cols)

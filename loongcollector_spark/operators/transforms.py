@@ -163,7 +163,8 @@ class Desensitize(Operator):
         elif self.method == "md5":
             # regexp_replace can't call md5 per match → splice the first match
             # (ProcessorDesensitizeNative.cpp:232 replaces the matched span with
-            # the MD5 hex of the matched content)
+            # the MD5 hex of the matched content — UPPERCASE, sdk/Common.cpp
+            # ToMd5 golden: TestCastSensWordMD5 expects 91F6CFCF...)
             full = F.regexp_extract(src, rx, 0)
             pre = F.regexp_extract(src, rx, 1)
             content = full.substr(F.length(pre) + 1, F.length(full))
@@ -172,7 +173,7 @@ class Desensitize(Operator):
                 F.concat(
                     src.substr(F.lit(1), start - 1),
                     pre,
-                    F.md5(content),
+                    F.upper(F.md5(content)),
                     src.substr(start + F.length(full), F.length(src)),
                 )
             )
@@ -222,7 +223,8 @@ class DesensitizeArrow(Operator):
                 pre = m.group(1)
                 content = m.group(0)[len(pre):]
                 if method == "md5":
-                    return pre + hashlib.md5(content.encode()).hexdigest()
+                    # reference emits UPPERCASE md5 hex (TestCastSensWordMD5)
+                    return pre + hashlib.md5(content.encode()).hexdigest().upper()
                 return pre + const
 
             for pdf in batches:

@@ -170,7 +170,7 @@ SELECT doc_id,
   ELSE
     substring(content, 1, strpos(content, regexp_extract(content, '{rx}', 0)) - 1)
     || regexp_extract(content, '{rx}', 1)
-    || md5(substring(regexp_extract(content, '{rx}', 0), length(regexp_extract(content, '{rx}', 1)) + 1))
+    || upper(md5(substring(regexp_extract(content, '{rx}', 0), length(regexp_extract(content, '{rx}', 1)) + 1)))
     || substring(content, strpos(content, regexp_extract(content, '{rx}', 0)) + length(regexp_extract(content, '{rx}', 0)))
   END AS content_masked
 FROM pre"""

@@ -95,8 +95,8 @@ def test_desensitize_arrow_md5_all_occurrences(spark):
         content_pattern=r"\d+", replacing_all=True,
     ).apply(ev)
     got = out.collect()[0][FIELDS]["content"]
-    h1 = hashlib.md5(b"123").hexdigest()
-    h2 = hashlib.md5(b"456").hexdigest()
+    h1 = hashlib.md5(b"123").hexdigest().upper()
+    h2 = hashlib.md5(b"456").hexdigest().upper()
     assert got == f"id={h1} then id={h2} end"
 
 

@@ -82,6 +82,33 @@ def test_csv_short_row(spark):
     assert f == {"a": "1", "b": "2"}
 
 
+def test_delimiter_overflow_extend_reference_golden(spark):
+    """Exact golden from ProcessorParseDelimiterNativeUnittest
+    TestOverflowedFieldsTreatment: '123@@456@@1@@2@@3' with keys a,b,c →
+    extras named __column3__/__column4__ (0-based column index)."""
+    from loongcollector_spark.operators.parse import DelimiterParser
+
+    f = _fields(
+        DelimiterParser("@@", ["a", "b", "c"]).apply(
+            _events(spark, ["123@@456@@1@@2@@3"])
+        )
+    )[0]
+    assert f == {"a": "123", "b": "456", "c": "1", "__column3__": "2", "__column4__": "3"}
+
+
+def test_delimiter_discard_partial_fields(spark):
+    """DISCARD overflow + ExtractingPartialFields: keys named '_' skipped,
+    extra columns dropped (ProcessorParseDelimiterNative.cpp:328-331)."""
+    from loongcollector_spark.operators.parse import DelimiterParser, OverflowTreatment
+
+    f = _fields(
+        DelimiterParser(
+            "@@", ["a", "_", "c"], overflow=OverflowTreatment.DISCARD
+        ).apply(_events(spark, ["123@@456@@1@@2@@3"]))
+    )[0]
+    assert f == {"a": "123", "c": "1"}
+
+
 # --- json expand ------------------------------------------------------------
 
 
