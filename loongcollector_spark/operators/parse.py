@@ -170,6 +170,78 @@ class JsonParser(Operator):
 
 
 @dataclass
+class JsonParserArrow(Operator):
+    """Exact-stringification JSON parse — full RapidjsonValueToString parity
+    (ProcessorParseJsonNative.cpp:379-403): doubles format like C++
+    std::to_string (SIX fixed decimals: 3.14159 → "3.141590"), ints plain,
+    bool → "true"/"false", null → "", nested → compact JSON. The JVM
+    ``JsonParser`` (from_json to map<string,string>) matches everything
+    EXCEPT the double formatting (Jackson emits canonical "3.14159") — use
+    this Arrow path when byte-exact double parity matters."""
+
+    options: ParserOptions = field(default_factory=ParserOptions)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import json
+
+        from .base import FIELDS as _FIELDS
+
+        opts = self.options
+        src_key = opts.source_key
+        schema = df.schema
+
+        def stringify(v) -> str:
+            if v is None:
+                return ""
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, float):
+                return f"{v:.6f}"  # C++ std::to_string(double)
+            if isinstance(v, (dict, list)):
+                return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+            return str(v)
+
+        keep_fail = opts.keep_fail
+        keep_succeed = opts.keep_succeed
+        renamed = opts.renamed
+        raw_key = "__raw_log__"
+        coping = opts.coping_raw_log
+
+        def rewrite(d: dict):
+            s = d.get(src_key) if d is not None else None
+            if s is None:
+                return d
+            base = {k: v for k, v in d.items() if k != src_key}
+            try:
+                obj = json.loads(s)
+                ok = isinstance(obj, dict)
+            except ValueError:
+                ok = False
+            if ok:
+                parsed = {k: stringify(v) for k, v in obj.items()}
+                out = {**parsed, **base}  # existing keys never overwritten
+                if keep_succeed:
+                    out.setdefault(renamed, s)
+                return out
+            if keep_fail:
+                out = dict(base)
+                if coping:
+                    out.setdefault(raw_key, s)
+                out.setdefault(renamed, s)
+                return out
+            return base if base else None  # ShouldEraseEvent
+
+        def mapper(batches):
+            for pdf in batches:
+                newf = [rewrite(d) for d in pdf[_FIELDS]]
+                mask = [f is not None for f in newf]
+                pdf[_FIELDS] = newf
+                yield pdf[mask]
+
+        return df.mapInPandas(mapper, schema=schema)
+
+
+@dataclass
 class TimestampParser(Operator):
     """Parse fields[source_key] with a Spark datetime pattern into an
     ``event_time`` column (reference rewrites the event timestamp,
