@@ -371,19 +371,30 @@ class ApsaraParser(Operator):
     options: ParserOptions = field(default_factory=ParserOptions)
     out_time_col: str = "event_time"
 
+    # Bracketed base-field form: [ts]\t[LEVEL]\t[thread], then an OPTIONAL
+    # bracketed [file:line]; anything after goes to the \t-separated k:v
+    # tail. When file:line is NOT bracketed, it falls through to the tail and
+    # becomes an ordinary k:v pair — exactly the reference golden
+    # ('/ilogtail/AppConfigBase.cpp': '1', ProcessorParseApsaraNativeUnittest
+    # lines 455-475). The reference's fully-heuristic unordered base-field
+    # classification (ParseApsaraBaseFields:434-465 IsFieldLevel/Thread/
+    # FileLine bitmap) is a superset we document as out of scope.
     _RX = (
         r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)?)\]\t"
-        r"\[(\w+)\]\t\[(\d+)\]\t\[([^:\]]+):(\d+)\](?:\t(.*))?"
+        r"\[(\w+)\]\t\[(\d+)\](?:\t\[([^:\]]+):(\d+)\])?(?:\t(.*))?"
     )
+    # flexible fraction: .1 → 100000 µs (golden microtime 1693833350100000)
+    _TS_FMT = "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]"
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
         rx = f"^(?:{self._RX})$"
         success = src.isNotNull() & src.rlike(rx)
         ts_str = F.regexp_extract(src, rx, 1)
-        ts = F.to_timestamp(ts_str, "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        ts = F.to_timestamp(ts_str, self._TS_FMT)
         rest = F.regexp_extract(src, rx, 6)
-        # tab-separated k:v tail → map (first ':' splits key from value)
+        # tab-separated k:v tail → map (first ':' splits key from value;
+        # empty segments from double tabs carry no ':' and are skipped)
         kv_pairs = F.filter(F.split(rest, "\t", -1), lambda p: F.instr(p, ":") > 0)
         kv = F.map_from_arrays(
             F.transform(kv_pairs, lambda p: F.substring_index(p, ":", 1)),
@@ -400,6 +411,8 @@ class ApsaraParser(Operator):
                 "__LINE__": F.regexp_extract(src, rx, 5),
             }
         )
+        # absent optional [file:line] → groups 4/5 extract "" → drop them
+        base = F.map_filter(base, lambda k, v: v != "")
         new_map = F.map_concat(base, F.coalesce(kv, F.expr("map()")))
         out = df.withColumn(self.out_time_col, F.when(success, ts))
         return self.options.finalize(out, success, new_map, src)

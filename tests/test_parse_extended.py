@@ -46,6 +46,23 @@ def test_apsara_no_kv_tail(spark):
     assert "method" not in f
 
 
+def test_apsara_reference_golden_unbracketed_file(spark):
+    """ProcessorParseApsaraNativeUnittest golden (lines 438-475): unbracketed
+    file:line falls through to the k:v tail; fraction .1 → 100000 µs."""
+    line = (
+        "[2023-09-04 13:15:50.1]\t[ERROR]\t[1]\t/ilogtail/AppConfigBase.cpp:1"
+        "\t\tAppConfigBase AppConfigBase:1"
+    )
+    f = _fields(ApsaraParser().apply(_events(spark, [line])))[0]
+    assert f == {
+        "/ilogtail/AppConfigBase.cpp": "1",
+        "AppConfigBase AppConfigBase": "1",
+        "__LEVEL__": "ERROR",
+        "__THREAD__": "1",
+        "microtime": "1693833350100000",
+    }
+
+
 def test_apsara_unmatched_discarded(spark):
     out = ApsaraParser().apply(_events(spark, ["not apsara at all"]))
     assert out.count() == 0

@@ -82,3 +82,27 @@ def test_regex_router_first_match_and_default(spark):
     ).apply(df)
     got = {r["i"]: r["sink"] for r in out.collect()}
     assert got == {0: "err_store", 1: "warn_store", 2: "default"}
+
+
+def test_filter_native_expression_reference_golden(spark):
+    """Golden from ProcessorFilterNativeUnittest TestBaseFilter case 1:
+    full-match semantics — exp '.*value1' does NOT match 'value1xxxxx'
+    (trailing text), so only the second event passes the AND tree."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.filters import FilterNative
+
+    rows = [
+        (0, {"key1": "value1xxxxx", "key2": "value2xxxxx"}),
+        (1, {"key1": "abcdeavalue1", "key2": "value2xxxxx"}),
+    ]
+    df = spark.createDataFrame(rows, ["i", "fields"])
+    tree = {
+        "operator": "and",
+        "operands": [
+            {"key": "key1", "exp": ".*value1", "type": "regex"},
+            {"key": "key2", "exp": "value2.*", "type": "regex"},
+        ],
+    }
+    out = FilterNative(condition_exp=tree).apply(df)
+    assert [r["i"] for r in out.collect()] == [1]
