@@ -114,41 +114,79 @@ def _record_ids(
 
 @dataclass
 class SplitMultiline(Operator):
-    """Multiline record assembly over line events.
+    """Multiline record assembly over line events — the reference's
+    Start/Continue/End pattern FSM
+    (ProcessorSplitMultilineLogStringNative.cpp:139-227; option combos per
+    MultilineOptions.h:40-52):
+
+    - ``start``:                 new record at each start-match
+    - ``start`` + ``continue``:  only continue-matches may follow a start;
+                                 other lines (and later lines of a broken
+                                 record) are unmatched
+    - ``start`` + ``end``:       record spans start..first end; lines after
+                                 the end (before the next start) unmatched
+    - ``continue`` + ``end``:    record = continue-matches closed by an end
+    - ``end`` only:              record = everything up to each end-match
+
+    Lines not belonging to any record are unmatched: DISCARD drops them,
+    SINGLE_LINE emits each as its own record (UnmatchedContentTreatment,
+    MultilineOptions.h:32).
 
     Input: one row per line with ``doc_col`` + ``order_col`` (e.g. the output
-    of SplitLogString). ``start_pattern`` marks the first line of each record
-    (StartPattern FSM path, ProcessorSplitMultilineLogStringNative.cpp:139-227);
-    optional ``end_pattern`` closes a record (lines after an end and before the
-    next start are unmatched). Lines before the first start are unmatched:
-    DISCARD drops them, SINGLE_LINE emits each as its own record
-    (UnmatchedContentTreatment, MultilineOptions.h:32).
+    of SplitLogString). Output: one row per record — doc/meta columns,
+    ``fields[source_key]`` = '\\n'-joined record text, record's first
+    ``order_col`` as its line_no."""
 
-    Output: one row per record — doc/meta columns, ``fields[source_key]`` =
-    '\\n'-joined record text, record's first ``order_col`` as its line_no."""
-
-    start_pattern: str
+    start_pattern: str | None = None
     source_key: str = "content"
     doc_col: str = "doc_id"
     order_col: str = LINE_NO_COL
+    continue_pattern: str | None = None
     end_pattern: str | None = None
     unmatched: str = UnmatchedTreatment.DISCARD
     joiner: str = "\n"
 
     def apply(self, df: DataFrame) -> DataFrame:
+        if self.start_pattern is None and self.end_pattern is None:
+            raise ValueError("need start_pattern and/or end_pattern")
         line = fget(self.source_key)
-        start = line.rlike(self.start_pattern)
-        df = _record_ids(df, start, self.doc_col, self.order_col)
 
-        if self.end_pattern is not None:
-            # within a record, lines strictly after the first end-match are unmatched
-            w = Window.partitionBy(self.doc_col, "__rec__").orderBy(self.order_col)
-            ended = F.lag(
-                F.sum(line.rlike(self.end_pattern).cast("int")).over(w), 1, 0
-            ).over(w)
-            df = df.withColumn("__unmatched__", (F.col("__rec__") == 0) | (ended > 0))
+        if self.start_pattern is not None:
+            start = line.rlike(self.start_pattern)
+            df = _record_ids(df, start, self.doc_col, self.order_col)
+            wrec = Window.partitionBy(self.doc_col, "__rec__").orderBy(self.order_col)
+            unmatched = F.col("__rec__") == 0
+            if self.end_pattern is not None:
+                # lines strictly after the first end-match are unmatched
+                ended = F.lag(
+                    F.sum(line.rlike(self.end_pattern).cast("int")).over(wrec), 1, 0
+                ).over(wrec)
+                unmatched = unmatched | (ended > 0)
+            elif self.continue_pattern is not None:
+                # a non-start non-continue line breaks the record: it and
+                # everything after it (until the next start) are unmatched
+                bad = (~start & ~line.rlike(self.continue_pattern)).cast("int")
+                unmatched = unmatched | (F.sum(bad).over(wrec) > 0)
+            df = df.withColumn("__unmatched__", unmatched)
         else:
-            df = df.withColumn("__unmatched__", F.col("__rec__") == 0)
+            # end-only / continue+end: records close AT each end-match —
+            # rec id = count of end-matches strictly before this line
+            end = line.rlike(self.end_pattern)
+            w = Window.partitionBy(self.doc_col).orderBy(self.order_col)
+            prior_ends = F.sum(end.cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            total_ends = F.sum(end.cast("int")).over(
+                Window.partitionBy(self.doc_col)
+            )
+            df = df.withColumn("__rec__", F.coalesce(prior_ends, F.lit(0)) + 1)
+            # the tail after the last end never closes → unmatched
+            unmatched = F.col("__rec__") > total_ends
+            if self.continue_pattern is not None:
+                unmatched = unmatched | (
+                    ~line.rlike(self.continue_pattern) & ~end
+                )
+            df = df.withColumn("__unmatched__", unmatched)
 
         matched = df.filter(~F.col("__unmatched__"))
         meta = [

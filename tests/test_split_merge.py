@@ -99,6 +99,43 @@ def test_multiline_start_end_pattern(spark):
     assert recs == ["BEGIN\nbody1\nEND", "BEGIN\nbody2\nEND"]
 
 
+def test_multiline_start_continue_pattern(spark):
+    ev = _lines(
+        spark,
+        [("d1", ["ERROR x", " at f1", "orphan", " at f2", "ERROR y", " at g1"])],
+    )
+    out = SplitMultiline(start_pattern=r"ERROR.*", continue_pattern=r" at .*").apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    # 'orphan' breaks the first record; ' at f2' after the break is unmatched
+    assert recs == ["ERROR x\n at f1", "ERROR y\n at g1"]
+
+
+def test_multiline_end_only(spark):
+    ev = _lines(spark, [("d1", ["a", "b", "END", "c", "END", "tail"])])
+    out = SplitMultiline(end_pattern=r"END").apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["a\nb\nEND", "c\nEND"]  # 'tail' unmatched → discarded
+
+
+def test_multiline_continue_end(spark):
+    ev = _lines(
+        spark,
+        [("d1", [" part1", " part2", "DONE", "noise", " p3", "DONE"])],
+    )
+    out = SplitMultiline(continue_pattern=r" .*", end_pattern=r"DONE").apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == [" p3\nDONE", " part1\n part2\nDONE"]
+
+
+def test_multiline_end_only_single_line_unmatched(spark):
+    ev = _lines(spark, [("d1", ["a", "END", "tail"])])
+    out = SplitMultiline(
+        end_pattern=r"END", unmatched=UnmatchedTreatment.SINGLE_LINE
+    ).apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["a\nEND", "tail"]
+
+
 def test_merge_by_flag(spark):
     rows = [
         ("d1", 0, "par", "P"),
