@@ -375,6 +375,14 @@ QUALIFY row_number() OVER (
   PARTITION BY event_type, date_trunc('minute', ts) ORDER BY event_id) <= 2"""
 
 
+def oracle_token_roundtrip() -> str:
+    """The oracle knows the codec is identity: every row must round-trip with
+    the same token count and array equality (the Spark side actually
+    recomputes both; the oracle pins the expected ground truth)."""
+    return f"""{SEQ}
+SELECT doc_id, n_tok, n_tok AS n_tok_rt, true AS tokens_equal FROM seq"""
+
+
 def oracle_regex_router() -> str:
     return f"""{SEQ}
 SELECT doc_id,

@@ -505,6 +505,23 @@ def q_rate_limit_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", fget("etype").alias("etype"))
 
 
+def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant: token-array equality. Decode each
+    sequence to text, re-encode, and compare the full arrays element-wise —
+    every row must round-trip exactly."""
+    from .tokens import encode_line
+
+    configure_existing(spark)
+    seq = sequences_df(spark, sf_dir)
+    rt = encode_line(decode_tokens("tokens")).cast("array<int>")
+    return seq.select(
+        "doc_id",
+        F.col("n_tok"),
+        F.size(rt).alias("n_tok_rt"),
+        (F.col("tokens") == rt).alias("tokens_equal"),
+    )
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "routed_rows": q_routed_rows,
@@ -536,6 +553,7 @@ QUERIES = {
     "transform_chain2": q_transform_chain2,
     "filter_key_regex": q_filter_key_regex,
     "rate_limit_windowed": q_rate_limit_windowed,
+    "token_roundtrip": q_token_roundtrip,
 }
 
 ORACLES = {
@@ -569,6 +587,7 @@ ORACLES = {
     "transform_chain2": oracles.oracle_transform_chain2(),
     "filter_key_regex": oracles.oracle_filter_key_regex(),
     "rate_limit_windowed": oracles.oracle_rate_limit_windowed(),
+    "token_roundtrip": oracles.oracle_token_roundtrip(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402
