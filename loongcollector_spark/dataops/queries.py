@@ -545,6 +545,106 @@ SELECT CASE WHEN doc_id >= 1000 THEN 'mutated' ELSE 'orig' END AS bucket,
 FROM survivors GROUP BY bucket ORDER BY bucket"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (iterative min-label
+    propagation); oracle = recursive CTE reachability."""
+    corpus = _near_dup_corpus(_docs(spark, sf_dir))
+    pairs = text.minhash_near_dup_pairs(corpus, threshold=0.5)
+    return text.near_dup_clusters(pairs).select(
+        "doc_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def _minhash_pair_ctes() -> str:
+    """The shared CTE chain ending in a `pairs(id_a, id_b)` CTE (jaccard ≥ 0.5)."""
+    return f"""{_NEAR_CORPUS_SQL},
+{_SHINGLES_SQL},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sg FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)), 4) >= 0.5
+)"""
+
+
+def oracle_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(node, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster FROM walk GROUP BY node"""
+
+
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sample_by_hash(_docs(spark, sf_dir), rate_pct=37).select(
+        "doc_id", "source"
+    )
+
+
+def oracle_sample_by_hash() -> str:
+    hexv = "strpos('123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
+    val = " + ".join(f"{hexv.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    return f"""SELECT doc_id, source FROM documents WHERE ({val}) % 100 < 37"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    packed = text.pack_token_bins(docs, bin_tokens=4096)
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+def oracle_token_packing() -> str:
+    return """WITH packed AS (
+  SELECT doc_id, source, n_chars AS n_tok,
+    CAST(floor(coalesce(sum(n_chars) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INTEGER) AS bin
+  FROM documents
+)
+SELECT source, bin, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+FROM packed GROUP BY source, bin ORDER BY source, bin"""
+
+
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -560,11 +660,17 @@ DATAOPS_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "embed_ivf": q_embed_ivf,
     "curation_pipeline": q_curation_pipeline,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_by_hash": q_sample_by_hash,
+    "token_packing": q_token_packing,
 }
 
 DATAOPS_ORACLES = {
     "embed_ivf": oracle_embed_ivf(),
     "curation_pipeline": oracle_curation_pipeline(),
+    "dedup_clusters": oracle_dedup_clusters(),
+    "sample_by_hash": oracle_sample_by_hash(),
+    "token_packing": oracle_token_packing(),
     "dedup_exact": oracle_dedup_exact(),
     "dedup_minhash": oracle_dedup_minhash(),
     "dedup_simhash": oracle_dedup_simhash(),

@@ -236,6 +236,85 @@ def minhash_near_dup_pairs(
     return jaccard_verify(cands, df, threshold=threshold)
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster)
+    with cluster = min doc_id of the component (the canonical survivor).
+
+    Iterative min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(component diameter)
+    rounds (checked per round, early exit). Per round: one shuffle join on
+    node id + one aggregate — the standard large-graph CC shape (dup
+    components are tiny in practice, so rounds ≈ 2-3)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint()  # truncate the iterative lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def sample_by_hash(
+    df: DataFrame, rate_pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic content-addressed sampling: keep a row iff
+    md5(id) mod 100 < rate_pct. Reproducible across engines and runs (no RNG
+    state), stable under repartitioning — the right way to sample training
+    data at 100 TB."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("int")
+    return df.filter(h % 100 < rate_pct)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    bin_tokens: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+) -> DataFrame:
+    """Sequence packing: assign docs (ordered by id within a partition key)
+    to consecutive training bins of ``bin_tokens`` budget — bin =
+    floor(exclusive-prefix-sum(n_tok) / bin_tokens). One window pass per
+    partition key; at scale the key (source/shard) bounds the window size."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tok_col).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(prefix / bin_tokens).cast("int"))
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash: per word, val = first 16 bits of md5; per bit b, sum
     +1/-1 over words; simhash bit b = (sum > 0). Explode + one groupBy with 16

@@ -184,3 +184,34 @@ def test_multimodal_stub_features(spark):
     assert feats["n_bytes"] == 3
     assert feats["first_byte"] == ord("a")
     assert feats["checksum"] == (ord("a") + ord("b") + ord("c")) % 65536
+
+
+def test_near_dup_clusters_chain(spark):
+    # chain 1-2-3 plus isolated pair 10-11: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["cluster"] for r in text.near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sample_by_hash_deterministic(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in text.sample_by_hash(df, 30).collect())
+    b = sorted(r["doc_id"] for r in text.sample_by_hash(df, 30).collect())
+    assert a == b
+    assert 0 < len(a) < 200
+    # monotone: a higher rate keeps a superset
+    c = sorted(r["doc_id"] for r in text.sample_by_hash(df, 60).collect())
+    assert set(a) <= set(c)
+
+
+def test_pack_token_bins_budget(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, "s", 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = text.pack_token_bins(df, bin_tokens=4096)
+    bins = {r["doc_id"]: r["bin"] for r in out.collect()}
+    # 4 docs of 1000 tokens fit the first 4096-token bin (exclusive prefix)
+    assert [bins[i] for i in range(10)] == [0, 0, 0, 0, 0, 1, 1, 1, 1, 2]
