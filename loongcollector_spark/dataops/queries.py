@@ -4,9 +4,10 @@
 
 Duplicate fixtures are synthesized deterministically in BOTH dialects (the
 driver tables contain no duplicates by construction): exact copies at
-doc_id+1000 for doc_id%7==0, near-dup mutations (first two words dropped) at
-doc_id+1000 for doc_id%5==0, scaled embedding copies at vec_id+1000 for
-vec_id%50==0.
+doc_id+10000000 for doc_id%7==0, near-dup mutations (first two words
+dropped) at doc_id+10000000 for doc_id%5==0, scaled embedding copies at
+vec_id+10000000 for vec_id%50==0. The offset exceeds every real id at any
+scale factor (collision with genuine ids at sf0.1 was a real bug).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
     copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000
+        "doc_id", F.col("doc_id") + 10000000
     )
     return docs.unionByName(copies)
 
@@ -43,7 +44,7 @@ def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
 _EXACT_CORPUS_SQL = """corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 )"""
 
 
@@ -53,7 +54,7 @@ def _mutated(docs: DataFrame) -> DataFrame:
         F.slice(F.split(F.col("text"), r"\s+"), 3, 1000000), " "
     )
     return docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000).alias("doc_id"), mut.alias("text")
+        (F.col("doc_id") + 10000000).alias("doc_id"), mut.alias("text")
     )
 
 
@@ -64,7 +65,7 @@ def _near_dup_corpus(docs: DataFrame) -> DataFrame:
 _NEAR_CORPUS_SQL = """corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000 AS doc_id,
+  SELECT doc_id + 10000000 AS doc_id,
          array_to_string(list_slice(string_split_regex(text, '\\s+'), 3, 1000000), ' ') AS text
   FROM documents WHERE doc_id % 5 = 0
 )"""
@@ -144,7 +145,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = _near_dup_corpus(docs)
     pairs = docs.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000).alias("id_b")
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000000).alias("id_b")
     )
     return text.jaccard_verify(pairs, corpus, threshold=0.0).select(
         "id_a", "id_b", "jaccard"
@@ -154,7 +155,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_ngram_jaccard() -> str:
     return f"""WITH {_NEAR_CORPUS_SQL},
 {_SHINGLES_SQL},
-pairs AS (SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM documents WHERE doc_id % 5 = 0),
+pairs AS (SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents WHERE doc_id % 5 = 0),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT p.id_a, p.id_b, count(*) AS i
@@ -261,7 +262,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     copies = embs.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 10000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
     )
     corpus = embs.unionByName(copies)
@@ -274,7 +275,7 @@ def oracle_embed_near_dup() -> str:
 corpus AS (
   SELECT vec_id, e FROM v0
   UNION ALL
-  SELECT vec_id + 1000 AS vec_id, list_transform(e, x -> x * 1.001) AS e
+  SELECT vec_id + 10000000 AS vec_id, list_transform(e, x -> x * 1.001) AS e
   FROM v0 WHERE vec_id % 50 = 0
 ),
 vb AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM corpus),
@@ -474,8 +475,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = deduped.join(losers, "doc_id", "left_anti")
     counted = text.token_counts(survivors)
-    # mutated copies (doc_id >= 1000) carry no source column — tag them
-    src = F.when(F.col("doc_id") >= 1000, "mutated").otherwise(F.lit("orig"))
+    # mutated copies (doc_id >= 10000000) carry no source column — tag them
+    src = F.when(F.col("doc_id") >= 10000000, "mutated").otherwise(F.lit("orig"))
     return (
         counted.select(src.alias("bucket"), "ws_tokens")
         .groupBy("bucket")
@@ -539,7 +540,7 @@ survivors AS (
   SELECT d.doc_id, d.text FROM deduped d LEFT JOIN losers l ON d.doc_id = l.doc_id
   WHERE l.doc_id IS NULL
 )
-SELECT CASE WHEN doc_id >= 1000 THEN 'mutated' ELSE 'orig' END AS bucket,
+SELECT CASE WHEN doc_id >= 10000000 THEN 'mutated' ELSE 'orig' END AS bucket,
   count(*) AS docs,
   CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS ws_tokens
 FROM survivors GROUP BY bucket ORDER BY bucket"""
