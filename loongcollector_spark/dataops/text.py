@@ -73,24 +73,6 @@ def minhash_signature(shingles_col: Column, k: int = 8) -> Column:
     return F.array(*sigs)
 
 
-def lsh_band_keys(sig_col: Column, rows_per_band: int = 2) -> Column:
-    """Band the signature: band key b = md5(sig[b*r] || … || sig[b*r+r-1]).
-    Returns array of (band_id, key) structs ready to explode."""
-    # signature length is static at plan time via the caller's k
-    return sig_col  # composed by minhash_band_pairs below
-
-
-def band_pairs(sig_col: Column, k: int, rows_per_band: int = 2) -> Column:
-    n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        parts = [F.element_at(sig_col, b * rows_per_band + j + 1) for j in range(rows_per_band)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bkey"))
-        )
-    return F.array(*bands)
-
-
 @dataclass
 class ExactDedup:
     """Exact deduplication: hash-groupBy on md5(text), keep the lowest doc_id

@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .aggregate import partition_for_sinks, sink_aggregates, with_lineage
-from .operators.base import to_events, project_fields
+from .operators.base import to_events
 from .operators.common import ParserOptions
 from .operators.enrich import BroadcastLookup
 from .operators.parse import DelimiterParser, JsonParser, RegexParser
