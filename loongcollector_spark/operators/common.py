@@ -78,8 +78,21 @@ class ParserOptions:
 
         out = df.withColumn(FIELDS, merged)
         if not self.keep_fail:
-            # ShouldEraseEvent: drop rows whose parse failed and nothing remains
-            out = out.filter(success | (F.size(F.col(FIELDS)) > 0))
+            # ShouldEraseEvent (CommonParserOptions.cpp:100-117): drop failed
+            # rows whose remaining contents are empty, ONLY the
+            # __file_offset__ position meta, or ONLY the container
+            # _time_/_source_ pair — i.e. nothing the user would keep.
+            f = F.col(FIELDS)
+            only_offset = (F.size(f) == 1) & F.map_contains_key(
+                f, F.lit("__file_offset__")
+            )
+            only_container = (
+                (F.size(f) == 2)
+                & F.map_contains_key(f, F.lit("_time_"))
+                & F.map_contains_key(f, F.lit("_source_"))
+            )
+            erasable = (F.size(f) == 0) | only_offset | only_container
+            out = out.filter(success | ~erasable)
         return out
 
 

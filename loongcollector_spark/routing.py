@@ -48,7 +48,13 @@ class RouteCondition:
 @dataclass
 class Router(Operator):
     """Explode-based multi-match fan-out. Unrouted rows (matching no sink) are
-    dropped, mirroring Router::Route returning an empty set."""
+    dropped, mirroring Router::Route returning an empty set.
+
+    DiscardingTag is PER COPY (Router.cpp:71-79 calls
+    Condition::GetResult only on the copy routed to that conditioned
+    flusher): the tag is removed only on rows whose ``sink`` came from the
+    discarding rule — copies for always-matched flushers keep it. For
+    top-level tag columns the row-level analog of tag removal is NULL."""
 
     rules: Sequence[RouteCondition]
     drop_discarded_tags: bool = True
@@ -63,12 +69,24 @@ class Router(Operator):
         matched = F.filter(matches, lambda s: s.isNotNull())
         out = df.withColumn(SINK_COL, F.explode(matched))
         if self.drop_discarded_tags:
-            discard_cols = {r.match_key for r in self.rules if r.discard_tag and not r.use_fields and r.match_key}
-            discard_fields = [r.match_key for r in self.rules if r.discard_tag and r.use_fields and r.match_key]
-            if discard_cols:
-                out = out.drop(*discard_cols)
-            if discard_fields and FIELDS in out.columns:
-                out = out.withColumn(FIELDS, fremove(discard_fields))
+            for r in self.rules:
+                if not (r.discard_tag and r.match_key):
+                    continue
+                on_this_sink = F.col(SINK_COL) == F.lit(r.sink)
+                if r.use_fields:
+                    out = out.withColumn(
+                        FIELDS,
+                        F.when(on_this_sink, fremove([r.match_key])).otherwise(
+                            F.col(FIELDS)
+                        ),
+                    )
+                else:
+                    out = out.withColumn(
+                        r.match_key,
+                        F.when(on_this_sink, F.lit(None)).otherwise(
+                            F.col(r.match_key)
+                        ),
+                    )
         return out
 
 

@@ -69,10 +69,13 @@ def test_router_multi_match_copies(spark):
 
 
 def test_router_discard_tag(spark):
+    # tag removal is per routed copy (Router.cpp:71-79) — NULLed on the
+    # discarding rule's copy, not globally dropped
     df = spark.createDataFrame([(1, "prod")], ["id", "env"])
     rules = [RouteCondition("s1", "env", "prod", discard_tag=True)]
     out = Router(rules).apply(df)
-    assert "env" not in out.columns
+    rows = out.collect()
+    assert rows[0]["sink"] == "s1" and rows[0]["env"] is None
 
 
 def test_regex_router_first_match_and_default(spark):
@@ -106,3 +109,37 @@ def test_filter_native_expression_reference_golden(spark):
     }
     out = FilterNative(condition_exp=tree).apply(df)
     assert [r["i"] for r in out.collect()] == [1]
+
+
+def test_router_discarding_tag_per_copy(spark):
+    """DiscardingTag applies only to the copy routed via the discarding rule
+    (Router.cpp:71-79); the always-match copy keeps the tag."""
+    from loongcollector_spark.routing import RouteCondition, Router
+
+    df = spark.createDataFrame([("d1", "prod")], ["doc_id", "env"])
+    router = Router(
+        [
+            RouteCondition("sink_p", "env", "prod", discard_tag=True),
+            RouteCondition("sink_all"),
+        ]
+    )
+    rows = {r["sink"]: r["env"] for r in router.apply(df).collect()}
+    assert rows == {"sink_p": None, "sink_all": "prod"}
+
+
+def test_erase_event_file_offset_only(spark):
+    """ShouldEraseEvent: a failed parse whose only remaining content is
+    __file_offset__ is dropped (CommonParserOptions.cpp:104-110)."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.parse import RegexParser
+
+    rows = [
+        (0, {"content": "nomatch", "__file_offset__": "123"}),
+        (1, {"content": "nomatch", "real_field": "x"}),
+    ]
+    df = spark.createDataFrame(rows, ["i", FIELDS])
+    out = RegexParser(r"(\d+)", ["num"]).apply(df)
+    got = [r["i"] for r in out.collect()]
+    assert got == [1]  # offset-only row erased, row with a real field kept
