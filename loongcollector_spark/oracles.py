@@ -375,6 +375,13 @@ QUALIFY row_number() OVER (
   PARTITION BY event_type, date_trunc('minute', ts) ORDER BY event_id) <= 2"""
 
 
+def oracle_spl_pipeline() -> str:
+    return f"""{SEQ},
+parsed AS ({nginx_parsed_cte()})
+SELECT method, count(*) AS events FROM parsed
+WHERE status = '404' GROUP BY method ORDER BY method"""
+
+
 def oracle_token_roundtrip() -> str:
     """The oracle knows the codec is identity: every row must round-trip with
     the same token count and array equality (the Spark side actually

@@ -505,6 +505,22 @@ def q_rate_limit_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", fget("etype").alias("etype"))
 
 
+def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPL front-end (≙ processor_spl): a pipe script replaces the
+    processor chain; compiled to the same DataFrame program."""
+    from .spl import compile_spl
+
+    rx = flagship.NGINX_REGEX.replace("'", "''")
+    keys = ", ".join(flagship.NGINX_KEYS)
+    script = (
+        f"* | parse-regexp content, '{rx}' as {keys}"
+        " | where status = '404' | stats count() as events by method"
+    )
+    seq = _seq(spark, sf_dir).filter(F.col("source") == "nginx")
+    out = compile_spl(script)(to_events(seq))
+    return out.orderBy("method")
+
+
 def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule per-row invariant: token-array equality. Decode each
     sequence to text, re-encode, and compare the full arrays element-wise —
@@ -554,6 +570,7 @@ QUERIES = {
     "filter_key_regex": q_filter_key_regex,
     "rate_limit_windowed": q_rate_limit_windowed,
     "token_roundtrip": q_token_roundtrip,
+    "spl_pipeline": q_spl_pipeline,
 }
 
 ORACLES = {
@@ -588,6 +605,7 @@ ORACLES = {
     "filter_key_regex": oracles.oracle_filter_key_regex(),
     "rate_limit_windowed": oracles.oracle_rate_limit_windowed(),
     "token_roundtrip": oracles.oracle_token_roundtrip(),
+    "spl_pipeline": oracles.oracle_spl_pipeline(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402

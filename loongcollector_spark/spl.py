@@ -1,0 +1,206 @@
+"""Mini SPL front-end — the reference's processor_spl embeds a closed-source
+SPL engine executing pipe-syntax scripts like
+
+    * | parse-regexp content, 'rx' as a, b | project-away content
+      | where status = '500' | extend kb = bytes / 1024 | stats count() by a
+
+(core/plugin/processor/ProcessorSPL.cpp:30-160; docs
+docs/cn/plugins/processor/spl/processor-spl-native.md). Each SPL verb maps
+1:1 onto the DataFrame API (SURVEY.md §2.4), so the "engine" here is a thin
+parser + compiler to Column expressions — Catalyst does the planning the
+closed engine does internally.
+
+Supported verbs (the documented core set):
+  ``*``                                 — source (the input frame)
+  ``parse-regexp <key>, '<rx>' as a, b``— regex capture groups → fields
+  ``parse-json <key>``                  — one-level JSON parse → fields
+  ``parse-csv <key> as a, b, c``        — delimited parse → fields
+  ``where <expr>``                      — row filter (SQL expression over fields)
+  ``extend <name> = <expr>``            — computed field
+  ``project a, b``                      — keep only listed fields
+  ``project-away a, b``                 — drop listed fields
+  ``project-rename new = old``          — rename a field
+  ``stats <agg>(<arg>) by k1, k2``      — grouped aggregation (count/sum/avg/min/max)
+
+Fields live in the event ``fields`` map; ``where``/``extend`` expressions are
+Spark SQL snippets in which bare field names are rewritten to map lookups.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .operators.base import FIELDS, fget, fremove
+from .operators.common import ParserOptions
+from .operators.parse import DelimiterParser, JsonParser, RegexParser
+
+_IDENT = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
+_SQL_KEYWORDS = {
+    "and", "or", "not", "is", "null", "true", "false", "like", "rlike", "in",
+    "between", "case", "when", "then", "else", "end", "cast", "as", "int",
+    "bigint", "double", "string", "concat", "substring", "length", "upper",
+    "lower", "coalesce", "round", "abs",
+}
+
+
+def _rewrite_expr(expr: str) -> str:
+    """Rewrite bare identifiers to fields-map lookups, leaving SQL keywords,
+    functions and quoted strings alone."""
+    out, i = [], 0
+    for m in re.finditer(r"'[^']*'", expr):
+        seg = expr[i : m.start()]
+        out.append(_rewrite_segment(seg))
+        out.append(m.group(0))
+        i = m.end()
+    out.append(_rewrite_segment(expr[i:]))
+    return "".join(out)
+
+
+def _rewrite_segment(seg: str) -> str:
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name.lower() in _SQL_KEYWORDS:
+            return name
+        return f"element_at({FIELDS}, '{name}')"
+
+    return _IDENT.sub(sub, seg)
+
+
+def _split_pipes(script: str) -> list[str]:
+    """Split on | outside single quotes."""
+    parts, buf, in_q = [], [], False
+    for c in script:
+        if c == "'":
+            in_q = not in_q
+            buf.append(c)
+        elif c == "|" and not in_q:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _parse_as_list(s: str) -> list[str]:
+    return [x.strip() for x in s.split(",") if x.strip()]
+
+
+_AGG_FNS = {
+    "count": lambda arg: F.count(F.lit(1)),
+    "sum": lambda arg: F.sum(fget(arg).cast("double")),
+    "avg": lambda arg: F.avg(fget(arg).cast("double")),
+    "min": lambda arg: F.min(fget(arg).cast("double")),
+    "max": lambda arg: F.max(fget(arg).cast("double")),
+}
+
+
+def compile_spl(script: str):
+    """SPL script → (DataFrame -> DataFrame). Raises ValueError on unknown
+    verbs (the reference pipeline fails Init on an invalid script)."""
+    stages = _split_pipes(script)
+    if not stages or stages[0] != "*":
+        raise ValueError("SPL script must start with '*'")
+    ops = []
+    for stage in stages[1:]:
+        verb, _, rest = stage.partition(" ")
+        rest = rest.strip()
+        if verb == "parse-regexp":
+            m = re.match(r"(\w+)\s*,\s*'(.*)'\s+as\s+(.*)$", rest, re.S)
+            if not m:
+                raise ValueError(f"bad parse-regexp: {stage}")
+            key, rx, keys = m.group(1), m.group(2), _parse_as_list(m.group(3))
+            ops.append(
+                RegexParser(rx, keys, ParserOptions(source_key=key, keep_fail=True)).apply
+            )
+        elif verb == "parse-json":
+            ops.append(
+                JsonParser(ParserOptions(source_key=rest, keep_fail=True)).apply
+            )
+        elif verb == "parse-csv":
+            m = re.match(r"(\w+)\s+as\s+(.*)$", rest, re.S)
+            if not m:
+                raise ValueError(f"bad parse-csv: {stage}")
+            key, keys = m.group(1), _parse_as_list(m.group(2))
+            ops.append(
+                DelimiterParser(
+                    ",", keys, ParserOptions(source_key=key, keep_fail=True)
+                ).apply
+            )
+        elif verb == "where":
+            cond = _rewrite_expr(rest)
+            ops.append(lambda df, c=cond: df.filter(F.expr(c)))
+        elif verb == "extend":
+            name, _, expr = rest.partition("=")
+            name, expr = name.strip(), _rewrite_expr(expr.strip())
+            ops.append(
+                lambda df, n=name, e=expr: df.withColumn(
+                    FIELDS,
+                    F.map_concat(
+                        F.col(FIELDS),
+                        F.create_map(F.lit(n), F.expr(e).cast("string")),
+                    ),
+                )
+            )
+        elif verb == "project":
+            keys = _parse_as_list(rest)
+            ops.append(
+                lambda df, ks=keys: df.withColumn(
+                    FIELDS,
+                    F.map_filter(
+                        F.col(FIELDS),
+                        lambda k, v: F.array_contains(
+                            F.array(*[F.lit(x) for x in ks]), k
+                        ),
+                    ),
+                )
+            )
+        elif verb == "project-away":
+            keys = _parse_as_list(rest)
+            ops.append(lambda df, ks=keys: df.withColumn(FIELDS, fremove(ks)))
+        elif verb == "project-rename":
+            new, _, old = rest.partition("=")
+            new, old = new.strip(), old.strip()
+
+            def _rename(df, n=new, o=old):
+                val = fget(o)
+                m = F.map_concat(
+                    fremove([o]),
+                    F.when(val.isNotNull(), F.create_map(F.lit(n), val)).otherwise(
+                        F.expr("map()")
+                    ),
+                )
+                return df.withColumn(FIELDS, m)
+
+            ops.append(_rename)
+        elif verb == "stats":
+            m = re.match(r"(\w+)\(\s*(\w*)\s*\)(?:\s+as\s+(\w+))?\s+by\s+(.*)$", rest)
+            if not m:
+                raise ValueError(f"bad stats: {stage}")
+            fn, arg, alias, by = (
+                m.group(1),
+                m.group(2),
+                m.group(3),
+                _parse_as_list(m.group(4)),
+            )
+            if fn not in _AGG_FNS:
+                raise ValueError(f"unknown aggregate {fn}")
+            out_name = alias or (f"{fn}_{arg}" if arg else fn)
+
+            def _stats(df, f=fn, a=arg, keys=by, name=out_name):
+                gcols = [fget(k).alias(k) for k in keys]
+                return df.groupBy(*gcols).agg(_AGG_FNS[f](a).alias(name))
+
+            ops.append(_stats)
+        else:
+            raise ValueError(f"unknown SPL verb: {verb}")
+
+    def run(df: DataFrame) -> DataFrame:
+        for op in ops:
+            df = op(df)
+        return df
+
+    return run

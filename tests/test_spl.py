@@ -1,0 +1,104 @@
+"""Mini SPL front-end: pipe scripts compile to the same DataFrame programs
+(reference processor_spl semantics, docs/cn/plugins/processor/spl)."""
+
+import pytest
+
+from loongcollector_spark.operators.base import FIELDS, to_events
+from loongcollector_spark.spl import compile_spl
+
+
+def _events(spark, contents):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(contents)], ["i", "content"])
+    return to_events(df)
+
+
+def test_spl_parse_where_project(spark):
+    script = (
+        "* | parse-regexp content, '(\\S+) (\\d+)' as word, num"
+        " | where num = '42' | project-away content"
+    )
+    out = compile_spl(script)(_events(spark, ["hello 42", "bye 7"]))
+    rows = [dict(r[FIELDS]) for r in out.collect()]
+    assert rows == [{"word": "hello", "num": "42"}]
+
+
+def test_spl_extend_and_rename(spark):
+    script = (
+        "* | parse-csv content as a, b"
+        " | extend total = cast(a as int) + cast(b as int)"
+        " | project-rename left = a"
+    )
+    out = compile_spl(script)(_events(spark, ["3,4"]))
+    f = dict(out.collect()[0][FIELDS])
+    assert f["total"] == "7"
+    assert f["left"] == "3" and "a" not in f
+
+
+def test_spl_parse_json(spark):
+    out = compile_spl("* | parse-json content | project k")(
+        _events(spark, ['{"k":"v","drop":"me"}'])
+    )
+    assert dict(out.collect()[0][FIELDS]) == {"k": "v"}
+
+
+def test_spl_stats(spark):
+    script = (
+        "* | parse-csv content as method, bytes"
+        " | stats sum(bytes) as total by method"
+    )
+    out = compile_spl(script)(
+        _events(spark, ["GET,10", "GET,5", "POST,7"])
+    )
+    got = {r["method"]: r["total"] for r in out.collect()}
+    assert got == {"GET": 15.0, "POST": 7.0}
+
+
+def test_spl_where_with_quoted_pipe_and_keywords(spark):
+    out = compile_spl("* | where content like 'a|b%'")(
+        _events(spark, ["a|bc", "zzz"])
+    )
+    assert [r[FIELDS]["content"] for r in out.collect()] == ["a|bc"]
+
+
+def test_spl_rejects_unknown_verb(spark):
+    with pytest.raises(ValueError, match="unknown SPL verb"):
+        compile_spl("* | frobnicate x")
+
+
+def test_spl_requires_star(spark):
+    with pytest.raises(ValueError, match="must start with"):
+        compile_spl("where x = 1")
+
+
+def test_spl_matches_handwritten_pipeline(spark):
+    """The SPL script and the explicit operator chain produce identical
+    results — the SPL engine is just a front-end."""
+    from loongcollector_spark.operators.common import ParserOptions
+    from loongcollector_spark.operators.parse import RegexParser
+
+    lines = [f"10.0.0.{i} GET {200 + i % 3}" for i in range(30)]
+    script = (
+        "* | parse-regexp content, '(\\S+) (\\S+) (\\d+)' as ip, method, status"
+        " | where status = '200' | project ip, status"
+    )
+    spl_rows = sorted(
+        tuple(sorted(dict(r[FIELDS]).items()))
+        for r in compile_spl(script)(_events(spark, lines)).collect()
+    )
+    hand = RegexParser(
+        r"(\S+) (\S+) (\d+)", ["ip", "method", "status"], ParserOptions(keep_fail=True)
+    ).apply(_events(spark, lines))
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import fget
+
+    hand = hand.filter(fget("status") == "200").select(
+        F.map_from_arrays(
+            F.array(F.lit("ip"), F.lit("status")),
+            F.array(fget("ip"), fget("status")),
+        ).alias(FIELDS)
+    )
+    hand_rows = sorted(
+        tuple(sorted(dict(r[FIELDS]).items())) for r in hand.collect()
+    )
+    assert spl_rows == hand_rows
