@@ -106,3 +106,25 @@ class Chain(Operator):
         for op in self.ops:
             df = op.apply(df)
         return df
+
+    def apply_metered(self, df: DataFrame):
+        """Apply with per-processor in/out event counters — the analog of each
+        plugin's self-monitor metrics (mInEventsTotal / mOutEventsTotal /
+        discards = in − out of the next stage; e.g.
+        ProcessorParseRegexNative.cpp:95-103). Implemented with
+        ``df.observe``: counters are computed DURING the action (executor-side
+        partial aggregation, no extra pass). Returns (df, observations) —
+        read ``obs.get`` after the first action; per-stage drop counts are
+        the deltas between consecutive counters."""
+        from pyspark.sql import Observation
+
+        observations = []
+        obs0 = Observation("input")
+        df = df.observe(obs0, F.count(F.lit(1)).alias("events"))
+        observations.append(("input", obs0))
+        for i, op in enumerate(self.ops):
+            df = op.apply(df)
+            ob = Observation(f"after_{i}_{type(op).__name__}")
+            df = df.observe(ob, F.count(F.lit(1)).alias("events"))
+            observations.append((f"after_{i}_{type(op).__name__}", ob))
+        return df, observations

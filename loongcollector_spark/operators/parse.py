@@ -254,6 +254,10 @@ class TimestampParser(Operator):
     timezone: str | None = None  # e.g. "GMT+08:00"
     out_col: str = "event_time"
     history_discard_hours: float | None = None
+    # processor_strptime EnablePreciseTimestamp (strptime.go:35,66-68,158-171):
+    # also emit the parsed time as an integer field in the given unit
+    precise_timestamp_key: str | None = None  # e.g. "precise_timestamp"
+    precise_timestamp_unit: str = "ms"  # 'ms' | 'us' | 'ns'
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
@@ -272,7 +276,17 @@ class TimestampParser(Operator):
             ts = F.to_utc_timestamp(ts, self.timezone)
         success = src.isNotNull() & ts.isNotNull()
         out = df.withColumn(self.out_col, ts)
-        out = self.options.finalize(out, success, F.expr("map()"), src)
+        new_map = F.expr("map()")
+        if self.precise_timestamp_key:
+            micros = F.unix_micros(ts)
+            scale = {"ms": 1000, "us": 1, "ns": 1}[self.precise_timestamp_unit]
+            val = (micros / scale).cast("long")
+            if self.precise_timestamp_unit == "ns":
+                val = (micros * 1000).cast("long")
+            new_map = F.create_map(
+                F.lit(self.precise_timestamp_key), val.cast("string")
+            )
+        out = self.options.finalize(out, success, new_map, src)
         if self.history_discard_hours is not None:
             cutoff = F.expr(
                 f"max({self.out_col}) over () - interval {int(self.history_discard_hours * 3600)} seconds"

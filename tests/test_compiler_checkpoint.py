@@ -140,3 +140,54 @@ def test_partition_metrics(spark):
     pm = partition_metrics(df).collect()
     assert sum(r["events"] for r in pm) == 100
     assert all(r["first_pack_id"] is not None for r in pm)
+
+
+def test_metered_chain_per_stage_counts(spark):
+    """Per-processor self-metric counters: input 3 → parse drops 1 → filter
+    drops 1 more; each stage's observation reports its output count."""
+    from loongcollector_spark.operators.base import Chain, to_events
+    from loongcollector_spark.operators.filters import FilterRegex
+    from loongcollector_spark.operators.parse import RegexParser
+
+    df = to_events(
+        spark.createDataFrame(
+            [(0, "a 1"), (1, "b 2"), (2, "garbage")], ["i", "content"]
+        )
+    )
+    chain = Chain(
+        RegexParser(r"(\w+) (\d+)", ["word", "num"]),
+        FilterRegex(include={"num": "1"}),
+    )
+    out, obs = chain.apply_metered(df)
+    out.write.format("noop").mode("overwrite").save()
+    counts = {name: o.get["events"] for name, o in obs}
+    assert counts["input"] == 3
+    assert counts["after_0_RegexParser"] == 2  # 'garbage' discarded
+    assert counts["after_1_FilterRegex"] == 1
+
+
+def test_timestamp_precise_key(spark):
+    """processor_strptime EnablePreciseTimestamp: emits the parsed time as an
+    integer field in the configured unit (strptime.go:158-171)."""
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.common import ParserOptions
+    from loongcollector_spark.operators.parse import TimestampParser
+
+    ev = to_events(
+        spark.createDataFrame([(0, "2024-01-05 10:20:30")], ["i", "content"])
+    )
+    out = TimestampParser(
+        "yyyy-MM-dd HH:mm:ss",
+        ParserOptions(keep_fail=True),
+        precise_timestamp_key="precise_timestamp",
+        precise_timestamp_unit="ms",
+    ).apply(ev)
+    f = dict(out.collect()[0][FIELDS])
+    assert f["precise_timestamp"] == "1704450030000"
+    out_us = TimestampParser(
+        "yyyy-MM-dd HH:mm:ss",
+        ParserOptions(keep_fail=True),
+        precise_timestamp_key="pt",
+        precise_timestamp_unit="us",
+    ).apply(ev)
+    assert dict(out_us.collect()[0][FIELDS])["pt"] == "1704450030000000"
