@@ -335,22 +335,48 @@ class KeyValueSplitter(Operator):
         pairs = F.split(src, _re.escape(self.delimiter), -1)
         sep = self.separator
 
-        def kv(p: Column, i: Column) -> Column:
+        def kv(p: Column) -> Column:
             pos = F.instr(p, sep)
-            key = F.when(pos > 0, F.substring_index(p, sep, 1)).otherwise(
-                F.concat(F.lit(self.no_separator_key_prefix), (i).cast("string"))
-            )
-            key = F.when(key == "", F.concat(F.lit(self.empty_key_prefix), i.cast("string"))).otherwise(key)
+            key = F.when(pos > 0, F.substring_index(p, sep, 1)).otherwise(F.lit(""))
             # value = everything after the FIRST separator occurrence
             val = F.when(pos > 0, p.substr(pos + len(sep), F.length(p))).otherwise(p)
             return F.struct(key.alias("k"), val.alias("v"), (pos > 0).alias("had_sep"))
 
-        structs = F.transform(pairs, lambda p, i: kv(p, i + 1))
+        structs = F.transform(pairs, kv)
+        # anomaly keys use 0-based OCCURRENCE counters, not pair positions
+        # (key_value_splitter.go:99-100,118,127: emptyKeyIndex /
+        # noSeparatorKeyIndex increment only when used)
+        with_sep = F.filter(structs, lambda s: s.getField("had_sep"))
+        named = F.filter(with_sep, lambda s: s.getField("k") != "")
+        empty_key = F.filter(with_sep, lambda s: s.getField("k") == "")
+        empty_keyed = F.transform(
+            empty_key,
+            lambda s, i: F.struct(
+                F.concat(F.lit(self.empty_key_prefix), i.cast("string")).alias("k"),
+                s.getField("v").alias("v"),
+            ),
+        )
+        no_sep = F.filter(structs, lambda s: ~s.getField("had_sep"))
         if self.discard_when_separator_not_found:
-            structs = F.filter(structs, lambda s: s.getField("had_sep"))
+            no_sep = F.array().cast("array<struct<k:string,v:string,had_sep:boolean>>")
+        no_sep_keyed = F.transform(
+            no_sep,
+            lambda s, i: F.struct(
+                F.concat(F.lit(self.no_separator_key_prefix), i.cast("string")).alias("k"),
+                s.getField("v").alias("v"),
+            ),
+        )
+        all_entries = F.concat(
+            F.transform(
+                named,
+                lambda s: F.struct(s.getField("k").alias("k"), s.getField("v").alias("v")),
+            ),
+            empty_keyed,
+            no_sep_keyed,
+        )
         new_map = F.map_from_arrays(
-            F.transform(structs, lambda s: s.getField("k")),
-            F.transform(structs, lambda s: s.getField("v")),
+            F.transform(all_entries, lambda s: s.getField("k")),
+            F.transform(all_entries, lambda s: s.getField("v")),
         )
         new_map = F.when(src.isNotNull(), new_map).otherwise(F.expr("map()"))
         base = F.col(FIELDS) if self.keep_source else fremove([self.source_key])
@@ -413,16 +439,20 @@ class KeyValueSplitterArrow(Operator):
             if s is None:
                 return d
             out = dict(d) if keep else {k: v for k, v in d.items() if k != src_key}
-            for idx, pair in enumerate(split_quoted(s), start=1):
+            # 0-based occurrence counters (key_value_splitter.go:99-100)
+            empty_i = nosep_i = 0
+            for pair in split_quoted(s):
                 p = pair.find(sep)
                 if p < 0:
                     if discard:
                         continue
-                    out[f"{nk}{idx}"] = pair
+                    out[f"{nk}{nosep_i}"] = pair
+                    nosep_i += 1
                     continue
                 key, val = pair[:p], pair[p + len(sep):]
                 if key == "":
-                    key = f"{ek}{idx}"
+                    key = f"{ek}{empty_i}"
+                    empty_i += 1
                 out[key] = val
             return out
 

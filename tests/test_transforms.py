@@ -122,7 +122,8 @@ def test_kv_splitter(spark):
 def test_kv_splitter_no_separator(spark):
     df = _frame(spark, {"content": "a:1\tnosep"})
     out = _fields(KeyValueSplitter().apply(df))[0]
-    assert out == {"a": "1", "no_separator_key_2": "nosep"}
+    # 0-based occurrence counter (key_value_splitter.go:100,118)
+    assert out == {"a": "1", "no_separator_key_0": "nosep"}
 
 
 def test_anchor(spark):
@@ -180,3 +181,18 @@ def test_dict_map_rejects_oversize_and_bad_mode(spark):
         DictMap({str(i): "x" for i in range(5)}, "k", max_dict_size=3)
     with pytest.raises(ValueError):
         DictMap({"a": "b"}, "k", mode="banana")
+
+
+def test_kv_split_occurrence_counters(spark):
+    """Anomaly prefixes use 0-based occurrence counters incremented per use
+    (key_value_splitter.go:99-100,118,127), not pair positions."""
+    df = _frame(spark, {"content": "a:1\tnosep1\tb:2\tnosep2\t:v1\t:v2"})
+    out = _fields(KeyValueSplitter(delimiter="\t", separator=":").apply(df))[0]
+    assert out == {
+        "a": "1",
+        "b": "2",
+        "no_separator_key_0": "nosep1",
+        "no_separator_key_1": "nosep2",
+        "empty_key_0": "v1",
+        "empty_key_1": "v2",
+    }
