@@ -34,6 +34,19 @@ def with_lineage(df: DataFrame) -> DataFrame:
     )
 
 
+def context_ordered(df: DataFrame, part_cols: Sequence[str], order_col: str) -> DataFrame:
+    """aggregator_context (plugins/aggregator/context/aggregator_context.go:44-289):
+    preserve per-source record order so the consumer can reconstruct the
+    original stream. Spark shape: cluster rows by the context key and sort
+    WITHIN partitions (no global sort), then stamp an order-preserving
+    ``__pack_id__`` — ordered pack ids within a partition reconstruct the
+    original order on read."""
+    out = df.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
+        *part_cols, order_col
+    )
+    return with_lineage(out)
+
+
 def partition_for_sinks(
     df: DataFrame,
     keys: Sequence[str] = (SINK_COL,),

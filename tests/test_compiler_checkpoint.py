@@ -191,3 +191,26 @@ def test_timestamp_precise_key(spark):
         precise_timestamp_unit="us",
     ).apply(ev)
     assert dict(out_us.collect()[0][FIELDS])["pt"] == "1704450030000000"
+
+
+def test_context_ordered_preserves_order(spark):
+    """aggregator_context analog: within each context partition, pack ids are
+    monotone in the original order column — the stream order is
+    reconstructible."""
+    from loongcollector_spark.aggregate import PACK_ID_COL, context_ordered
+
+    rows = [(f"s{i % 3}", i, f"line{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["source", "offset", "line"])
+    out = context_ordered(df, ["source"], "offset").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    got = out.select("source", "offset", "pid", PACK_ID_COL).collect()
+    by_part = {}
+    for r in got:
+        by_part.setdefault((r["pid"], r["source"]), []).append(
+            (r[PACK_ID_COL], r["offset"])
+        )
+    for key, rows_ in by_part.items():
+        # rows arrive sorted within partition: pack id order == offset order
+        offsets = [o for _, o in rows_]
+        assert offsets == sorted(offsets), key
