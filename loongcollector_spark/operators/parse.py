@@ -334,23 +334,27 @@ class GrokParser(Operator):
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
-        expanded: list[tuple[str, list[str]]] = []
+        expanded: list[tuple[str, dict[str, int]]] = []
         for pat in self.match:
             rx = expand_grok(pat, self.custom_patterns)
-            names = list(re.compile(rx).groupindex.keys())
-            # Spark (Java regex) supports (?<name>...) not (?P<name>...)
-            expanded.append((rx.replace("(?P<", "(?<"), names))
+            # name → group NUMBER from the python-compiled regex; group
+            # numbering is identical once names are stripped (Java named
+            # groups reject underscores, so the JVM side uses anonymous
+            # groups + positional $n references)
+            groups = dict(re.compile(rx).groupindex)
+            anon = re.sub(r"\(\?P<\w+>", "(", rx)
+            expanded.append((anon, groups))
 
         success = F.lit(False)
         new_map = F.expr("map()")
         sep = "\x01"
-        for rx, names in reversed(expanded):
-            ok = src.isNotNull() & src.rlike(f"^(?:{rx})$")
+        for rx, groups in reversed(expanded):
             jrx = f"^(?:{rx})$"
-            groups = re.compile(rx.replace("(?<", "(?P<")).groupindex
+            ok = src.isNotNull() & src.rlike(jrx)
             # single matcher pass per pattern (same trick as RegexParser):
-            # emit the named groups joined by \x01, then split
-            repl = sep.join(f"$" + "{" + nm + "}" for nm in names)
+            # emit all semantic groups joined by \x01, then split
+            names = list(groups.keys())
+            repl = sep.join(f"${groups[nm]}" for nm in names)
             arr = F.split(F.regexp_replace(src, jrx, repl), sep, -1)
             pairs = {nm: F.element_at(arr, i + 1) for i, nm in enumerate(names)}
             new_map = F.when(ok, parsed_map(pairs)).otherwise(new_map)
