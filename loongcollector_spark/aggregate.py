@@ -88,11 +88,19 @@ def sink_aggregates(
 
 @dataclass
 class ShardHash:
-    """aggregator_shardhash (plugins/aggregator/shardhash/aggregator_shardhash.go:67-243):
-    ``shard_count`` (power of 2, ≤512) buckets; bucket = first bucketBits bits
-    of md5 of the concatenated ``source_keys`` values (lines 65-128). Adds
-    ``__shardhash_bucket__`` and repartitions on it — Spark HashPartitioning
-    with the reference's exact md5 placement key."""
+    """aggregator_shardhash (plugins/aggregator/shardhash/aggregator_shardhash.go):
+    ``shard_count`` (power of 2, ≤512) buckets over the concatenated
+    ``source_keys`` values; each bucket's groups carry a ``__shardhash__``
+    tag whose md5 prefix encodes the bucket bits (initShardAggs:118-139) so
+    SLS places them on the right shard.
+
+    Documented divergence: the Go implementation SELECTS the bucket with
+    xxhash64(sourceValue) % ShardCount (selectShardAgg:157-161) and only the
+    tag uses the md5-bit construction. We derive the bucket from the md5 top
+    bits instead — an equally-uniform partitioner whose placement tag and
+    bucket id agree by construction, and which a cross-engine SQL oracle can
+    reproduce bit-for-bit (xxhash64 seeds differ between engines).
+    ``shardhash_tag`` builds the reference's exact tag hex."""
 
     source_keys: Sequence[str]
     shard_count: int = 8
@@ -111,6 +119,19 @@ class ShardHash:
         nibbles = (bits + 3) // 4
         prefix_val = F.conv(F.substring(F.md5(concat), 1, nibbles), 16, 10).cast("int")
         return F.shiftright(prefix_val, 4 * nibbles - bits)
+
+    def shardhash_tag(self) -> F.Column:
+        """The __shardhash__ tag value: bucket bits as the md5 prefix, zero
+        padded to 128 bits, rendered as 32 hex chars
+        (initShardAggs:121-132)."""
+        bits = self.shard_count.bit_length() - 1
+        # 128-bit value = bucket bits then zeros: first 16 hex chars carry the
+        # top 64 bits (bucket << (64 - bits), two's-complement hex keeps the
+        # bit pattern), remaining 16 are zeros
+        top64 = F.lower(
+            F.lpad(F.hex(F.shiftleft(self.bucket().cast("bigint"), 64 - bits)), 16, "0")
+        )
+        return F.concat(top64, F.lit("0" * 16))
 
     def apply(self, df: DataFrame) -> DataFrame:
         out = df.withColumn(self.bucket_col, self.bucket())

@@ -75,3 +75,32 @@ def test_log_to_metric_drops_non_numeric(spark):
     df = spark.createDataFrame(rows, ["i", FIELDS])
     out = LogToMetric(metric_labels=["host"], metric_values={"rt_ms": "rt"}).apply(df)
     assert out.count() == 0
+
+
+def test_shardhash_tag_matches_reference_construction(spark):
+    """__shardhash__ tag = bucket bits + zero padding to 128 bits as 32 hex
+    chars (aggregator_shardhash.go initShardAggs:118-132). Replicate the Go
+    big-int construction in python and compare for every bucket."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.aggregate import ShardHash
+
+    shard_count = 8
+    bits = shard_count.bit_length() - 1
+
+    def reference_tag(idx: int) -> str:
+        b = format(idx, "b").rjust(bits, "0")
+        binary_hash = b + "0" * (128 - bits)
+        hex_hash = format(int(binary_hash, 2), "x")
+        return hex_hash.ljust(32, "0") if len(hex_hash) < 32 else hex_hash
+
+    sh = ShardHash(["k"], shard_count=shard_count, repartition=False)
+    df = spark.createDataFrame([(str(i),) for i in range(200)], ["k"])
+    out = sh.apply(df).withColumn("tag", sh.shardhash_tag()).collect()
+    for r in out:
+        assert r["tag"] == reference_tag(r[sh.bucket_col]), (
+            r[sh.bucket_col],
+            r["tag"],
+        )
+    # all 8 buckets exercised
+    assert len({r[sh.bucket_col] for r in out}) == shard_count
