@@ -123,20 +123,27 @@ class DelimiterParser(Operator):
         pairs: dict[str, Column] = {}
         for i, k in enumerate(self.keys):
             v = F.element_at(arr, i + 1)
-            if self.overflow == OverflowTreatment.KEEP and i == n - 1:
-                v = F.when(
-                    size > n, F.array_join(F.slice(arr, n, F.greatest(size - n + 1, F.lit(1))), self.separator)
-                ).otherwise(v)
             if self.allow_shortened:
                 v = F.when(size >= i + 1, v)  # missing trailing keys absent, not null
             pairs[k] = v
+        if self.overflow == OverflowTreatment.KEEP:
+            # KEEP: the raw remainder — INCLUDING its leading separator —
+            # lands in __column{n}__ (TestExtend 'not Extend' golden:
+            # '123@@456@@1@@2@@3' keys a,b,c → __column3__ = '@@2@@3')
+            tail = F.concat(
+                F.lit(self.separator),
+                F.array_join(
+                    F.slice(arr, n + 1, F.greatest(size - n, F.lit(0))), self.separator
+                ),
+            )
+            pairs[f"__column{n}__"] = F.when(size > n, tail)
         if self.overflow == OverflowTreatment.DISCARD:
             # ExtractingPartialFields: keys named "_" are skipped
             # (ProcessorParseDelimiterNative.cpp:328-331)
             pairs = {k: v for k, v in pairs.items() if k != "_"}
         new_map = parsed_map(pairs)
-        if self.allow_shortened:
-            # drop NULL-valued entries for short rows (reference only adds present cols)
+        if self.allow_shortened or self.overflow == OverflowTreatment.KEEP:
+            # drop NULL-valued entries (short rows / absent KEEP tail)
             new_map = F.map_filter(new_map, lambda k, v: v.isNotNull())
         if self.overflow == OverflowTreatment.EXTEND:
             extend_pairs = {

@@ -60,10 +60,23 @@ def test_delimiter_overflow_extend(spark):
 
 
 def test_delimiter_overflow_keep(spark):
+    # KEEP: raw remainder (incl. leading separator) in __column{n}__
+    # (TestExtend 'not Extend' golden: __column3__ = '@@2@@3')
     out = DelimiterParser("\t", KEYS, overflow=OverflowTreatment.KEEP).apply(
         _events(spark, ["1\t2\t3\t4\t5\t6"])
     )
-    assert _fields(out)[0] == {"uid": "1", "time": "2", "method": "3", "value": "4\t5\t6"}
+    assert _fields(out)[0] == {
+        "uid": "1", "time": "2", "method": "3", "value": "4", "__column4__": "\t5\t6"
+    }
+
+
+def test_delimiter_overflow_keep_reference_golden(spark):
+    out = DelimiterParser("@@", ["a", "b", "c"], overflow=OverflowTreatment.KEEP).apply(
+        _events(spark, ["123@@456@@1@@2@@3"])
+    )
+    assert _fields(out)[0] == {
+        "a": "123", "b": "456", "c": "1", "__column3__": "@@2@@3"
+    }
 
 
 def test_delimiter_overflow_discard(spark):
