@@ -155,6 +155,115 @@ class DelimiterParser(Operator):
         return self.options.finalize(df, success, new_map, src)
 
 
+def _split_quoted_strict(line: str, sep: str, quote: str):
+    """The reference's strict quoted-field FSM (single-char separator path,
+    ProcessorParseDelimiterNative.cpp:254-319): a field is either fully
+    quoted (doubled quote escapes; the closing quote must be followed by the
+    separator or end-of-line) or contains NO quote char at all. Any other
+    quote placement fails the whole parse (returns None) — pinned by
+    TestProcessDoubleQuote's mixed pass/fail golden."""
+    fields = []
+    i, n = 0, len(line)
+    while True:
+        if i < n and line[i] == quote:
+            i += 1
+            buf = []
+            while True:
+                if i >= n:
+                    return None  # unterminated quote
+                c = line[i]
+                if c == quote:
+                    if i + 1 < n and line[i + 1] == quote:
+                        buf.append(quote)
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    buf.append(c)
+                    i += 1
+            if i < n:
+                if line.startswith(sep, i):
+                    fields.append("".join(buf))
+                    i += len(sep)
+                    continue
+                return None  # garbage after closing quote
+            fields.append("".join(buf))
+            return fields
+        j = line.find(sep, i)
+        seg = line[i:] if j < 0 else line[i:j]
+        if quote in seg:
+            return None  # stray quote in unquoted field
+        fields.append(seg)
+        if j < 0:
+            return fields
+        i = j + len(sep)
+
+
+@dataclass
+class DelimiterParserArrow(Operator):
+    """Byte-exact quoted delimiter parse — the strict FSM the native parser
+    uses for single-char separators with Quote
+    (ProcessorParseDelimiterNative.cpp:254-319). The JVM DelimiterParser's
+    from_csv path is lenient about malformed quoting; this Arrow path fails
+    exactly where the reference fails (TestProcessDoubleQuote golden).
+    CommonParserOptions semantics included."""
+
+    separator: str
+    keys: Sequence[str]
+    options: ParserOptions = field(default_factory=ParserOptions)
+    quote: str = "'"
+    allow_shortened: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .common import RAW_LOG_KEY
+
+        opts = self.options
+        sep, quote, keys = self.separator, self.quote, list(self.keys)
+        allow_short = self.allow_shortened
+        src_key, renamed = opts.source_key, opts.renamed
+        keep_fail, keep_succeed = opts.keep_fail, opts.keep_succeed
+        coping = opts.coping_raw_log
+        schema = df.schema
+
+        def rewrite(d: dict):
+            s = d.get(src_key) if d is not None else None
+            if s is None:
+                return d
+            base = {k: v for k, v in d.items() if k != src_key}
+            cols = _split_quoted_strict(s, sep, quote)
+            ok = cols is not None and (len(cols) >= len(keys) or allow_short)
+            if ok:
+                parsed = {}
+                for i, k in enumerate(keys):
+                    if i < len(cols):
+                        parsed[k] = cols[i]
+                    elif not allow_short:
+                        parsed[k] = ""
+                for i in range(len(keys), len(cols)):
+                    parsed[f"__column{i}__"] = cols[i]
+                out = {**parsed, **base}
+                if keep_succeed:
+                    out.setdefault(renamed, s)
+                return out
+            if keep_fail:
+                out = dict(base)
+                if coping:
+                    out.setdefault(RAW_LOG_KEY, s)
+                out.setdefault(renamed, s)
+                return out
+            return base if base else None
+
+        def mapper(batches):
+            for pdf in batches:
+                newf = [rewrite(x) for x in pdf[FIELDS]]
+                mask = [x is not None for x in newf]
+                pdf[FIELDS] = newf
+                yield pdf[mask]
+
+        return df.mapInPandas(mapper, schema=schema)
+
+
 @dataclass
 class JsonParser(Operator):
     """One-level JSON-object parse; every member stringified exactly like

@@ -198,3 +198,29 @@ def test_container_ignoring_stdout(spark):
     out = ContainerLogParser(ignoring_stdout=True).apply(_events(spark, lines))
     f = [dict(r[FIELDS]) for r in out.collect()]
     assert len(f) == 1 and f[0]["content"] == "b"
+
+
+def test_delimiter_quote_reference_golden(spark):
+    """TestProcessQuote golden (ProcessorParseDelimiterNativeUnittest:1500-1538):
+    single-quote-wrapped space-separated values, one value containing embedded
+    newlines."""
+    from loongcollector_spark.operators.parse import DelimiterParser
+
+    line = (
+        "'-' 'file0' '947113' '192.168.0.3' '2024-08-15T15:25:24.195264681' 'PUT\n"
+        "/dir/resource.txt\nHTTP/2.0' '200' '154' 'go-sdk'"
+    )
+    keys = [str(i) for i in range(1, 10)]
+    out = DelimiterParser(" ", keys, quote="'").apply(_events(spark, [line]))
+    f = _fields(out)[0]
+    assert f == {
+        "1": "-",
+        "2": "file0",
+        "3": "947113",
+        "4": "192.168.0.3",
+        "5": "2024-08-15T15:25:24.195264681",
+        "6": "PUT\n/dir/resource.txt\nHTTP/2.0",
+        "7": "200",
+        "8": "154",
+        "9": "go-sdk",
+    }
