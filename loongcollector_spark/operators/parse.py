@@ -703,21 +703,34 @@ class ContainerLogParser(Operator):
     ignoring_stderr: bool = False
 
     _RX = r"(\S+) (stdout|stderr) ([PF]) (.*)"
+    _RX_NOFLAG = r"(\S+) (stdout|stderr) (.*)"
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
         if self.mode == "containerd":
+            # flag part is OPTIONAL: "time stream P content" carries the
+            # partial flag; "time stream rest" (no ' P '/' F ' delimiter)
+            # means rest IS the content and the line is full — e.g.
+            # '... stdout P' (no trailing space) parses as content "P"
+            # (ProcessorParseContainerLogNativeUnittest TestContainerdLog).
+            # A line without the space after stream fails.
             rx = f"^(?:{self._RX})$"
-            success = src.isNotNull() & src.rlike(rx)
+            rx_basic = f"^(?:{self._RX_NOFLAG})$"
+            has_flag = src.isNotNull() & src.rlike(rx)
+            success = src.isNotNull() & src.rlike(rx_basic)
             new_map = parsed_map(
                 {
-                    "_time_": F.regexp_extract(src, rx, 1),
-                    "_source_": F.regexp_extract(src, rx, 2),
-                    "_part_": F.regexp_extract(src, rx, 3),
-                    self.options.source_key: F.regexp_extract(src, rx, 4),
+                    "_time_": F.regexp_extract(src, rx_basic, 1),
+                    "_source_": F.regexp_extract(src, rx_basic, 2),
+                    "_part_": F.when(
+                        has_flag, F.regexp_extract(src, rx, 3)
+                    ).otherwise(F.lit("F")),
+                    self.options.source_key: F.when(
+                        has_flag, F.regexp_extract(src, rx, 4)
+                    ).otherwise(F.regexp_extract(src, rx_basic, 3)),
                 }
             )
-            stream = F.regexp_extract(src, rx, 2)
+            stream = F.regexp_extract(src, rx_basic, 2)
         elif self.mode == "docker-json":
             m = F.from_json(src, "struct<log:string,time:string,stream:string>")
             success = src.isNotNull() & m.isNotNull() & m.getField("log").isNotNull()

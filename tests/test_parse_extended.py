@@ -224,3 +224,23 @@ def test_delimiter_quote_reference_golden(spark):
         "8": "154",
         "9": "go-sdk",
     }
+
+
+def test_containerd_flag_edge_cases(spark):
+    """TestContainerdLog goldens: '... stdout P' (no trailing space) → the P
+    is CONTENT, not a flag; '... stdout ' → empty content; '... stdout'
+    (no space) and '...stdout' (fused) → parse fail."""
+    ts = "2024-01-05T23:28:06.818486411+08:00"
+    lines = [
+        f"{ts} stdout P ",      # flag P, empty content
+        f"{ts} stdout P",       # no flag delimiter → content 'P'
+        f"{ts} stdout ",        # no flag, empty content
+        f"{ts} stdout",         # FAIL: no space after stream
+        f"{ts}stdout",          # FAIL: fused
+    ]
+    out = ContainerLogParser().apply(_events(spark, lines))
+    f = _fields(out)
+    assert f[0]["_part_"] == "P" and f[0]["content"] == ""
+    assert f[1]["_part_"] == "F" and f[1]["content"] == "P"
+    assert f[2]["_part_"] == "F" and f[2]["content"] == ""
+    assert 3 not in f and 4 not in f
