@@ -65,7 +65,10 @@ class RegexParser(Operator):
             return self.options.finalize(df, src.isNotNull(), new_map, src)
         rx = f"^(?:{self.regex})$" if self.full_match else self.regex
         success = src.isNotNull() & src.rlike(rx)
-        if self.group_sep is not None:
+        # the single-matcher-pass trick rewrites the WHOLE string through the
+        # anchored pattern — valid only in full-match mode (a partial match
+        # would leave the unmatched prefix/suffix around the groups)
+        if self.group_sep is not None and self.full_match:
             sep = self.group_sep
             repl = sep.join(f"${i + 1}" for i in range(len(self.keys)))
             arr = F.split(F.regexp_replace(src, rx, repl), sep, -1)

@@ -85,3 +85,14 @@ def test_failed_event_with_other_fields_not_dropped(spark):
     )
     out = RegexParser(RX, KEYS).apply(df)
     assert _fields(out)[0] == {"other": "x"}
+
+
+def test_partial_match_mode(spark):
+    """Go processor_regex defaults to FullMatch=false (regex.go:134): the
+    pattern may match a substring of the source."""
+    out = RegexParser(r"id=(\d+)", ["id"], full_match=False).apply(
+        _events(spark, ["prefix id=42 suffix", "no match here"])
+    )
+    f = _fields(out)
+    assert f[0] == {"id": "42"}
+    assert 1 not in f  # discard-unmatch default still applies
