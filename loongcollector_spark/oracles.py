@@ -382,6 +382,27 @@ SELECT method, count(*) AS events FROM parsed
 WHERE status = '404' GROUP BY method ORDER BY method"""
 
 
+def oracle_geoip_range() -> str:
+    base = 10 * 16777216
+    split = base + 100 * 65536
+    top = base + 256 * 65536
+    return f"""{SEQ},
+parsed AS ({nginx_parsed_cte()}),
+ips AS (
+  SELECT doc_id, remote_addr AS ip,
+    CAST(split_part(remote_addr, '.', 1) AS BIGINT) * 16777216
+    + CAST(split_part(remote_addr, '.', 2) AS BIGINT) * 65536
+    + CAST(split_part(remote_addr, '.', 3) AS BIGINT) * 256
+    + CAST(split_part(remote_addr, '.', 4) AS BIGINT) AS ip_int
+  FROM parsed
+)
+SELECT doc_id, ip,
+  CASE WHEN ip_int BETWEEN {base} AND {split - 1} THEN 'region-a'
+       WHEN ip_int BETWEEN {split} AND {top - 1} THEN 'region-b'
+  END AS region
+FROM ips"""
+
+
 def oracle_token_roundtrip() -> str:
     """The oracle knows the codec is identity: every row must round-trip with
     the same token count and array equality (the Spark side actually

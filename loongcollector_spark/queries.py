@@ -521,6 +521,27 @@ def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method")
 
 
+def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_geoip analog: broadcast range join of parsed nginx client
+    IPs against an ip-range dim (ip_int BETWEEN lo AND hi). The mmdb decode
+    is out of scope (no geoip2 in-container) — the dim is an inline region
+    table over the synthetic 10.0.x.y space."""
+    from .operators.enrich import ip_range_lookup
+
+    ev = _nginx_events(spark, sf_dir)
+    df = ev.select("doc_id", fget("remote_addr").alias("ip"))
+    base = 10 * 16777216  # 10.0.0.0
+    ranges = spark.createDataFrame(
+        [
+            (base, base + 100 * 65536 - 1, "region-a"),
+            (base + 100 * 65536, base + 256 * 65536 - 1, "region-b"),
+        ],
+        ["lo", "hi", "region"],
+    )
+    out = ip_range_lookup(df, ranges, "ip")
+    return out.select("doc_id", "ip", "region")
+
+
 def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule per-row invariant: token-array equality. Decode each
     sequence to text, re-encode, and compare the full arrays element-wise —
@@ -571,6 +592,7 @@ QUERIES = {
     "rate_limit_windowed": q_rate_limit_windowed,
     "token_roundtrip": q_token_roundtrip,
     "spl_pipeline": q_spl_pipeline,
+    "geoip_range": q_geoip_range,
 }
 
 ORACLES = {
@@ -606,6 +628,7 @@ ORACLES = {
     "rate_limit_windowed": oracles.oracle_rate_limit_windowed(),
     "token_roundtrip": oracles.oracle_token_roundtrip(),
     "spl_pipeline": oracles.oracle_spl_pipeline(),
+    "geoip_range": oracles.oracle_geoip_range(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402
