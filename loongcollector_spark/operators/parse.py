@@ -115,10 +115,13 @@ class DelimiterParser(Operator):
                 *[arr_struct.getField(f"_c{i}") for i in range(n + self.max_overflow_cols)]
             )
             arr = F.filter(arr, lambda x, i: x.isNotNull() | (i < F.lit(n)))
+            # the first n slots are padded with nulls for short rows — the
+            # PARSED column count is the non-null count (contiguous prefix),
+            # otherwise success would hold for any input
+            size = F.size(F.filter(arr, lambda x: x.isNotNull()))
         else:
             arr = F.split(src, re.escape(self.separator), -1)
-
-        size = F.size(arr)
+            size = F.size(arr)
         success = src.isNotNull() & (
             (size >= n) if not self.allow_shortened else (size >= F.lit(1))
         )

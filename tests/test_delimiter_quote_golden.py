@@ -79,3 +79,32 @@ def test_strict_quote_discard_unmatch(spark):
     got = {r["i"]: dict(r[FIELDS]) for r in out.collect()}
     assert set(got) == {1}
     assert got[1]["time"] == "a"
+
+
+def test_key_overwritten_reference_golden(spark):
+    """TestProcessKeyOverwritten: parsed keys win over the keep-succeed
+    re-added source (renamed rawLog) and over the legacy __raw_log__ copy;
+    failed rows keep both raw copies."""
+    from loongcollector_spark.operators.parse import DelimiterParser
+
+    opts = ParserOptions(
+        keep_fail=True, keep_succeed=True, coping_raw_log=True,
+        renamed_source_key="rawLog",
+    )
+    keys = ["time", "rawLog", "content", "__raw_log__"]
+    lines = [
+        "2013-10-31 21:03:49,POST,'PutData?Category=YunOsAccountOpLog',0.024",
+        "value1",
+    ]
+    df = to_events(
+        spark.createDataFrame([(i, c) for i, c in enumerate(lines)], ["i", "content"])
+    )
+    out = DelimiterParser(",", keys, opts, quote="'").apply(df)
+    got = {r["i"]: dict(r[FIELDS]) for r in out.collect()}
+    assert got[0] == {
+        "time": "2013-10-31 21:03:49",
+        "rawLog": "POST",
+        "content": "PutData?Category=YunOsAccountOpLog",
+        "__raw_log__": "0.024",
+    }
+    assert got[1] == {"rawLog": "value1", "__raw_log__": "value1"}
