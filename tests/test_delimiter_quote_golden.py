@@ -108,3 +108,29 @@ def test_key_overwritten_reference_golden(spark):
         "__raw_log__": "0.024",
     }
     assert got[1] == {"rawLog": "value1", "__raw_log__": "value1"}
+
+
+def test_upload_raw_log_reference_golden(spark):
+    """TestUploadRawLog: on success keep_succeed re-adds the raw line under
+    rawLog and __raw_log__ is NOT added (CopingRawLog is failure-only); on
+    failure both copies appear."""
+    from loongcollector_spark.operators.parse import DelimiterParser
+
+    opts = ParserOptions(
+        keep_fail=True, keep_succeed=True, coping_raw_log=True,
+        renamed_source_key="rawLog",
+    )
+    line = "2013-10-31 21:03:49,POST,'PutData?Category=YunOsAccountOpLog',0.024"
+    df = to_events(
+        spark.createDataFrame([(0, line), (1, "value1")], ["i", "content"])
+    )
+    out = DelimiterParser(",", KEYS, opts, quote="'").apply(df)
+    got = {r["i"]: dict(r[FIELDS]) for r in out.collect()}
+    assert got[0] == {
+        "time": "2013-10-31 21:03:49",
+        "method": "POST",
+        "url": "PutData?Category=YunOsAccountOpLog",
+        "request_time": "0.024",
+        "rawLog": line,
+    }
+    assert got[1] == {"rawLog": "value1", "__raw_log__": "value1"}
