@@ -113,6 +113,10 @@ class ShardHash:
 
     def bucket(self) -> F.Column:
         bits = self.shard_count.bit_length() - 1
+        if bits == 0:
+            # shard_count=1: single bucket (the reference still emits the
+            # all-zeros tag; initShardAggs uses bits=1 internally for count=1)
+            return F.lit(0)
         concat = F.concat(*[F.coalesce(F.col(k).cast("string"), F.lit("")) for k in self.source_keys])
         # top `bits` bits of the md5 = first hex char's value >> (4 - bits)
         # (for bits<=4; wider shard counts take more hex chars)
@@ -125,6 +129,8 @@ class ShardHash:
         padded to 128 bits, rendered as 32 hex chars
         (initShardAggs:121-132)."""
         bits = self.shard_count.bit_length() - 1
+        if bits == 0:
+            return F.lit("0" * 32)
         # 128-bit value = bucket bits then zeros: first 16 hex chars carry the
         # top 64 bits (bucket << (64 - bits), two's-complement hex keeps the
         # bit pattern), remaining 16 are zeros

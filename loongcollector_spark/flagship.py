@@ -147,12 +147,22 @@ def fused_parsed_events(
     )
     ok_json = m_json.isNotNull()
 
-    # csvlog tab-delimited
+    # csvlog tab-delimited (incl. DelimiterParser's default EXTEND overflow:
+    # extras land in 0-based __column{idx}__ keys, same as the branched path)
     arr_c = F.split(src, _re.escape("\t"), -1)
+    nc = len(CSV_KEYS)
+    size_c = F.size(arr_c)
     map_csv = parsed_map(
         {k: F.element_at(arr_c, i + 1) for i, k in enumerate(CSV_KEYS)}
     )
-    ok_csv = F.size(arr_c) >= len(CSV_KEYS)
+    ext_csv = parsed_map(
+        {
+            f"__column{nc + i}__": F.when(size_c >= nc + i + 1, F.element_at(arr_c, nc + i + 1))
+            for i in range(8)
+        }
+    )
+    map_csv = F.map_concat(map_csv, F.map_filter(ext_csv, lambda k, v: v.isNotNull()))
+    ok_csv = size_c >= nc
 
     s = F.col("source")
     success = src.isNotNull() & (

@@ -17,6 +17,7 @@ the ``fields`` map under CommonParserOptions keep/discard semantics.
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -585,19 +586,48 @@ class CsvParser(Operator):
         if self.trim_leading_space:
             opts["ignoreLeadingWhiteSpace"] = "true"
         parsed = F.from_csv(src, F.lit(schema), opts)
-        arr = F.array(*[parsed.getField(f"_c{i}") for i in range(total)])
-        arr = F.filter(arr, lambda x, i: x.isNotNull() | (i < F.lit(n)))
-        size = F.size(arr)
-        success = src.isNotNull()
+        # coalesce to "": from_csv null-pads BOTH empty fields and missing
+        # trailing columns; presence is decided by `nfields` below instead
+        arr = F.array(
+            *[F.coalesce(parsed.getField(f"_c{i}"), F.lit("")) for i in range(total)]
+        )
 
-        pairs = {k: F.element_at(arr, i + 1) for i, k in enumerate(self.split_keys)}
+        # Go-csv failure = malformed quoting (ErrBareQuote / ErrQuote,
+        # processor_csv.go:72-80: err != io.EOF → return false, source kept).
+        # Encode the grammar as a full-line regex: every field either fully
+        # quoted (doubled-quote escapes) or quote-free.
+        q, s = re.escape(self.quote), re.escape(self.split_sep)
+        lead = r"[ \t]*" if self.trim_leading_space else ""
+        quoted_rx = f"{q}[^{q}]*(?:{q}{q}[^{q}]*)*{q}"
+        fld = f"(?:{lead}{quoted_rx}|[^{q}{s}]*)"
+        success = src.isNotNull() & src.rlike(f"^{fld}(?:{s}{fld})*$")
+
+        # true decoded field count = 1 + separators outside quoted fields
+        # (empty input still decodes to one empty field, processor_csv.go:81-85)
+        stripped = F.regexp_replace(src, quoted_rx, "")
+        nfields = F.when(
+            success,
+            (
+                (
+                    F.length(stripped)
+                    - F.length(F.replace(stripped, F.lit(self.split_sep), F.lit("")))
+                )
+                / len(self.split_sep)
+                + 1
+            ).cast("int"),
+        )
+
+        pairs = {
+            k: F.when(F.lit(i) < nfields, F.element_at(arr, i + 1))
+            for i, k in enumerate(self.split_keys)
+        }
         new_map = F.map_filter(parsed_map(pairs), lambda k, v: v.isNotNull())
         if self.expand_others:
             extra = {
-                f"{self.expand_prefix}{i + 1}": F.when(
-                    size >= n + i + 1, F.element_at(arr, n + i + 1)
+                f"{self.expand_prefix}{j}": F.when(
+                    nfields >= n + j, F.element_at(arr, n + j)
                 )
-                for i in range(self.max_expand_cols)
+                for j in range(1, self.max_expand_cols + 1)
             }
             new_map = F.map_concat(
                 new_map, F.map_filter(parsed_map(extra), lambda k, v: v.isNotNull())
@@ -607,7 +637,7 @@ class CsvParser(Operator):
             qc = self.quote
             rejoined = F.array_join(
                 F.transform(
-                    F.slice(arr, n + 1, F.greatest(size - n, F.lit(0))),
+                    F.slice(arr, n + 1, F.greatest(nfields - n, F.lit(0))),
                     lambda x: F.when(
                         x.contains(self.split_sep) | x.contains(qc),
                         F.concat(
@@ -620,10 +650,15 @@ class CsvParser(Operator):
             new_map = F.map_concat(
                 new_map,
                 F.when(
-                    size > n, F.create_map(F.lit("_decode_preserve_"), rejoined)
+                    nfields > n, F.create_map(F.lit("_decode_preserve_"), rejoined)
                 ).otherwise(F.expr("map()")),
             )
-        return self.options.finalize(df, success, new_map, src)
+        # Go plugins have no CommonParserOptions erase path: a decode failure
+        # always KEEPS the source key and never drops the event
+        # (shouldKeepSrc, processor_csv.go:132-134); KeepSource only governs
+        # the success side.
+        opts = dataclasses.replace(self.options, keep_fail=True, coping_raw_log=False)
+        return opts.finalize(df, success, new_map, src)
 
 
 def _flatten_json_level(m: Column, connector: str) -> Column:

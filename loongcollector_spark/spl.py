@@ -64,6 +64,13 @@ def _rewrite_segment(seg: str) -> str:
         name = m.group(1)
         if name.lower() in _SQL_KEYWORDS:
             return name
+        # function call (identifier followed by '('): leave any SQL function
+        # untouched — only bare value identifiers become fields-map lookups
+        j = m.end()
+        while j < len(seg) and seg[j] in " \t":
+            j += 1
+        if j < len(seg) and seg[j] == "(":
+            return name
         return f"element_at({FIELDS}, '{name}')"
 
     return _IDENT.sub(sub, seg)

@@ -131,3 +131,18 @@ def test_dict_map_csv_rejects_conflicts(tmp_path):
     p.write_text("a,1\na,2\n")
     with pytest.raises(ValueError, match="hash crash"):
         read_dict_csv(str(p))
+
+
+def test_fused_csvlog_overflow_matches_branched(spark):
+    """A csvlog line with MORE than len(CSV_KEYS) tab-separated fields gets
+    the same __column{i}__ EXTEND overflow keys on the fused path as on the
+    branched DelimiterParser path."""
+    seq = spark.createDataFrame(
+        [("d1", [ord(c) for c in "u1\t10\tGET\t42\textra1\textra2"], 6, "csvlog")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    a = flagship.parsed_events_from(seq, arrow=False).collect()
+    b = flagship.fused_parsed_events(seq, arrow=False).collect()
+    fa, fb = dict(a[0][FIELDS]), dict(b[0][FIELDS])
+    assert fa == fb
+    assert fa["__column4__"] == "extra1" and fa["__column5__"] == "extra2"

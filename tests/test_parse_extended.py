@@ -244,3 +244,34 @@ def test_containerd_flag_edge_cases(spark):
     assert f[1]["_part_"] == "F" and f[1]["content"] == "P"
     assert f[2]["_part_"] == "F" and f[2]["content"] == ""
     assert 3 not in f and 4 not in f
+
+
+def test_csv_malformed_quote_keeps_source(spark):
+    """Go csv errors (ErrQuote / ErrBareQuote / unterminated quote) fail the
+    decode and the source key is KEPT (processor_csv.go:72-80,132)."""
+    bad = ['a,"b,c', '"a"x,b,c', 'a"b,c,d']
+    out = CsvParser(["a", "b", "c"]).apply(_events(spark, bad))
+    fs = _fields(out)
+    for i in range(len(bad)):
+        assert fs[i] == {"content": bad[i]}, fs[i]
+
+
+def test_csv_empty_fields_are_valid(spark):
+    """',,' decodes to three EMPTY fields, not a short row
+    (processor_csv.go:81-85 'Empty value should also be considered as a
+    valid field')."""
+    fs = _fields(CsvParser(["a", "b", "c"]).apply(_events(spark, [",,", ""])))
+    assert fs[0] == {"a": "", "b": "", "c": ""}
+    # empty input decodes to one empty field -> only the first key
+    assert fs[1] == {"a": ""}
+
+
+def test_csv_empty_mid_extra_field_position(spark):
+    """An empty field among the extras must not shift later extras
+    (null-filtering the from_csv padding used to collapse positions)."""
+    fs = _fields(
+        CsvParser(["a"], expand_others=True, expand_prefix="ex_").apply(
+            _events(spark, ["1,,3"])
+        )
+    )
+    assert fs[0] == {"a": "1", "ex_1": "", "ex_2": "3"}

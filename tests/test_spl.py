@@ -102,3 +102,15 @@ def test_spl_matches_handwritten_pipeline(spark):
         tuple(sorted(dict(r[FIELDS]).items())) for r in hand.collect()
     )
     assert spl_rows == hand_rows
+
+
+def test_spl_where_with_function_call(spark):
+    """SQL functions in where/extend expressions are NOT rewritten into
+    fields-map lookups (only bare value identifiers are)."""
+    script = (
+        "* | parse-csv content as word, num"
+        " | extend t = trim(word) | where length(t) = 3"
+    )
+    out = compile_spl(script)(_events(spark, ["  abc ,1", "x,2"]))
+    rows = [dict(r[FIELDS]) for r in out.collect()]
+    assert len(rows) == 1 and rows[0]["t"] == "abc"

@@ -104,3 +104,15 @@ def test_shardhash_tag_matches_reference_construction(spark):
         )
     # all 8 buckets exercised
     assert len({r[sh.bucket_col] for r in out}) == shard_count
+
+
+def test_shardhash_count_one(spark):
+    """shard_count=1: single bucket 0 and the all-zeros 32-hex tag (the [1,512]
+    validation allows it; bits=0 used to make the md5 prefix empty -> NULL)."""
+    from loongcollector_spark.aggregate import ShardHash
+
+    sh = ShardHash(["k"], shard_count=1, repartition=False)
+    df = spark.createDataFrame([(str(i),) for i in range(5)], ["k"])
+    out = sh.apply(df).withColumn("tag", sh.shardhash_tag()).collect()
+    assert {r[sh.bucket_col] for r in out} == {0}
+    assert {r["tag"] for r in out} == {"0" * 32}
