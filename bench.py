@@ -33,6 +33,39 @@ def _burn(n: int) -> int:
     return x
 
 
+def _tree_cpu_s() -> float:
+    """Total CPU seconds (user+sys) consumed so far by THIS process tree —
+    driver python, the Spark JVM, and every Python worker. Load-independent:
+    external processes on the shared host are excluded, so deltas around a
+    timed run give the job's true CPU cost (the VERDICT-requested
+    'executor CPU per row' metric, extended to cover the Python stage)."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, float]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        # after the comm field: parts[1]=ppid, parts[11]=utime, parts[12]=stime
+        procs[int(p)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    seen: set[int] = set()
+    stack = [me]
+    while stack:
+        x = stack.pop()
+        if x in seen:
+            continue
+        seen.add(x)
+        stack.extend(children.get(x, []))
+    clk = os.sysconf("SC_CLK_TCK")
+    return sum(procs[p][1] for p in seen if p in procs) / clk
+
+
 def ensure_sequences_cache(spark, sf_dir: str, factor: int = 1) -> str:
     """Materialize the pre-tokenized sequences table (the north-rule input
     shape) as SOURCE-PARTITIONED multi-file parquet, once per (sf, factor).
@@ -155,71 +188,180 @@ def run_bench() -> dict:
         "cpus": cpus,
     }
 
+    # like-for-like parse throughput (reference README.md:66 — 68 MB/s regex
+    # parse on ONE native thread): nginx regex parse over PRE-DECODED content
+    # strings (same unit of work as the agent: raw line in → fields out), at
+    # saturation scale (≥10M lines), bytes/s reported.
+    if os.environ.get("SPARK_GRAFT_SKIP_PARSE_BENCH") != "1":
+        result["parse_bench"] = _parse_throughput_bench(sf_dir, cpus)
+
     # scaling: same job, same input, at cpus/4 vs cpus (the N→4N criterion,
     # in-sandbox). The input is replicated so the job is CPU-bound rather
     # than overhead-bound at test scale — throughput is per REPLICATED row.
-    # The sandbox host is SHARED (external load): a pure-CPU multiprocessing
-    # probe measures what 4× parallelism can actually deliver right now, and
-    # its efficiency is reported as `machine_ceiling` context.
+    # The sandbox host is SHARED (external load), so the evidence is a
+    # probe-job-probe protocol over ≥3 interleaved passes (VERDICT r1 item 1):
+    #   probe → low run → high run → probe, per pass, with a pure-CPU
+    #   multiprocessing probe measuring what 4× parallelism can actually
+    #   deliver on the box at that moment (machine ceiling), PLUS a
+    #   load-independent process-tree CPU-seconds-per-row metric at both
+    #   levels (ideal scaling = flat CPU/row).
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and cpus >= 8:
-        low_cpus = max(cpus // 4, 2)
-        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "24"))
-
-        def _cpu_probe() -> float:
-            import multiprocessing as mp
-
-            out = {}
-            for procs in (low_cpus, cpus):
-                t0 = time.perf_counter()
-                with mp.Pool(procs) as p:
-                    p.map(_burn, [2_000_000] * (cpus * 2))
-                out[procs] = time.perf_counter() - t0
-            return (out[low_cpus] / out[cpus]) / (cpus / low_cpus)
-        from loongcollector_spark import flagship
-        from loongcollector_spark.session import get_spark as gs
-
-        prep = gs("bench-scale-prep", master=f"local[{cpus}]", shuffle_partitions=cpus)
-        prep.sparkContext.setLogLevel("ERROR")
-        big_cache = ensure_sequences_cache(prep, sf_dir, factor)
-        prep.stop()
-
-        def e2e_at(n: int, runs: int = 2) -> float:
-            s = gs(f"bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=n)
-            s.sparkContext.setLogLevel("ERROR")
-            seq_big = s.read.parquet(big_cache)
-            t = _timeit(
-                lambda: flagship.pipeline_aggregates_from(s, seq_big).collect(),
-                warm=1,
-                runs=runs,
-            )
-            s.stop()
-            return t
-
-        # interleaved passes (low, high, low, high) cancel the shared host's
-        # load drift; best-of across passes damps spikes
-        l1 = e2e_at(low_cpus)
-        h1 = e2e_at(cpus)
-        l2 = e2e_at(low_cpus)
-        h2 = e2e_at(cpus)
-        t_low = min(l1, l2)
-        t_high = min(h1, h2)
-        big_rows = n_rows * factor
-        thr_low = big_rows / t_low
-        thr_high = big_rows / t_high
-        result["scaling"] = {
-            "cpus_low": low_cpus,
-            "cpus_high": cpus,
-            "replication": factor,
-            "rows": big_rows,
-            "sec_low": round(t_low, 3),
-            "sec_high": round(t_high, 3),
-            "seq_per_sec_low": round(thr_low, 1),
-            "seq_per_sec_high": round(thr_high, 1),
-            "efficiency": round((thr_high / thr_low) / (cpus / low_cpus), 3),
-            "machine_ceiling": round(_cpu_probe(), 3),
-        }
+        result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
 
     return result
+
+
+def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
+    from loongcollector_spark import flagship
+    from loongcollector_spark.operators.base import to_events
+    from loongcollector_spark.operators.parse import RegexParser
+    from loongcollector_spark.session import get_spark
+    from loongcollector_spark.tokens import decode_tokens_arrow
+
+    import pyspark.sql.functions as F
+
+    factor = int(os.environ.get("SPARK_GRAFT_PARSE_FACTOR", "100"))
+    spark = get_spark(
+        f"bench-parse-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    seq_cache = ensure_sequences_cache(spark, sf_dir, factor)
+
+    # one-time: materialize the DECODED nginx lines (decode is fixture prep —
+    # the agent reads raw strings from the file; parquet is the stand-in)
+    content_path = seq_cache.rstrip("/") + "_nginx_content"
+    if not os.path.exists(os.path.join(content_path, "_SUCCESS")):
+        seq = spark.read.parquet(seq_cache).filter(F.col("source") == "nginx")
+        dec = decode_tokens_arrow(seq, "tokens", "content").select("doc_id", "content")
+        dec.repartition(cpus * 4).write.mode("overwrite").parquet(content_path)
+
+    lines_df = spark.read.parquet(content_path)
+    stats = lines_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("content")).alias("b")
+    ).collect()[0]
+    n_lines, n_bytes = stats["n"], stats["b"]
+
+    parser = RegexParser(flagship.NGINX_REGEX, flagship.NGINX_KEYS)
+
+    def run() -> None:
+        _noop(parser.apply(to_events(spark.read.parquet(content_path))))
+
+    sec = _timeit(run, warm=1, runs=2)
+    # decode+parse (all 3 formats) over the full replicated table: the
+    # end-to-end parse stage number at the same scale
+    seq_big = spark.read.parquet(seq_cache)
+    sec_full = _timeit(
+        lambda: _noop(flagship.parsed_events_from(seq_big)), warm=0, runs=1
+    )
+    spark.stop()
+    mb = n_bytes / 1e6
+    return {
+        "rows": n_lines,
+        "mb": round(mb, 1),
+        "sec": round(sec, 3),
+        "mb_per_sec": round(mb / sec, 1),
+        "mb_per_sec_per_core": round(mb / sec / cpus, 2),
+        "lines_per_sec": round(n_lines / sec, 1),
+        "ref_single_thread_mb_per_sec": 68.0,
+        "decode_parse_all_sources_sec": round(sec_full, 3),
+        "cpus": cpus,
+    }
+
+
+def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
+    import multiprocessing as mp
+
+    from loongcollector_spark import flagship
+    from loongcollector_spark.session import get_spark as gs
+
+    low_cpus = max(cpus // 4, 2)
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "24"))
+    passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
+
+    def cpu_probe() -> float:
+        """Wall-clock speedup ceiling of low→high pure-CPU parallelism on the
+        box right now (1.0 = ideal 4×; <1 under external co-tenant load)."""
+        out = {}
+        for procs in (low_cpus, cpus):
+            with mp.Pool(procs) as p:
+                p.map(_burn, [100_000] * procs)  # warm the pool (fork cost out)
+                t0 = time.perf_counter()
+                p.map(_burn, [5_000_000] * (cpus * 2))
+                out[procs] = time.perf_counter() - t0
+        return (out[low_cpus] / out[cpus]) / (cpus / low_cpus)
+
+    prep = gs("bench-scale-prep", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    prep.sparkContext.setLogLevel("ERROR")
+    big_cache = ensure_sequences_cache(prep, sf_dir, factor)
+    prep.stop()
+    big_rows = n_rows * factor
+
+    def measure(n: int) -> tuple[float, float]:
+        """One session at local[n]: warm run, then timed run with a
+        process-tree CPU delta → (wall sec, cpu sec)."""
+        s = gs(f"bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=n)
+        s.sparkContext.setLogLevel("ERROR")
+        seq_big = s.read.parquet(big_cache)
+        flagship.pipeline_aggregates_from(s, seq_big).collect()  # warm
+        seq_big2 = s.read.parquet(big_cache)
+        c0 = _tree_cpu_s()
+        t0 = time.perf_counter()
+        flagship.pipeline_aggregates_from(s, seq_big2).collect()
+        wall = time.perf_counter() - t0
+        cpu = _tree_cpu_s() - c0
+        s.stop()
+        return wall, cpu
+
+    runs = []
+    for i in range(passes):
+        p_pre = cpu_probe()
+        t_low, cpu_low = measure(low_cpus)
+        t_high, cpu_high = measure(cpus)
+        p_post = cpu_probe()
+        eff = (big_rows / t_high) / (big_rows / t_low) / (cpus / low_cpus)
+        ceiling = (p_pre + p_post) / 2
+        runs.append(
+            {
+                "probe_pre": round(p_pre, 3),
+                "sec_low": round(t_low, 3),
+                "sec_high": round(t_high, 3),
+                "cpu_s_low": round(cpu_low, 1),
+                "cpu_s_high": round(cpu_high, 1),
+                "efficiency": round(eff, 3),
+                "probe_post": round(p_post, 3),
+                "eff_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            }
+        )
+
+    effs = sorted(r["efficiency"] for r in runs)
+    best = max(runs, key=lambda r: r["efficiency"])
+    med_eff = effs[len(effs) // 2]
+    # CPU/row at each level (median across passes): flat CPU/row == no
+    # algorithmic scaling overhead, independent of host load
+    cpu_row_low = sorted(r["cpu_s_low"] / big_rows for r in runs)[passes // 2]
+    cpu_row_high = sorted(r["cpu_s_high"] / big_rows for r in runs)[passes // 2]
+    t_low = min(r["sec_low"] for r in runs)
+    t_high = min(r["sec_high"] for r in runs)
+    return {
+        "cpus_low": low_cpus,
+        "cpus_high": cpus,
+        "replication": factor,
+        "rows": big_rows,
+        "sec_low": round(t_low, 3),
+        "sec_high": round(t_high, 3),
+        "seq_per_sec_low": round(big_rows / t_low, 1),
+        "seq_per_sec_high": round(big_rows / t_high, 1),
+        "efficiency": round((big_rows / t_high) / (big_rows / t_low) / (cpus / low_cpus), 3),
+        "efficiency_median": round(med_eff, 3),
+        "efficiency_best_vs_ceiling": best["eff_vs_ceiling"],
+        "machine_ceiling": round(
+            sorted((r["probe_pre"] + r["probe_post"]) / 2 for r in runs)[passes // 2], 3
+        ),
+        "cpu_ms_per_row_low": round(cpu_row_low * 1000, 4),
+        "cpu_ms_per_row_high": round(cpu_row_high * 1000, 4),
+        "cpu_per_row_ratio": round(cpu_row_high / cpu_row_low, 3) if cpu_row_low else None,
+        "passes": runs,
+    }
 
 
 if __name__ == "__main__":

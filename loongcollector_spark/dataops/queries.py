@@ -70,6 +70,36 @@ _NEAR_CORPUS_SQL = """corpus AS (
   FROM documents WHERE doc_id % 5 = 0
 )"""
 
+def _capped_cand_sql(
+    keys: str = "band, bkey",
+    id_col: str = "doc_id",
+    cap: int = 64,
+    anchors: int = 1,
+    src: str = "bands",
+) -> str:
+    """SQL mirror of text.capped_bucket_pairs: `cand(id_a, id_b)` from bucket
+    co-membership in `src`, with oversized buckets (> cap) reduced to pairs
+    touching the `anchors` lowest-id members."""
+    cols = [k.strip() for k in keys.split(",")]
+    on = " AND ".join(f"a.{k} = b.{k}" for k in cols)
+    return f"""ranked AS (
+  SELECT {id_col}, {keys},
+         row_number() OVER (PARTITION BY {keys} ORDER BY {id_col}) AS rk,
+         count(*) OVER (PARTITION BY {keys}) AS bn
+  FROM {src}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM ranked a JOIN ranked b ON {on} AND a.{id_col} < b.{id_col}
+  WHERE a.bn <= {cap}
+  UNION
+  SELECT DISTINCT least(a.{id_col}, b.{id_col}) AS id_a,
+                  greatest(a.{id_col}, b.{id_col}) AS id_b
+  FROM ranked a JOIN ranked b ON {on} AND a.{id_col} <> b.{id_col}
+  WHERE a.bn > {cap} AND a.rk <= {anchors}
+)"""
+
+
 # shared shingle SQL over `corpus` (3-gram distinct shingles per doc)
 _SHINGLES_SQL = """w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS wl FROM corpus),
 pos AS (SELECT doc_id, unnest(wl) AS word, unnest(range(1, len(wl)+1)) AS p FROM w),
@@ -116,10 +146,7 @@ bands AS (
   SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
+{_capped_cand_sql()},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -137,6 +164,92 @@ scored AS (
   JOIN sizes nb ON nb.doc_id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5"""
+
+
+def _hot_corpus(spark: SparkSession, docs: DataFrame, n_copies: int = 1000) -> DataFrame:
+    """Near-dup corpus PLUS a hot cluster: ``n_copies`` exact copies of the
+    lowest-doc_id document at doc_id 20000000+i — the boilerplate-cluster
+    shape that makes every band bucket of the cluster hold n_copies+1
+    members (the common case in web corpora that blows up an uncapped LSH
+    self-join)."""
+    base = _near_dup_corpus(docs)
+    seed = docs.orderBy("doc_id").limit(1).select("text")
+    copies = (
+        spark.range(n_copies)
+        .crossJoin(F.broadcast(seed))
+        .select((F.col("id") + 20000000).alias("doc_id"), "text")
+    )
+    return base.unionByName(copies)
+
+
+def q_dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup over a corpus containing a 1000-copy hot cluster:
+    exercises the per-bucket candidate cap (star pairing against the min-id
+    representative) — output stays O(cluster), not O(cluster²). Returns
+    per-cluster aggregates (pair lists would be 1000+ rows of redundancy)."""
+    corpus = _hot_corpus(spark, _docs(spark, sf_dir))
+    pairs = text.minhash_near_dup_pairs(corpus, threshold=0.5)
+    clusters = text.near_dup_clusters(pairs)
+    return (
+        clusters.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy("cluster")
+    )
+
+
+def oracle_dedup_minhash_hot() -> str:
+    hot_corpus_sql = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(list_slice(string_split_regex(text, '\\s+'), 3, 1000000), ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 20000000 + i AS doc_id,
+         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+  FROM range(0, 1000) t(i)
+)"""
+    return f"""WITH RECURSIVE {hot_corpus_sql},
+{_SHINGLES_SQL},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sg FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+{_capped_cand_sql()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)), 4) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(node, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+clusters AS (SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster FROM walk GROUP BY node)
+SELECT cluster, count(*) AS members FROM clusters GROUP BY cluster ORDER BY cluster"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,9 +392,12 @@ corpus AS (
   FROM v0 WHERE vec_id % 50 = 0
 ),
 vb AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM corpus),
+{_capped_cand_sql(keys="bucket", id_col="vec_id", cap=256, anchors=16, src="vb")},
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b, {cos} AS cos
+  FROM cand c
+  JOIN vb a ON a.vec_id = c.id_a
+  JOIN vb b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999"""
 
@@ -516,10 +632,7 @@ bands AS (
   SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
+{_capped_cand_sql()},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -570,10 +683,7 @@ bands AS (
   SELECT doc_id, b.band, md5(sg[2*b.band + 1] || sg[2*b.band + 2]) AS bkey
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
+{_capped_cand_sql()},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -649,6 +759,7 @@ FROM packed GROUP BY source, bin ORDER BY source, bin"""
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_hot": q_dedup_minhash_hot,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_topk": q_embed_topk,
@@ -674,6 +785,7 @@ DATAOPS_ORACLES = {
     "token_packing": oracle_token_packing(),
     "dedup_exact": oracle_dedup_exact(),
     "dedup_minhash": oracle_dedup_minhash(),
+    "dedup_minhash_hot": oracle_dedup_minhash_hot(),
     "dedup_simhash": oracle_dedup_simhash(),
     "ngram_jaccard": oracle_ngram_jaccard(),
     "embed_topk": oracle_embed_topk(),

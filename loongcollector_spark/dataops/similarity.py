@@ -150,11 +150,37 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 256,
+    n_anchors: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (candidates
     share a bucket) then exact cosine ≥ threshold — the embedding analog of
-    MinHash near-dup."""
+    MinHash near-dup.
+
+    Buckets larger than ``max_bucket`` are capped to pairs touching the
+    bucket's ``n_anchors`` lowest-id members (see text.capped_bucket_pairs) —
+    an anchor-SAMPLE rather than a single representative, because an LSH
+    bucket (unlike a MinHash band bucket) can mix several distinct dup
+    groups. Per-bucket candidates drop from O(k²) to O(n_anchors·k). The
+    production recall dial is the plane count (more planes → smaller
+    buckets); the cap is the blowup guard."""
     vb = vectors.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
+    if max_bucket is not None:
+        from .text import capped_bucket_pairs
+
+        cands = capped_bucket_pairs(
+            vb.select(id_col, "__bucket__"), ["__bucket__"], id_col, max_bucket, n_anchors
+        )
+        va_df = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+        vb_df = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+        va = F.transform(F.col("__va__"), lambda x: x.cast("double"))
+        vbv = F.transform(F.col("__vb__"), lambda x: x.cast("double"))
+        return (
+            cands.join(va_df, "id_a")
+            .join(vb_df, "id_b")
+            .select("id_a", "id_b", F.round(cosine(va, vbv), 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
     a = vb.alias("a")
     b = vb.alias("b")
     va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))

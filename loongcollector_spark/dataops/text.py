@@ -108,6 +108,62 @@ def exploded_shingles(
     ).distinct()
 
 
+def capped_bucket_pairs(
+    bands: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    max_bucket: int,
+    n_anchors: int = 1,
+) -> DataFrame:
+    """Candidate pairs from bucket co-membership, with a per-bucket pair
+    BOUND (standard large-scale MinHash/LSH practice — a 10k-copy boilerplate
+    cluster must not produce 10⁸ pairs):
+
+    - bucket size ≤ ``max_bucket``: all pairs (≤ max_bucket² per bucket);
+    - oversized buckets: only pairs touching the bucket's ``n_anchors``
+      lowest-id members (≤ n_anchors·k per bucket). With ``n_anchors=1`` this
+      is min-id-representative star pairing: every member still pairs with
+      the representative, so connected-components clustering is unchanged for
+      true dup clusters.
+
+    One extra window pass keyed by the bucket (rank + size share a single
+    shuffle); oversized buckets are rare by construction, so the ranking sort
+    is bounded by the hot-bucket size, not the table."""
+    wb = Window.partitionBy(*keys)
+    ranked = bands.withColumn(
+        "__rk__", F.row_number().over(wb.orderBy(id_col))
+    ).withColumn("__bn__", F.count(F.lit(1)).over(wb))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    on_bucket = None
+    for kcol in keys:
+        eq = F.col(f"a.{kcol}") == F.col(f"b.{kcol}")
+        on_bucket = eq if on_bucket is None else (on_bucket & eq)
+    small = (
+        a.join(
+            b,
+            on_bucket
+            & (F.col("a.__bn__") <= max_bucket)
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    big = (
+        a.join(
+            b,
+            on_bucket
+            & (F.col("a.__bn__") > max_bucket)
+            & (F.col("a.__rk__") <= n_anchors)
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+    )
+    return small.unionByName(big).distinct()
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,6 +171,7 @@ def minhash_candidate_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidates: (id_a, id_b) sharing ≥1 band
     bucket.
@@ -123,7 +180,10 @@ def minhash_candidate_pairs(
     explode shingles → k min-aggregates per doc (map-side partial agg) →
     band keys from the k plain columns → explode bands → self-join on
     (band, bkey). The join key space is the bucket space, so the shuffle is
-    uniform unless a bucket is genuinely hot (a true dup cluster)."""
+    uniform unless a bucket is genuinely hot (a true dup cluster) — which is
+    why oversized buckets are capped to min-id-representative star pairs
+    (``max_bucket``; see capped_bucket_pairs). ``max_bucket=None`` restores
+    the unbounded self-join."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     mins = sh.groupBy(id_col).agg(
         *[
@@ -148,6 +208,8 @@ def minhash_candidate_pairs(
     bands = mins.select(F.col(id_col), F.explode(band_structs).alias("bp")).select(
         id_col, F.col("bp.band").alias("band"), F.col("bp.bkey").alias("bkey")
     )
+    if max_bucket is not None:
+        return capped_bucket_pairs(bands, ["band", "bkey"], id_col, max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -210,11 +272,17 @@ def jaccard_verify(
 
 
 def minhash_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.6, k: int = 8, rows_per_band: int = 2
+    df: DataFrame,
+    threshold: float = 0.6,
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    bucket-join → Jaccard verify."""
-    cands = minhash_candidate_pairs(df, k=k, rows_per_band=rows_per_band)
+    bucket-join (hot buckets star-capped) → Jaccard verify."""
+    cands = minhash_candidate_pairs(
+        df, k=k, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
     return jaccard_verify(cands, df, threshold=threshold)
 
 

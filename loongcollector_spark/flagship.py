@@ -119,7 +119,7 @@ def fused_parsed_events(
     pruning applies)."""
     import re as _re
 
-    from .operators.common import parsed_map
+    from .operators.common import flet, parsed_map
     from .tokens import decode_tokens, decode_tokens_arrow
 
     if arrow:
@@ -130,20 +130,27 @@ def fused_parsed_events(
     opts = ParserOptions(keep_fail=keep_unmatch, coping_raw_log=keep_unmatch)
     src = F.element_at(F.col("fields"), F.lit("content"))
 
-    # nginx regex (single-matcher-pass trick, same as RegexParser)
+    # nginx regex (single-matcher-pass trick + let-binding, same as
+    # RegexParser: unbound element_at refs would re-run the regex per key)
     rx = f"^(?:{NGINX_REGEX})$"
     sep = "\x01"
     repl = sep.join(f"${i + 1}" for i in range(len(NGINX_KEYS)))
     arr_n = F.split(F.regexp_replace(src, rx, repl), sep, -1)
-    map_nginx = parsed_map(
-        {k: F.element_at(arr_n, i + 1) for i, k in enumerate(NGINX_KEYS)}
+    map_nginx = flet(
+        arr_n,
+        lambda a: parsed_map(
+            {k: F.element_at(a, i + 1) for i, k in enumerate(NGINX_KEYS)}
+        ),
     )
     ok_nginx = src.rlike(rx)
 
     # app-json one-level parse
     m_json = F.from_json(src, "map<string,string>")
-    map_json = F.transform_values(
-        F.coalesce(m_json, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+    map_json = flet(
+        m_json,
+        lambda mm: F.transform_values(
+            F.coalesce(mm, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+        ),
     )
     ok_json = m_json.isNotNull()
 
@@ -151,18 +158,20 @@ def fused_parsed_events(
     # extras land in 0-based __column{idx}__ keys, same as the branched path)
     arr_c = F.split(src, _re.escape("\t"), -1)
     nc = len(CSV_KEYS)
-    size_c = F.size(arr_c)
-    map_csv = parsed_map(
-        {k: F.element_at(arr_c, i + 1) for i, k in enumerate(CSV_KEYS)}
-    )
-    ext_csv = parsed_map(
-        {
-            f"__column{nc + i}__": F.when(size_c >= nc + i + 1, F.element_at(arr_c, nc + i + 1))
-            for i in range(8)
-        }
-    )
-    map_csv = F.map_concat(map_csv, F.map_filter(ext_csv, lambda k, v: v.isNotNull()))
-    ok_csv = size_c >= nc
+
+    def _map_csv(a):
+        sz = F.size(a)
+        m = parsed_map({k: F.element_at(a, i + 1) for i, k in enumerate(CSV_KEYS)})
+        ext = parsed_map(
+            {
+                f"__column{nc + i}__": F.when(sz >= nc + i + 1, F.element_at(a, nc + i + 1))
+                for i in range(8)
+            }
+        )
+        return F.map_concat(m, F.map_filter(ext, lambda k, v: v.isNotNull()))
+
+    map_csv = flet(arr_c, _map_csv)
+    ok_csv = F.size(arr_c) >= nc
 
     s = F.col("source")
     success = src.isNotNull() & (

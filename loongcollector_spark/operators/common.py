@@ -63,26 +63,17 @@ class ParserOptions:
         # event contents minus the consumed source key
         base = F.map_filter(F.col(FIELDS), lambda k, v: k != F.lit(self.source_key))
 
-        add_source = (
-            (success & F.lit(self.keep_succeed)) | (~success & F.lit(self.keep_fail))
-        ) & src.isNotNull()
-        add_raw = (~success & F.lit(self.keep_fail and self.coping_raw_log)) & src.isNotNull()
-
-        # LAST_WIN precedence (later wins): raw_log < renamed_source < parsed < base
-        merged = F.map_concat(
-            F.when(add_raw, F.create_map(F.lit(RAW_LOG_KEY), src)).otherwise(empty),
-            F.when(add_source, F.create_map(F.lit(self.renamed), src)).otherwise(empty),
-            F.when(success, new_map).otherwise(empty),
-            base,
-        )
-
-        out = df.withColumn(FIELDS, merged)
+        out = df
         if not self.keep_fail:
             # ShouldEraseEvent (CommonParserOptions.cpp:100-117): drop failed
             # rows whose remaining contents are empty, ONLY the
             # __file_offset__ position meta, or ONLY the container
             # _time_/_source_ pair — i.e. nothing the user would keep.
-            f = F.col(FIELDS)
+            # Filter BEFORE the fields projection: for failed keep_fail=False
+            # rows the merged map IS `base`, so the condition only needs
+            # (success, base) — filtering after would substitute the whole
+            # merged expression into the predicate (regex re-run per check).
+            f = base
             only_offset = (F.size(f) == 1) & F.map_contains_key(
                 f, F.lit("__file_offset__")
             )
@@ -93,7 +84,44 @@ class ParserOptions:
             )
             erasable = (F.size(f) == 0) | only_offset | only_container
             out = out.filter(success | ~erasable)
-        return out
+
+        # LAST_WIN precedence (later wins): raw_log < renamed_source < parsed
+        # < base. `success`/`src` are LET-BOUND with the parsed map: the merge
+        # references them up to four times, and an unbound `success` would
+        # re-run the match regex per reference.
+        def merge(b: Column) -> Column:
+            ok, s = b.getField("ok"), b.getField("src")
+            add_source = (
+                (ok & F.lit(self.keep_succeed)) | (~ok & F.lit(self.keep_fail))
+            ) & s.isNotNull()
+            add_raw = (~ok & F.lit(self.keep_fail and self.coping_raw_log)) & s.isNotNull()
+            return F.map_concat(
+                F.when(add_raw, F.create_map(F.lit(RAW_LOG_KEY), s)).otherwise(empty),
+                F.when(add_source, F.create_map(F.lit(self.renamed), s)).otherwise(empty),
+                F.coalesce(b.getField("nm"), empty),
+                base,
+            )
+
+        # nm stays guarded by `success` INSIDE the struct: parser map builds
+        # may index arrays that are short on failed rows (ANSI element_at
+        # throws out-of-bounds), so it must never evaluate for failed rows
+        bound = F.struct(
+            success.alias("ok"),
+            F.when(success, new_map).alias("nm"),
+            src.alias("src"),
+        )
+        return out.withColumn(FIELDS, flet(bound, merge))
+
+
+def flet(col: Column, fn) -> Column:
+    """Let-binding: evaluate ``col`` ONCE per row and pass it to ``fn`` as a
+    lambda variable. Catalyst's CollapseProject re-inlines a subexpression at
+    every reference (and lambda subtrees defeat codegen CSE), so an expression
+    like split(regexp_replace(src, rx, repl)) referenced by k element_at calls
+    runs the REGEX k times per row — measured 3.5× slowdown on the nginx parse
+    at 8M rows. Wrapping the references in a single-element transform makes
+    the binding explicit."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def parsed_map(pairs: Mapping[str, Column]) -> Column:

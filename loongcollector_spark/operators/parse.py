@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .base import FIELDS, Operator
-from .common import ParserOptions, parsed_map
+from .common import ParserOptions, flet, parsed_map
 from .grok_patterns import DEFAULT_PATTERNS
 
 
@@ -73,8 +73,13 @@ class RegexParser(Operator):
             sep = self.group_sep
             repl = sep.join(f"${i + 1}" for i in range(len(self.keys)))
             arr = F.split(F.regexp_replace(src, rx, repl), sep, -1)
-            new_map = parsed_map(
-                {k: F.element_at(arr, i + 1) for i, k in enumerate(self.keys)}
+            # let-bind the split: element_at references would otherwise
+            # re-inline the whole regexp_replace per key (k regex runs/row)
+            new_map = flet(
+                arr,
+                lambda a: parsed_map(
+                    {k: F.element_at(a, i + 1) for i, k in enumerate(self.keys)}
+                ),
             )
         else:
             new_map = parsed_map(
@@ -107,7 +112,8 @@ class DelimiterParser(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
         n = len(self.keys)
-        if self.quote and len(self.separator) == 1:
+        quote_path = bool(self.quote) and len(self.separator) == 1
+        if quote_path:
             schema = ", ".join(f"`_c{i}` string" for i in range(n + self.max_overflow_cols))
             arr_struct = F.from_csv(
                 src, F.lit(schema), {"sep": self.separator, "quote": self.quote}
@@ -116,50 +122,61 @@ class DelimiterParser(Operator):
                 *[arr_struct.getField(f"_c{i}") for i in range(n + self.max_overflow_cols)]
             )
             arr = F.filter(arr, lambda x, i: x.isNotNull() | (i < F.lit(n)))
+
             # the first n slots are padded with nulls for short rows — the
             # PARSED column count is the non-null count (contiguous prefix),
             # otherwise success would hold for any input
-            size = F.size(F.filter(arr, lambda x: x.isNotNull()))
+            def _size(a: Column) -> Column:
+                return F.size(F.filter(a, lambda x: x.isNotNull()))
+
         else:
             arr = F.split(src, re.escape(self.separator), -1)
-            size = F.size(arr)
+            _size = F.size
+        size = _size(arr)
         success = src.isNotNull() & (
             (size >= n) if not self.allow_shortened else (size >= F.lit(1))
         )
 
-        pairs: dict[str, Column] = {}
-        for i, k in enumerate(self.keys):
-            v = F.element_at(arr, i + 1)
-            if self.allow_shortened:
-                v = F.when(size >= i + 1, v)  # missing trailing keys absent, not null
-            pairs[k] = v
-        if self.overflow == OverflowTreatment.KEEP:
-            # KEEP: the raw remainder — INCLUDING its leading separator —
-            # lands in __column{n}__ (TestExtend 'not Extend' golden:
-            # '123@@456@@1@@2@@3' keys a,b,c → __column3__ = '@@2@@3')
-            tail = F.concat(
-                F.lit(self.separator),
-                F.array_join(
-                    F.slice(arr, n + 1, F.greatest(size - n, F.lit(0))), self.separator
-                ),
-            )
-            pairs[f"__column{n}__"] = F.when(size > n, tail)
-        if self.overflow == OverflowTreatment.DISCARD:
-            # ExtractingPartialFields: keys named "_" are skipped
-            # (ProcessorParseDelimiterNative.cpp:328-331)
-            pairs = {k: v for k, v in pairs.items() if k != "_"}
-        new_map = parsed_map(pairs)
-        if self.allow_shortened or self.overflow == OverflowTreatment.KEEP:
-            # drop NULL-valued entries (short rows / absent KEEP tail)
-            new_map = F.map_filter(new_map, lambda k, v: v.isNotNull())
-        if self.overflow == OverflowTreatment.EXTEND:
-            extend_pairs = {
-                f"__column{n + i}__": F.when(size >= n + i + 1, F.element_at(arr, n + i + 1))
-                for i in range(self.max_overflow_cols)
-            }
-            ext = F.map_filter(parsed_map(extend_pairs), lambda k, v: v.isNotNull())
-            new_map = F.map_concat(new_map, ext)
-        return self.options.finalize(df, success, new_map, src)
+        def build_map(a: Column) -> Column:
+            """Whole parsed-map construction over the LET-BOUND array `a`
+            (element_at/size references on the raw split/from_csv expression
+            would each re-inline it — one decode per key per row)."""
+            sz = _size(a)
+            pairs: dict[str, Column] = {}
+            for i, k in enumerate(self.keys):
+                v = F.element_at(a, i + 1)
+                if self.allow_shortened:
+                    v = F.when(sz >= i + 1, v)  # missing trailing keys absent, not null
+                pairs[k] = v
+            if self.overflow == OverflowTreatment.KEEP:
+                # KEEP: the raw remainder — INCLUDING its leading separator —
+                # lands in __column{n}__ (TestExtend 'not Extend' golden:
+                # '123@@456@@1@@2@@3' keys a,b,c → __column3__ = '@@2@@3')
+                tail = F.concat(
+                    F.lit(self.separator),
+                    F.array_join(
+                        F.slice(a, n + 1, F.greatest(sz - n, F.lit(0))), self.separator
+                    ),
+                )
+                pairs[f"__column{n}__"] = F.when(sz > n, tail)
+            if self.overflow == OverflowTreatment.DISCARD:
+                # ExtractingPartialFields: keys named "_" are skipped
+                # (ProcessorParseDelimiterNative.cpp:328-331)
+                pairs = {k: v for k, v in pairs.items() if k != "_"}
+            new_map = parsed_map(pairs)
+            if self.allow_shortened or self.overflow == OverflowTreatment.KEEP:
+                # drop NULL-valued entries (short rows / absent KEEP tail)
+                new_map = F.map_filter(new_map, lambda k, v: v.isNotNull())
+            if self.overflow == OverflowTreatment.EXTEND:
+                extend_pairs = {
+                    f"__column{n + i}__": F.when(sz >= n + i + 1, F.element_at(a, n + i + 1))
+                    for i in range(self.max_overflow_cols)
+                }
+                ext = F.map_filter(parsed_map(extend_pairs), lambda k, v: v.isNotNull())
+                new_map = F.map_concat(new_map, ext)
+            return new_map
+
+        return self.options.finalize(df, success, flet(arr, build_map), src)
 
 
 def _split_quoted_strict(line: str, sep: str, quote: str):
@@ -286,8 +303,12 @@ class JsonParser(Operator):
         m = F.from_json(src, "map<string,string>")
         # non-object JSON (arrays/scalars) and malformed input both yield NULL
         success = src.isNotNull() & m.isNotNull()
-        new_map = F.transform_values(
-            F.coalesce(m, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+        # let-bound: one from_json for the value map (success costs a second)
+        new_map = flet(
+            m,
+            lambda mm: F.transform_values(
+                F.coalesce(mm, F.expr("map()")), lambda k, v: F.coalesce(v, F.lit(""))
+            ),
         )
         return self.options.finalize(df, success, new_map, src)
 
@@ -479,8 +500,15 @@ class GrokParser(Operator):
             names = list(groups.keys())
             repl = sep.join(f"${groups[nm]}" for nm in names)
             arr = F.split(F.regexp_replace(src, jrx, repl), sep, -1)
-            pairs = {nm: F.element_at(arr, i + 1) for i, nm in enumerate(names)}
-            new_map = F.when(ok, parsed_map(pairs)).otherwise(new_map)
+            def _builder(ns):
+                # factory: a two-arg lambda (a, ns=names) would make
+                # F.transform pass (element, INDEX) and clobber the default
+                return lambda a: parsed_map(
+                    {nm: F.element_at(a, i + 1) for i, nm in enumerate(ns)}
+                )
+
+            pairs_map = flet(arr, _builder(names))
+            new_map = F.when(ok, pairs_map).otherwise(new_map)
             success = success | ok
 
         opts = self.options
@@ -533,30 +561,46 @@ class ApsaraParser(Operator):
         success = src.isNotNull() & src.rlike(rx)
         ts_str = F.regexp_extract(src, rx, 1)
         ts = F.to_timestamp(ts_str, self._TS_FMT)
-        rest = F.regexp_extract(src, rx, 6)
-        # tab-separated k:v tail → map (first ':' splits key from value;
-        # empty segments from double tabs carry no ':' and are skipped)
-        kv_pairs = F.filter(F.split(rest, "\t", -1), lambda p: F.instr(p, ":") > 0)
-        kv = F.map_from_arrays(
-            F.transform(kv_pairs, lambda p: F.substring_index(p, ":", 1)),
-            F.transform(
-                kv_pairs, lambda p: p.substr(F.instr(p, ":") + 1, F.length(p))
-            ),
-        )
-        base = parsed_map(
-            {
-                "microtime": F.unix_micros(ts).cast("string"),
-                "__LEVEL__": F.regexp_extract(src, rx, 2),
-                "__THREAD__": F.regexp_extract(src, rx, 3),
-                "__FILE__": F.regexp_extract(src, rx, 4),
-                "__LINE__": F.regexp_extract(src, rx, 5),
-            }
-        )
-        # absent optional [file:line] → groups 4/5 extract "" → drop them
-        base = F.map_filter(base, lambda k, v: v != "")
-        new_map = F.map_concat(base, F.coalesce(kv, F.expr("map()")))
+
+        # single matcher pass emitting all 6 groups, LET-BOUND (six
+        # regexp_extract calls would run the regex six times per row)
+        sep = "\x01"
+        repl = sep.join(f"${i + 1}" for i in range(6))
+        arr = F.split(F.regexp_replace(src, rx, repl), sep, -1)
+
+        def build_map(a: Column) -> Column:
+            rest = F.element_at(a, 6)
+            # tab-separated k:v tail → map (first ':' splits key from value;
+            # empty segments from double tabs carry no ':' and are skipped)
+            kv_pairs = F.filter(
+                F.split(rest, "\t", -1), lambda p: F.instr(p, ":") > 0
+            )
+            kv = flet(
+                kv_pairs,
+                lambda kp: F.map_from_arrays(
+                    F.transform(kp, lambda p: F.substring_index(p, ":", 1)),
+                    F.transform(
+                        kp, lambda p: p.substr(F.instr(p, ":") + 1, F.length(p))
+                    ),
+                ),
+            )
+            base = parsed_map(
+                {
+                    "microtime": F.unix_micros(
+                        F.to_timestamp(F.element_at(a, 1), self._TS_FMT)
+                    ).cast("string"),
+                    "__LEVEL__": F.element_at(a, 2),
+                    "__THREAD__": F.element_at(a, 3),
+                    "__FILE__": F.element_at(a, 4),
+                    "__LINE__": F.element_at(a, 5),
+                }
+            )
+            # absent optional [file:line] → groups 4/5 extract "" → drop them
+            base = F.map_filter(base, lambda k, v: v != "")
+            return F.map_concat(base, F.coalesce(kv, F.expr("map()")))
+
         out = df.withColumn(self.out_time_col, F.when(success, ts))
-        return self.options.finalize(out, success, new_map, src)
+        return self.options.finalize(out, success, flet(arr, build_map), src)
 
 
 @dataclass
@@ -617,42 +661,52 @@ class CsvParser(Operator):
             ).cast("int"),
         )
 
-        pairs = {
-            k: F.when(F.lit(i) < nfields, F.element_at(arr, i + 1))
-            for i, k in enumerate(self.split_keys)
-        }
-        new_map = F.map_filter(parsed_map(pairs), lambda k, v: v.isNotNull())
-        if self.expand_others:
-            extra = {
-                f"{self.expand_prefix}{j}": F.when(
-                    nfields >= n + j, F.element_at(arr, n + j)
-                )
-                for j in range(1, self.max_expand_cols + 1)
+        def build_map(s: Column) -> Column:
+            """Parsed-map construction over the LET-BOUND (arr, nfields)
+            struct — unbound references would re-inline from_csv / the
+            field-count regexes per key."""
+            a, nf = s.getField("arr"), s.getField("nf")
+            pairs = {
+                k: F.when(F.lit(i) < nf, F.element_at(a, i + 1))
+                for i, k in enumerate(self.split_keys)
             }
-            new_map = F.map_concat(
-                new_map, F.map_filter(parsed_map(extra), lambda k, v: v.isNotNull())
-            )
-        elif self.preserve_others:
-            # quoted-rejoin of the extra columns (quoteString, processor_csv.go:118-131)
-            qc = self.quote
-            rejoined = F.array_join(
-                F.transform(
-                    F.slice(arr, n + 1, F.greatest(nfields - n, F.lit(0))),
-                    lambda x: F.when(
-                        x.contains(self.split_sep) | x.contains(qc),
-                        F.concat(
-                            F.lit(qc), F.replace(x, F.lit(qc), F.lit(qc + qc)), F.lit(qc)
-                        ),
-                    ).otherwise(x),
-                ),
-                self.split_sep,
-            )
-            new_map = F.map_concat(
-                new_map,
-                F.when(
-                    nfields > n, F.create_map(F.lit("_decode_preserve_"), rejoined)
-                ).otherwise(F.expr("map()")),
-            )
+            new_map = F.map_filter(parsed_map(pairs), lambda k, v: v.isNotNull())
+            if self.expand_others:
+                extra = {
+                    f"{self.expand_prefix}{j}": F.when(
+                        nf >= n + j, F.element_at(a, n + j)
+                    )
+                    for j in range(1, self.max_expand_cols + 1)
+                }
+                new_map = F.map_concat(
+                    new_map, F.map_filter(parsed_map(extra), lambda k, v: v.isNotNull())
+                )
+            elif self.preserve_others:
+                # quoted-rejoin of the extra columns (quoteString, processor_csv.go:118-131)
+                qc = self.quote
+                rejoined = F.array_join(
+                    F.transform(
+                        F.slice(a, n + 1, F.greatest(nf - n, F.lit(0))),
+                        lambda x: F.when(
+                            x.contains(self.split_sep) | x.contains(qc),
+                            F.concat(
+                                F.lit(qc), F.replace(x, F.lit(qc), F.lit(qc + qc)), F.lit(qc)
+                            ),
+                        ).otherwise(x),
+                    ),
+                    self.split_sep,
+                )
+                new_map = F.map_concat(
+                    new_map,
+                    F.when(
+                        nf > n, F.create_map(F.lit("_decode_preserve_"), rejoined)
+                    ).otherwise(F.expr("map()")),
+                )
+            return new_map
+
+        new_map = flet(
+            F.struct(arr.alias("arr"), nfields.alias("nf")), build_map
+        )
         # Go plugins have no CommonParserOptions erase path: a decode failure
         # always KEEPS the source key and never drops the event
         # (shouldKeepSrc, processor_csv.go:132-134); KeepSource only governs
@@ -755,37 +809,46 @@ class ContainerLogParser(Operator):
             # '... stdout P' (no trailing space) parses as content "P"
             # (ProcessorParseContainerLogNativeUnittest TestContainerdLog).
             # A line without the space after stream fails.
-            rx = f"^(?:{self._RX})$"
             rx_basic = f"^(?:{self._RX_NOFLAG})$"
-            has_flag = src.isNotNull() & src.rlike(rx)
             success = src.isNotNull() & src.rlike(rx_basic)
-            new_map = parsed_map(
-                {
-                    "_time_": F.regexp_extract(src, rx_basic, 1),
-                    "_source_": F.regexp_extract(src, rx_basic, 2),
-                    "_part_": F.when(
-                        has_flag, F.regexp_extract(src, rx, 3)
-                    ).otherwise(F.lit("F")),
-                    self.options.source_key: F.when(
-                        has_flag, F.regexp_extract(src, rx, 4)
-                    ).otherwise(F.regexp_extract(src, rx_basic, 3)),
-                }
-            )
-            stream = F.regexp_extract(src, rx_basic, 2)
+            # single matcher pass (time, stream, rest), let-bound; the flag
+            # variant is recovered from `rest` ("P content"/"F content")
+            sep = "\x01"
+            arr = F.split(F.regexp_replace(src, rx_basic, f"$1{sep}$2{sep}$3"), sep, -1)
+
+            def build_map(a: Column) -> Column:
+                rest = F.element_at(a, 3)
+                has_flag = rest.rlike("^[PF] ")
+                return parsed_map(
+                    {
+                        "_time_": F.element_at(a, 1),
+                        "_source_": F.element_at(a, 2),
+                        "_part_": F.when(has_flag, rest.substr(1, 1)).otherwise(
+                            F.lit("F")
+                        ),
+                        self.options.source_key: F.when(
+                            has_flag, rest.substr(F.lit(3), F.length(rest))
+                        ).otherwise(rest),
+                    }
+                )
+
+            new_map = flet(arr, build_map)
         elif self.mode == "docker-json":
             m = F.from_json(src, "struct<log:string,time:string,stream:string>")
             success = src.isNotNull() & m.isNotNull() & m.getField("log").isNotNull()
-            new_map = parsed_map(
-                {
-                    "_time_": m.getField("time"),
-                    "_source_": m.getField("stream"),
-                    # docker appends '\n' to complete lines; strip it (line 43)
-                    self.options.source_key: F.regexp_replace(
-                        m.getField("log"), r"\n$", ""
-                    ),
-                }
+            new_map = flet(
+                m,
+                lambda mm: parsed_map(
+                    {
+                        "_time_": mm.getField("time"),
+                        "_source_": mm.getField("stream"),
+                        # docker appends '\n' to complete lines; strip it (line 43)
+                        self.options.source_key: F.regexp_replace(
+                            mm.getField("log"), r"\n$", ""
+                        ),
+                    }
+                ),
             )
-            stream = m.getField("stream")
         else:
             raise ValueError(f"unknown mode {self.mode}")
 

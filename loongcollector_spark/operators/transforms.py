@@ -342,42 +342,51 @@ class KeyValueSplitter(Operator):
             val = F.when(pos > 0, p.substr(pos + len(sep), F.length(p))).otherwise(p)
             return F.struct(key.alias("k"), val.alias("v"), (pos > 0).alias("had_sep"))
 
-        structs = F.transform(pairs, kv)
-        # anomaly keys use 0-based OCCURRENCE counters, not pair positions
-        # (key_value_splitter.go:99-100,118,127: emptyKeyIndex /
-        # noSeparatorKeyIndex increment only when used)
-        with_sep = F.filter(structs, lambda s: s.getField("had_sep"))
-        named = F.filter(with_sep, lambda s: s.getField("k") != "")
-        empty_key = F.filter(with_sep, lambda s: s.getField("k") == "")
-        empty_keyed = F.transform(
-            empty_key,
-            lambda s, i: F.struct(
-                F.concat(F.lit(self.empty_key_prefix), i.cast("string")).alias("k"),
-                s.getField("v").alias("v"),
-            ),
-        )
-        no_sep = F.filter(structs, lambda s: ~s.getField("had_sep"))
-        if self.discard_when_separator_not_found:
-            no_sep = F.array().cast("array<struct<k:string,v:string,had_sep:boolean>>")
-        no_sep_keyed = F.transform(
-            no_sep,
-            lambda s, i: F.struct(
-                F.concat(F.lit(self.no_separator_key_prefix), i.cast("string")).alias("k"),
-                s.getField("v").alias("v"),
-            ),
-        )
-        all_entries = F.concat(
-            F.transform(
-                named,
-                lambda s: F.struct(s.getField("k").alias("k"), s.getField("v").alias("v")),
-            ),
-            empty_keyed,
-            no_sep_keyed,
-        )
-        new_map = F.map_from_arrays(
-            F.transform(all_entries, lambda s: s.getField("k")),
-            F.transform(all_entries, lambda s: s.getField("v")),
-        )
+        from .common import flet
+
+        def build(structs: Column) -> Column:
+            # anomaly keys use 0-based OCCURRENCE counters, not pair positions
+            # (key_value_splitter.go:99-100,118,127: emptyKeyIndex /
+            # noSeparatorKeyIndex increment only when used)
+            with_sep = F.filter(structs, lambda s: s.getField("had_sep"))
+            named = F.filter(with_sep, lambda s: s.getField("k") != "")
+            empty_key = F.filter(with_sep, lambda s: s.getField("k") == "")
+            empty_keyed = F.transform(
+                empty_key,
+                lambda s, i: F.struct(
+                    F.concat(F.lit(self.empty_key_prefix), i.cast("string")).alias("k"),
+                    s.getField("v").alias("v"),
+                ),
+            )
+            no_sep = F.filter(structs, lambda s: ~s.getField("had_sep"))
+            if self.discard_when_separator_not_found:
+                no_sep = F.array().cast("array<struct<k:string,v:string,had_sep:boolean>>")
+            no_sep_keyed = F.transform(
+                no_sep,
+                lambda s, i: F.struct(
+                    F.concat(F.lit(self.no_separator_key_prefix), i.cast("string")).alias("k"),
+                    s.getField("v").alias("v"),
+                ),
+            )
+            all_entries = F.concat(
+                F.transform(
+                    named,
+                    lambda s: F.struct(s.getField("k").alias("k"), s.getField("v").alias("v")),
+                ),
+                empty_keyed,
+                no_sep_keyed,
+            )
+            return flet(
+                all_entries,
+                lambda ae: F.map_from_arrays(
+                    F.transform(ae, lambda s: s.getField("k")),
+                    F.transform(ae, lambda s: s.getField("v")),
+                ),
+            )
+
+        # let-bound: the structs array (split + per-pair kv parse) is
+        # referenced by three filters — unbound it would be rebuilt per branch
+        new_map = flet(F.transform(pairs, kv), build)
         new_map = F.when(src.isNotNull(), new_map).otherwise(F.expr("map()"))
         base = F.col(FIELDS) if self.keep_source else fremove([self.source_key])
         return df.withColumn(FIELDS, F.map_concat(base, new_map))
