@@ -246,7 +246,7 @@ def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
     def run() -> None:
         _noop(parser.apply(to_events(spark.read.parquet(content_path))))
 
-    sec = _timeit(run, warm=1, runs=2)
+    sec = _timeit(run, warm=1, runs=1)
     # decode+parse (all 3 formats) over the full replicated table: the
     # end-to-end parse stage number at the same scale
     seq_big = spark.read.parquet(seq_cache)
@@ -275,7 +275,7 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     from loongcollector_spark.session import get_spark as gs
 
     low_cpus = max(cpus // 4, 2)
-    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "24"))
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "48"))
     passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
 
     def cpu_probe() -> float:
@@ -293,13 +293,32 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     prep = gs("bench-scale-prep", master=f"local[{cpus}]", shuffle_partitions=cpus)
     prep.sparkContext.setLogLevel("ERROR")
     big_cache = ensure_sequences_cache(prep, sf_dir, factor)
+    cache_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(big_cache)
+        for f in fs
+    )
     prep.stop()
     big_rows = n_rows * factor
+    # scan parallelism must not cap the high-core run: size split bytes so the
+    # scan yields ≥4 tasks per core at cpus_high (at 24 scan partitions a
+    # local[32] run can use only 24 cores — a structural 0.75 efficiency cap,
+    # which is exactly what round-1's scaling numbers hit)
+    split_bytes = max(1 << 20, cache_bytes // (cpus * 4))
+    scan_conf = {
+        "spark.sql.files.maxPartitionBytes": str(split_bytes),
+        "spark.sql.files.openCostInBytes": "131072",
+    }
 
     def measure(n: int) -> tuple[float, float]:
         """One session at local[n]: warm run, then timed run with a
         process-tree CPU delta → (wall sec, cpu sec)."""
-        s = gs(f"bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=n)
+        s = gs(
+            f"bench-scale-{n}",
+            master=f"local[{n}]",
+            shuffle_partitions=n,
+            extra_conf=scan_conf,
+        )
         s.sparkContext.setLogLevel("ERROR")
         seq_big = s.read.parquet(big_cache)
         flagship.pipeline_aggregates_from(s, seq_big).collect()  # warm
@@ -351,7 +370,10 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
         "sec_high": round(t_high, 3),
         "seq_per_sec_low": round(big_rows / t_low, 1),
         "seq_per_sec_high": round(big_rows / t_high, 1),
-        "efficiency": round((big_rows / t_high) / (big_rows / t_low) / (cpus / low_cpus), 3),
+        # headline = best SAME-PASS efficiency (low/high measured adjacently
+        # under the same external load; min-of-each-across-passes would pair
+        # a quiet-moment low run against a different pass's high run)
+        "efficiency": best["efficiency"],
         "efficiency_median": round(med_eff, 3),
         "efficiency_best_vs_ceiling": best["eff_vs_ceiling"],
         "machine_ceiling": round(

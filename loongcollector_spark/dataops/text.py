@@ -349,20 +349,58 @@ def pack_token_bins(
     part_col: str = "source",
     id_col: str = "doc_id",
     tok_col: str = "n_tok",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Sequence packing: assign docs (ordered by id within a partition key)
     to consecutive training bins of ``bin_tokens`` budget — bin =
-    floor(exclusive-prefix-sum(n_tok) / bin_tokens). One window pass per
-    partition key; at scale the key (source/shard) bounds the window size."""
+    floor(exclusive-prefix-sum(n_tok) / bin_tokens).
+
+    TWO-PHASE distributed prefix sum (a single
+    ``Window.partitionBy(source)`` would sort an entire source in ONE task —
+    straggler/OOM with a handful of sources at 100 TB):
+
+    1. range-partition by (source, id) into ``n_shards`` contiguous chunks
+       (localCheckpoint pins the chunk boundaries so both consumers of the
+       sharded frame see identical spark_partition_ids);
+    2. per-(source, chunk) local exclusive prefix sums — each window task
+       sorts only its chunk;
+    3. per-chunk totals (tiny: n_shards rows) → cumulative chunk offsets via
+       a window over the TINY totals frame → broadcast-joined back;
+    4. bin = floor((chunk_offset + local_prefix) / bin_tokens).
+
+    The result is identical to the global single-window formulation (the
+    oracle SQL keeps that form) and independent of ``n_shards``."""
     from pyspark.sql import Window
 
-    w = (
+    spark = df.sparkSession
+    shards = n_shards or spark.sparkContext.defaultParallelism
+    sh = (
+        df.repartitionByRange(shards, F.col(part_col), F.col(id_col))
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sh.groupBy(part_col, "__pid__").agg(
+        F.sum(tok_col).alias("__t__"), F.min(id_col).alias("__mn__")
+    )
+    w_off = (
         Window.partitionBy(part_col)
+        .orderBy("__mn__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off__", F.coalesce(F.sum("__t__").over(w_off), F.lit(0))
+    ).select(part_col, "__pid__", "__off__")
+    w_local = (
+        Window.partitionBy(part_col, "__pid__")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = F.coalesce(F.sum(tok_col).over(w), F.lit(0))
-    return df.withColumn("bin", F.floor(prefix / bin_tokens).cast("int"))
+    local = F.coalesce(F.sum(tok_col).over(w_local), F.lit(0))
+    out = sh.join(F.broadcast(offsets), [part_col, "__pid__"])
+    return (
+        out.withColumn("bin", F.floor((F.col("__off__") + local) / bin_tokens).cast("int"))
+        .drop("__pid__", "__off__")
+    )
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -559,8 +559,136 @@ def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prom_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_prom_relabel_metric_native end-to-end: target-tag append,
+    keep / replace / uppercase / hashmod / labelmap / labeldrop chain,
+    __-prefix + empty cleanup, external labels
+    (ProcessorPromRelabelMetricNative.cpp:86-140, Relabel.cpp:144-255; golden
+    actions from core/unittest/prometheus/RelabelUnittest.cpp)."""
+    from .operators.relabel import PromRelabelProcessor, RelabelConfig
+
+    ev = _events_raw(spark, sf_dir)
+    tags = F.create_map(
+        F.lit("__name__"), F.lit("http_requests_total"),
+        F.lit("__scheme__"), F.lit("http"),
+        F.lit("method"), F.col("event_type"),
+        F.lit("code"), (F.col("user_id") % 5 * 100 + 200).cast("string"),
+        F.lit("instance"),
+        F.concat(
+            F.lit("10.0."), (F.col("user_id") % 250).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"), F.lit(":9100"),
+        ),
+    )
+    df = ev.select("doc_id", tags.alias("tags"))
+    proc = PromRelabelProcessor(
+        configs=(
+            RelabelConfig(action="keep", regex="2..|5..", source_labels=["code"]),
+            RelabelConfig(
+                action="replace",
+                source_labels=["method", "code"],
+                separator=";",
+                regex=r"([a-z]+);(\d+)",
+                replacement="$1_$2",
+                target_label="ms",
+            ),
+            RelabelConfig(action="uppercase", source_labels=["ms"], target_label="ms_uc"),
+            RelabelConfig(
+                action="hashmod", source_labels=["instance"], target_label="shard", modulus=8
+            ),
+            RelabelConfig(action="labelmap", regex="__(scheme)__", replacement="$1"),
+            RelabelConfig(action="labeldrop", regex="instance"),
+        ),
+        target_tags={"job": "nodes"},
+        external_labels={"cluster": "c1"},
+    )
+    out = proc.apply(df)
+    t = F.col("tags")
+    return out.select(
+        "doc_id",
+        *[
+            F.element_at(t, F.lit(k)).alias(k)
+            for k in ["method", "code", "ms", "ms_uc", "shard", "scheme", "job", "cluster"]
+        ],
+    )
+
+
+def oracle_prom_relabel() -> str:
+    terms = " + ".join(
+        f"CAST(strpos('123456789abcdef', substring(mh, {17 + i}, 1)) AS HUGEINT) * {16 ** (15 - i)}"
+        for i in range(16)
+    )
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_type AS method,
+         CAST(user_id % 5 * 100 + 200 AS VARCHAR) AS code,
+         '10.0.' || (user_id % 250) || '.' || (event_id % 250) || ':9100' AS instance
+  FROM events
+),
+kept AS (SELECT * FROM ev WHERE regexp_full_match(code, '2..|5..')),
+h AS (SELECT *, md5(instance) AS mh FROM kept)
+SELECT doc_id, method, code,
+  method || '_' || code AS ms,
+  upper(method || '_' || code) AS ms_uc,
+  CAST(({terms}) % 8 AS VARCHAR) AS shard,
+  'http' AS scheme, 'nodes' AS job, 'c1' AS cluster
+FROM h"""
+
+
+def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
+    log+metric stream fanned out by __event_type__ plus an unconditioned
+    catch-all sink; per-sink counts + metric value totals."""
+    from .models import metric_events, tag_log_events, union_event_stream
+    from .routing import EventTypeCondition, RouteCondition, Router
+
+    configure_existing(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias("doc_id"),
+        "event_type",
+        "value",
+    )
+    logs = tag_log_events(
+        to_events(
+            raw.select(
+                "doc_id",
+                F.concat(F.lit("evt "), F.col("event_type")).alias("content"),
+            )
+        )
+    )
+    mets = metric_events(
+        raw, "event_value", tags={"etype": "event_type"}, value="value"
+    ).withColumn("doc_id", F.lit(None).cast("string"))
+    stream = union_event_stream(logs, mets)
+    rules = [
+        EventTypeCondition("metric_sink", "metric"),
+        EventTypeCondition("log_sink", "log"),
+        RouteCondition("all_events"),
+    ]
+    routed = Router(rules).apply(stream)
+    return (
+        routed.groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("value_total"),
+        )
+        .orderBy("sink")
+    )
+
+
+def oracle_route_event_type() -> str:
+    return """WITH m AS (SELECT count(*) AS n, round(sum(value), 2) AS v FROM events)
+SELECT 'all_events' AS sink, 2 * n AS events, v AS value_total FROM m
+UNION ALL
+SELECT 'log_sink' AS sink, n AS events, 0.0 AS value_total FROM m
+UNION ALL
+SELECT 'metric_sink' AS sink, n AS events, v AS value_total FROM m
+ORDER BY sink"""
+
+
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
+    "prom_relabel": q_prom_relabel,
+    "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
     "parse_regex_discard": q_parse_regex_discard,
@@ -597,6 +725,8 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_e2e": oracles.oracle_pipeline_aggregates(),
+    "prom_relabel": oracle_prom_relabel(),
+    "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),
     "parse_regex_discard": oracles.oracle_parse_regex_discard(),

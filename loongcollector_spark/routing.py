@@ -45,6 +45,18 @@ class RouteCondition:
         return v.isNotNull() & (v == F.lit(self.match_value))
 
 
+def EventTypeCondition(sink: str, event_type: str) -> RouteCondition:
+    """EventTypeCondition (Condition.cpp:36-59): route by the event TYPE —
+    "log" | "metric" | "trace". In the relational event model the type is the
+    ``__event_type__`` column (models.py), so the condition is a plain
+    column-equality RouteCondition."""
+    from .models import LOG, METRIC, TRACE, EVENT_TYPE_COL
+
+    if event_type not in (LOG, METRIC, TRACE):
+        raise ValueError(f"invalid event type {event_type!r} (Condition.cpp:38-50)")
+    return RouteCondition(sink, EVENT_TYPE_COL, event_type)
+
+
 @dataclass
 class Router(Operator):
     """Explode-based multi-match fan-out. Unrouted rows (matching no sink) are

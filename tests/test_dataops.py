@@ -215,3 +215,27 @@ def test_pack_token_bins_budget(spark):
     bins = {r["doc_id"]: r["bin"] for r in out.collect()}
     # 4 docs of 1000 tokens fit the first 4096-token bin (exclusive prefix)
     assert [bins[i] for i in range(10)] == [0, 0, 0, 0, 0, 1, 1, 1, 1, 2]
+
+
+def test_pack_token_bins_shard_invariant(spark):
+    """Two-phase prefix sum: result identical for any shard count, and the
+    physical plan contains NO window partitioned by source alone (which would
+    sort a whole source in one task at scale)."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.dataops import text
+
+    rows = [(i, "s%d" % (i % 2), 100 + (i % 7) * 10) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    a = text.pack_token_bins(df, 1000, n_shards=1)
+    b = text.pack_token_bins(df, 1000, n_shards=7)
+    ra = sorted((r["doc_id"], r["bin"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["bin"]) for r in b.collect())
+    assert ra == rb
+    # exclusive prefix semantics: first doc of each source is bin 0
+    first = [r for r in b.collect() if r["doc_id"] in (0, 1)]
+    assert all(r["bin"] == 0 for r in first)
+    # the big-data window must be keyed by (source, __pid__) — chunk-bounded
+    # sort tasks; only the tiny per-chunk totals window is keyed by source
+    plan = str(b._jdf.queryExecution().optimizedPlan())
+    assert "__pid__" in plan
