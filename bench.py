@@ -130,11 +130,11 @@ def _bench_session(sf_dir: str, cpus: int) -> dict[str, float]:
     # full routed fan-out materialization (write-side cost, incl. the
     # explicit pre-write repartition)
     queries["routed_materialize"] = _timeit(
-        lambda: _noop(flagship.routed_from(spark, seq)), warm=0, runs=2
+        lambda: _noop(flagship.routed_from(spark, seq)), warm=0, runs=1
     )
     # parse-only stage (regex-dominated ≙ reference regex-parse benchmark)
     queries["parse_only"] = _timeit(
-        lambda: _noop(flagship.parsed_events_from(seq)), warm=0, runs=2
+        lambda: _noop(flagship.parsed_events_from(seq)), warm=0, runs=1
     )
 
     # training-data ops

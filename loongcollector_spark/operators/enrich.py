@@ -135,3 +135,82 @@ def ip_range_lookup(
         "left",
     )
     return joined.drop("__ip_int__", "lo", "hi")
+
+
+@dataclass
+class GeoIpProcessor(Operator):
+    """processor_geoip (plugins/processor/geoip/processor_geoip.go:35-174),
+    full-field variant: look fields[source_key] up in a broadcast (lo, hi) →
+    location range table (built by tools/geoip_ingest.py from the public
+    GeoLite2 CSV export — the relational equivalent of the reference's
+    per-row mmdb walk) and append the reference's exact field keys:
+    ``{source_key}_city_``, ``_province_``, ``_province_code_``,
+    ``_country_``, ``_country_code_``, ``_longitude_``, ``_latitude_``
+    (lon/lat rendered %.8f like strconv.FormatFloat(x,'f',8,64), lines
+    106-128). Lookup misses leave the event untouched (the reference's err
+    path); ``keep_source=False`` consumes the IP key (line 66)."""
+
+    ranges: DataFrame  # (lo, hi, city, province, province_code, country, country_code, latitude, longitude)
+    source_key: str = "ip"
+    keep_source: bool = True
+    no_city: bool = False
+    no_province: bool = False
+    no_country: bool = False
+    no_country_code: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .common import flet
+
+        ip = fget(self.source_key)
+        # try_cast: a non-IP value is a lookup miss (net.ParseIP nil, go:118),
+        # not an error — ANSI cast would throw
+        ip_int = (
+            F.split(ip, r"\.").getItem(0).try_cast("long") * 16777216
+            + F.split(ip, r"\.").getItem(1).try_cast("long") * 65536
+            + F.split(ip, r"\.").getItem(2).try_cast("long") * 256
+            + F.split(ip, r"\.").getItem(3).try_cast("long")
+        )
+        tagged = df.withColumn("__ip_int__", ip_int)
+        dim = self.ranges.select(
+            "lo", "hi", "city", "province", "province_code", "country",
+            "country_code", "latitude", "longitude",
+        )
+        joined = tagged.join(
+            broadcast(dim),
+            (F.col("__ip_int__") >= dim["lo"]) & (F.col("__ip_int__") <= dim["hi"]),
+            "left",
+        )
+        found = F.col("country_code").isNotNull()
+        pairs: dict[str, F.Column] = {}
+        sk = self.source_key
+        if not self.no_city:
+            pairs[f"{sk}_city_"] = F.col("city")
+        if not self.no_province:
+            pairs[f"{sk}_province_"] = F.col("province")
+            pairs[f"{sk}_province_code_"] = F.col("province_code")
+        if not self.no_country:
+            pairs[f"{sk}_country_"] = F.col("country")
+        if not self.no_country_code:
+            pairs[f"{sk}_country_code_"] = F.col("country_code")
+        pairs[f"{sk}_longitude_"] = F.format_string("%.8f", F.col("longitude"))
+        pairs[f"{sk}_latitude_"] = F.format_string("%.8f", F.col("latitude"))
+        args: list[F.Column] = []
+        for k, v in pairs.items():
+            args += [F.lit(k), v]
+        # only non-empty decoded names are appended (go lines 106-126)
+        add = F.map_filter(
+            F.create_map(*args), lambda k, v: v.isNotNull() & (v != "")
+        )
+
+        def merge(f: F.Column) -> F.Column:
+            # source removal is UNCONDITIONAL under !KeepSource (go:99-101,
+            # before the lookup even runs)
+            base = (
+                f
+                if self.keep_source
+                else F.map_filter(f, lambda k, v: k != F.lit(sk))
+            )
+            return F.when(found, F.map_concat(base, add)).otherwise(base)
+
+        out = joined.withColumn(FIELDS, flet(F.col(FIELDS), merge))
+        return out.drop("__ip_int__", *dim.columns)

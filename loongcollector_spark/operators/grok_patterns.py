@@ -1,12 +1,53 @@
-"""Default grok pattern library (subset of the well-known public grok set that
-the reference ships in plugins/processor/grok/processor_grok_default_patterns.go).
+"""Default grok pattern library — the full 80-entry set the reference ships in
+plugins/processor/grok/processor_grok_default_patterns.go (itself the standard
+public Logstash grok definitions).
 
-Kept PCRE/Java-regex compatible (no possessive or atomic groups) so the same
-expanded regex runs identically in Spark (Java), Python ``re`` and DuckDB (RE2)
-— SURVEY.md §7 hard-part (b).
+Compatibility policy:
+- every pattern is Java-regex AND python-``re`` compatible (the Oniguruma
+  atomic groups ``(?>`` of the upstream set are rewritten to ``(?:`` —
+  equivalent language, only backtracking behavior differs);
+- the CORE subset used by cross-engine oracle queries additionally avoids
+  lookarounds so the same expanded regex runs in DuckDB's RE2 (SURVEY.md §7
+  hard-part (b)); the long-tail entries (BASE16FLOAT, IPV4's guards, …) keep
+  their fixed-width lookarounds — fine for Spark and goldens, not for RE2.
 """
 
 DEFAULT_PATTERNS: dict[str, str] = {
+    # --- long tail (processor_grok_default_patterns.go parity) -------------
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "BASE16FLOAT": r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "CISCOMAC": r"(?:(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4})",
+    "WINDOWSMAC": r"(?:(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2})",
+    "COMMONMAC": r"(?:(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2})",
+    "HOST": r"%{HOSTNAME}",
+    "TTY": r"(?:/dev/(pts|tty([pq])?)(\w+)?/?(?:[0-9]+))",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[PMCE][SD]T|UTC|GMT)",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "ISO8601_SECOND": r"(?:%{SECOND}|60)",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "HTTPD20_ERRORLOG": r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] ){0,1}%{GREEDYDATA:errormsg}",
+    "HTTPD24_ERRORLOG": r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{WORD:module}:%{LOGLEVEL:loglevel}\] \[pid %{POSINT:pid}:tid %{NUMBER:tid}\]( \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_errormessage}:)?( \[client %{IPORHOST:client}:%{POSINT:clientport}\])? %{DATA:errorcode}: %{GREEDYDATA:message}",
+    "HTTPD_ERRORLOG": r"%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
+    # --- RE2-safe core (used by cross-engine oracle queries) ---------------
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"%{USERNAME}",
     "INT": r"(?:[+-]?(?:[0-9]+))",
@@ -36,7 +77,7 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "YEAR": r"(?:\d\d){1,2}",
     "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
     "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
-    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTH": r"\b(?:Jan(?:uary|uar)?|Feb(?:ruary|ruar)?|M(?:a|ä)?r(?:ch|z)?|Apr(?:il)?|Ma(?:y|i)?|Jun(?:e|i)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|O(?:c|k)?t(?:ober)?|Nov(?:ember)?|De(?:c|z)(?:ember)?)\b",
     "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
     "HOUR": r"(?:2[0123]|[01]?[0-9])",
     "MINUTE": r"(?:[0-5][0-9])",
@@ -59,3 +100,29 @@ DEFAULT_PATTERNS: dict[str, str] = {
     ),
     "QS": r"%{QUOTEDSTRING}",
 }
+
+
+def load_pattern_dir(path: str) -> dict[str, str]:
+    """CustomPatternDir loading (processor_grok.go:196-227): every file in the
+    directory contributes ``NAME<space>pattern`` lines; lines starting with
+    ``"`` are comments. Later files override earlier ones; the caller merges
+    the result OVER the defaults and UNDER explicit CustomPatterns
+    (processor_grok.go Init order, lines 67-81)."""
+    import glob
+    import os
+
+    if not os.path.isdir(path) and not os.path.exists(path):
+        raise ValueError(f"invalid path: {path}")
+    pattern_files = sorted(glob.glob(os.path.join(path, "*"))) if os.path.isdir(path) else [path]
+    out: dict[str, str] = {}
+    for fname in pattern_files:
+        if not os.path.isfile(fname):
+            continue
+        with open(fname, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line and not line.startswith('"'):
+                    name, _, rx = line.partition(" ")
+                    if rx:
+                        out[name] = rx
+    return out

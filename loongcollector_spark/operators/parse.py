@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 
 from .base import FIELDS, Operator
 from .common import ParserOptions, flet, parsed_map
-from .grok_patterns import DEFAULT_PATTERNS
+from .grok_patterns import DEFAULT_PATTERNS, load_pattern_dir
 
 
 def _src(options: ParserOptions) -> Column:
@@ -442,23 +442,44 @@ class TimestampParser(Operator):
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]\.@-]+))?(?::(int|float))?\}")
 
 
-def expand_grok(pattern: str, custom: dict[str, str] | None = None, _depth: int = 0) -> str:
+DUP_SUFFIX = "__dup"
+
+
+def expand_grok(
+    pattern: str,
+    custom: dict[str, str] | None = None,
+    _depth: int = 0,
+    _used: set[str] | None = None,
+) -> str:
     """Expand %{SYNTAX:SEMANTIC} grok references into a plain named-group regex
     (plan-time, pure python — the executor only ever sees the expanded regex).
-    Mirrors processor_grok.go:241-320 compilation."""
+    Mirrors processor_grok.go:241-320 compilation.
+
+    Oniguruma allows the SAME semantic name in several alternation branches
+    (e.g. HTTPD_ERRORLOG = HTTPD20|HTTPD24, both capturing ``timestamp``);
+    python/Java named groups don't, so repeats get a ``__dupN`` suffix —
+    GrokParser coalesces them back to the base name (first non-empty branch
+    wins, which is exactly the only-one-branch-matches semantics)."""
     if _depth > 20:
         raise ValueError("grok pattern recursion too deep")
     lib = dict(DEFAULT_PATTERNS)
     if custom:
         lib.update(custom)
+    used = _used if _used is not None else set()
 
     def sub(m: re.Match) -> str:
         name, semantic = m.group(1), m.group(2)
         if name not in lib:
             raise KeyError(f"unknown grok pattern %{{{name}}}")
-        inner = expand_grok(lib[name], custom, _depth + 1)
+        inner = expand_grok(lib[name], custom, _depth + 1, used)
         if semantic:
             safe = re.sub(r"\W", "_", semantic)
+            if safe in used:
+                i = 2
+                while f"{safe}{DUP_SUFFIX}{i}" in used:
+                    i += 1
+                safe = f"{safe}{DUP_SUFFIX}{i}"
+            used.add(safe)
             return f"(?P<{safe}>{inner})"
         return f"(?:{inner})"
 
@@ -474,13 +495,21 @@ class GrokParser(Operator):
     match: Sequence[str]
     options: ParserOptions = field(default_factory=ParserOptions)
     custom_patterns: dict[str, str] | None = None
+    custom_pattern_dirs: Sequence[str] = ()
     ignore_parse_failure: bool = True
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
+        # pattern precedence: defaults < CustomPatternDir files <
+        # CustomPatterns (processor_grok.go Init, lines 67-81)
+        custom: dict[str, str] = {}
+        for d in self.custom_pattern_dirs:
+            custom.update(load_pattern_dir(d))
+        if self.custom_patterns:
+            custom.update(self.custom_patterns)
         expanded: list[tuple[str, dict[str, int]]] = []
         for pat in self.match:
-            rx = expand_grok(pat, self.custom_patterns)
+            rx = expand_grok(pat, custom)
             # name → group NUMBER from the python-compiled regex; group
             # numbering is identical once names are stripped (Java named
             # groups reject underscores, so the JVM side uses anonymous
@@ -503,9 +532,23 @@ class GrokParser(Operator):
             def _builder(ns):
                 # factory: a two-arg lambda (a, ns=names) would make
                 # F.transform pass (element, INDEX) and clobber the default
-                return lambda a: parsed_map(
-                    {nm: F.element_at(a, i + 1) for i, nm in enumerate(ns)}
-                )
+                def build(a: Column) -> Column:
+                    by_base: dict[str, list[Column]] = {}
+                    for i, nm in enumerate(ns):
+                        base = nm.split(DUP_SUFFIX)[0]
+                        by_base.setdefault(base, []).append(F.element_at(a, i + 1))
+                    pairs = {}
+                    for base, vs in by_base.items():
+                        if len(vs) == 1:
+                            pairs[base] = vs[0]
+                        else:
+                            # __dupN alternation branches: first non-empty wins
+                            pairs[base] = F.coalesce(
+                                *[F.nullif(v, F.lit("")) for v in vs], F.lit("")
+                            )
+                    return parsed_map(pairs)
+
+                return build
 
             pairs_map = flet(arr, _builder(names))
             new_map = F.when(ok, pairs_map).otherwise(new_map)

@@ -271,3 +271,76 @@ class CompiledPipeline:
 
 def compile_pipeline(config: Mapping[str, Any]) -> CompiledPipeline:
     return CompiledPipeline(config)
+
+
+def compile_input(
+    spark,
+    cfg: Mapping[str, Any],
+    mock: bool = False,
+    schema=None,
+):
+    """Input plugin → (streaming) DataFrame in the canonical event shape
+    (``content`` string + meta columns; run to_events + the processor chain
+    downstream).
+
+    - ``input_file`` / ``static_file``: parquet-directory file stream
+      (streaming/pipeline.read_stream) — the agent's file-tail analog.
+    - ``service_kafka`` (plugins/input/kafka/input_kafka.go:39-56: Brokers,
+      Topics, ConsumerGroup, Offset): ``spark.readStream.format("kafka")``
+      with the mapped options; each record's value becomes ``content``, the
+      Kafka (topic, partition, offset, timestamp) ride along as meta columns
+      (≙ the reference's tag fields). ``mock=True`` swaps in a rate source
+      shaped identically — the in-sandbox stand-in (no broker, no connector
+      jar); the wiring is otherwise the production path.
+    """
+    t = cfg["Type"]
+    if t in ("input_file", "static_file"):
+        from ..streaming.pipeline import read_stream
+
+        return read_stream(
+            spark, cfg["FilePaths"], schema, cfg.get("MaxFilesPerTrigger")
+        )
+    if t in ("service_kafka", "input_kafka"):
+        import pyspark.sql.functions as F
+
+        if mock:
+            rate = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", str(cfg.get("MockRowsPerSecond", 100)))
+                .load()
+            )
+            return rate.select(
+                F.lit((cfg.get("Topics") or ["mock"])[0]).alias("topic"),
+                F.lit(0).cast("int").alias("partition"),
+                F.col("value").alias("offset"),
+                F.col("timestamp"),
+                F.concat(F.lit("msg-"), F.col("value").cast("string")).alias("content"),
+            )
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", ",".join(cfg["Brokers"]))
+            .option("subscribe", ",".join(cfg["Topics"]))
+            .option(
+                "startingOffsets",
+                {"oldest": "earliest", "newest": "latest"}.get(
+                    cfg.get("Offset", "oldest"), "earliest"
+                ),
+            )
+        )
+        if cfg.get("ConsumerGroup"):
+            reader = reader.option("kafka.group.id", cfg["ConsumerGroup"])
+        if cfg.get("MaxMessageLen"):
+            reader = reader.option(
+                "kafka.fetch.max.bytes", str(cfg["MaxMessageLen"])
+            )
+        raw = reader.load()
+        import pyspark.sql.functions as F  # noqa: F811
+
+        return raw.select(
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            F.col("value").cast("string").alias("content"),
+        )
+    raise KeyError(f"unknown input type: {t}")

@@ -542,6 +542,61 @@ def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "ip", "region")
 
 
+def q_geoip_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full processor_geoip field set (go:106-128): city/province/country/
+    codes/lat/lon appended under ``{source_key}_*_`` keys from a broadcast
+    range table (tools/geoip_ingest.py shape), source key consumed
+    (KeepSource=false). Second range row has empty city/province — those keys
+    must be absent (only non-empty names are appended)."""
+    from .operators.enrich import GeoIpProcessor
+
+    ev = _nginx_events(spark, sf_dir)
+    base = 10 * 16777216
+    split = base + 100 * 65536
+    top = base + 256 * 65536
+    ranges = spark.createDataFrame(
+        [
+            (base, split - 1, "Hangzhou", "Zhejiang", "ZJ", "China", "CN", 30.274, 120.155),
+            (split, top - 1, "", "", "", "United States", "US", 37.751, -97.822),
+        ],
+        "lo long, hi long, city string, province string, province_code string, "
+        "country string, country_code string, latitude double, longitude double",
+    )
+    out = GeoIpProcessor(ranges, source_key="remote_addr", keep_source=False).apply(ev)
+    return out.select(
+        "doc_id",
+        fget("remote_addr").alias("ip_kept"),
+        fget("remote_addr_city_").alias("city"),
+        fget("remote_addr_province_").alias("province"),
+        fget("remote_addr_province_code_").alias("province_code"),
+        fget("remote_addr_country_").alias("country"),
+        fget("remote_addr_country_code_").alias("country_code"),
+        fget("remote_addr_latitude_").alias("latitude"),
+        fget("remote_addr_longitude_").alias("longitude"),
+    )
+
+
+def oracle_geoip_fields() -> str:
+    from . import oracles as _o
+
+    return f"""{_o.SEQ},
+parsed AS ({_o.nginx_parsed_cte()}),
+ips AS (
+  SELECT doc_id,
+    CAST(split_part(remote_addr, '.', 2) AS BIGINT) < 100 AS in_a
+  FROM parsed
+)
+SELECT doc_id, CAST(NULL AS VARCHAR) AS ip_kept,
+  CASE WHEN in_a THEN 'Hangzhou' END AS city,
+  CASE WHEN in_a THEN 'Zhejiang' END AS province,
+  CASE WHEN in_a THEN 'ZJ' END AS province_code,
+  CASE WHEN in_a THEN 'China' ELSE 'United States' END AS country,
+  CASE WHEN in_a THEN 'CN' ELSE 'US' END AS country_code,
+  CASE WHEN in_a THEN printf('%.8f', 30.274) ELSE printf('%.8f', 37.751) END AS latitude,
+  CASE WHEN in_a THEN printf('%.8f', 120.155) ELSE printf('%.8f', -97.822) END AS longitude
+FROM ips"""
+
+
 def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule per-row invariant: token-array equality. Decode each
     sequence to text, re-encode, and compare the full arrays element-wise —
@@ -721,6 +776,7 @@ QUERIES = {
     "token_roundtrip": q_token_roundtrip,
     "spl_pipeline": q_spl_pipeline,
     "geoip_range": q_geoip_range,
+    "geoip_fields": q_geoip_fields,
 }
 
 ORACLES = {
@@ -759,6 +815,7 @@ ORACLES = {
     "token_roundtrip": oracles.oracle_token_roundtrip(),
     "spl_pipeline": oracles.oracle_spl_pipeline(),
     "geoip_range": oracles.oracle_geoip_range(),
+    "geoip_fields": oracle_geoip_fields(),
 }
 
 from .dataops.queries import DATAOPS_ORACLES, DATAOPS_QUERIES  # noqa: E402

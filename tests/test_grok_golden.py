@@ -68,3 +68,97 @@ def test_grok_drop_on_failure_when_not_ignoring(spark):
     f = _fields(out)
     assert set(f.keys()) == {0}
     assert f[0]["n"] == "123"
+
+
+def test_default_library_covers_reference_full_set(spark):
+    """Every pattern name in the reference's
+    processor_grok_default_patterns.go exists here, expands, compiles in
+    python re, AND compiles in Java (exercised via one rlike per pattern)."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.grok_patterns import DEFAULT_PATTERNS
+    from loongcollector_spark.operators.parse import expand_grok
+
+    ref_names = [
+        "USERNAME", "USER", "EMAILLOCALPART", "EMAILADDRESS", "HTTPDUSER",
+        "INT", "BASE10NUM", "NUMBER", "BASE16NUM", "BASE16FLOAT", "POSINT",
+        "NONNEGINT", "WORD", "NOTSPACE", "SPACE", "DATA", "GREEDYDATA",
+        "QUOTEDSTRING", "UUID", "URN", "MAC", "CISCOMAC", "WINDOWSMAC",
+        "COMMONMAC", "IPV6", "IPV4", "IP", "HOSTNAME", "HOST", "IPORHOST",
+        "HOSTPORT", "PATH", "UNIXPATH", "TTY", "WINPATH", "URIPROTO",
+        "URIHOST", "URIPATH", "URIPARAM", "URIPATHPARAM", "URI", "MONTH",
+        "MONTHNUM", "MONTHNUM2", "MONTHDAY", "DAY", "YEAR", "HOUR", "MINUTE",
+        "SECOND", "TIME", "DATE_US", "DATE_EU", "ISO8601_TIMEZONE",
+        "ISO8601_SECOND", "TIMESTAMP_ISO8601", "DATE", "DATESTAMP", "TZ",
+        "DATESTAMP_RFC822", "DATESTAMP_RFC2822", "DATESTAMP_OTHER",
+        "DATESTAMP_EVENTLOG", "HTTPDERROR_DATE", "SYSLOGTIMESTAMP", "PROG",
+        "SYSLOGPROG", "SYSLOGHOST", "SYSLOGFACILITY", "HTTPDATE", "QS",
+        "SYSLOGBASE", "COMMONAPACHELOG", "COMBINEDAPACHELOG",
+        "HTTPD20_ERRORLOG", "HTTPD24_ERRORLOG", "HTTPD_ERRORLOG", "LOGLEVEL",
+    ]
+    missing = [n for n in ref_names if n not in DEFAULT_PATTERNS]
+    assert not missing, missing
+    cols = []
+    for i, n in enumerate(ref_names):
+        rx = expand_grok("%{" + n + "}")
+        _re.compile(rx)  # python re accepts
+        anon = _re.sub(r"\(\?P<\w+>", "(", rx)
+        cols.append(F.lit("x").rlike(anon).alias(f"p{i}"))
+    # Java accepts all 78 expanded anonymous regexes in one projection
+    spark.range(1).select(*cols).collect()
+
+
+def test_grok_multi_pattern_reference_golden(spark):
+    """processor_grok_test.go TestProcessorGrokParse multi-pattern golden:
+    custom HTTP pattern + two fallbacks over four records."""
+    from loongcollector_spark.operators.parse import GrokParser
+
+    logs = [
+        "begin 123.456 end",
+        '2019 June 24 "I am iron man"',
+        "WRONG LOG",
+        "10.0.0.0 GET /index.html 15824 0.043",
+    ]
+    g = GrokParser(
+        match=[
+            "%{HTTP}",
+            "%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}",
+            "%{YEAR:year} %{MONTH:month} %{MONTHDAY:day} %{QUOTEDSTRING:motto}",
+        ],
+        custom_patterns={
+            "HTTP": "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"
+        },
+    )
+    out = _fields(g.apply(_events(spark, logs)))
+    assert out[0] == {"word1": "begin", "request_time": "123.456", "word2": "end"}
+    assert out[1] == {
+        "year": "2019", "month": "June", "day": "24", "motto": '"I am iron man"'
+    }
+    assert out[2] == {"content": "WRONG LOG"}  # no match, kept untouched
+    assert out[3] == {
+        "client": "10.0.0.0", "method": "GET", "request": "/index.html",
+        "bytes": "15824", "duration": "0.043",
+    }
+
+
+def test_grok_custom_pattern_dir(spark, tmp_path):
+    """CustomPatternDir loading (processor_grok.go:196-227): NAME<space>rx
+    lines, '\"'-comments skipped, dir < CustomPatterns precedence."""
+    from loongcollector_spark.operators.parse import GrokParser
+
+    pf = tmp_path / "patterns"
+    pf.mkdir()
+    (pf / "extra").write_text(
+        '" a comment line\n'
+        "APPID app-[0-9]{4}\n"
+        "OVERRIDEME original-[a-z]+\n"
+    )
+    g = GrokParser(
+        match=["%{APPID:app} %{OVERRIDEME:o}"],
+        custom_pattern_dirs=[str(pf)],
+        custom_patterns={"OVERRIDEME": "patched-[a-z]+"},
+    )
+    out = _fields(g.apply(_events(spark, ["app-1234 patched-x"])))
+    assert out[0] == {"app": "app-1234", "o": "patched-x"}

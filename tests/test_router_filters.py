@@ -143,3 +143,52 @@ def test_erase_event_file_offset_only(spark):
     out = RegexParser(r"(\d+)", ["num"]).apply(df)
     got = [r["i"] for r in out.collect()]
     assert got == [1]  # offset-only row erased, row with a real field kept
+
+
+def test_geoip_ingest_tool_roundtrip(spark, tmp_path):
+    """tools/geoip_ingest.py: GeoLite2-CSV-style blocks+locations -> range
+    parquet -> GeoIpProcessor produces the reference's field keys."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import geoip_ingest
+
+    blocks = tmp_path / "blocks.csv"
+    blocks.write_text(
+        "network,geoname_id,latitude,longitude\n"
+        "10.0.0.0/9,111,30.274,120.155\n"
+        "10.128.0.0/9,222,37.751,-97.822\n"
+    )
+    locs = tmp_path / "locations.csv"
+    locs.write_text(
+        "geoname_id,country_iso_code,country_name,subdivision_1_iso_code,subdivision_1_name,city_name\n"
+        "111,CN,China,ZJ,Zhejiang,Hangzhou\n"
+        "222,US,United States,,,\n"
+    )
+    out = tmp_path / "ranges.parquet"
+    table = geoip_ingest.build_range_table(str(blocks), str(locs))
+    table.to_parquet(out, index=False)
+    assert table["lo"].tolist() == [10 * 16777216, 10 * 16777216 + 128 * 65536]
+
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.enrich import GeoIpProcessor
+
+    ranges = spark.read.parquet(str(out))
+    ev = to_events(
+        spark.createDataFrame(
+            [(1, "10.0.0.5"), (2, "10.200.1.1"), (3, "not-an-ip")], ["i", "content"]
+        ),
+        source_key="ip",
+    )
+    got = {
+        r["i"]: dict(r[FIELDS])
+        for r in GeoIpProcessor(ranges, source_key="ip").apply(ev).collect()
+    }
+    assert got[1]["ip_city_"] == "Hangzhou"
+    assert got[1]["ip_country_code_"] == "CN"
+    assert got[1]["ip_latitude_"] == "30.27400000"
+    assert got[2]["ip_country_"] == "United States"
+    assert "ip_city_" not in got[2]  # empty city name never appended
+    assert got[3] == {"ip": "not-an-ip"}  # lookup miss leaves event untouched

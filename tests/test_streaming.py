@@ -154,3 +154,106 @@ def test_stream_router_fanout(spark, tmp_path):
     q = run_available_now(read_stream(spark, inp, schema), str(tmp_path / "ck"), process)
     q.awaitTermination(120)
     assert sorted(out) == [("d1", "sink_all"), ("d1", "sink_prod"), ("d2", "sink_all")]
+
+
+def test_kafka_input_mock_stream_through_pipeline(spark, tmp_path):
+    """compile_input service_kafka wiring (mock rate-source stand-in: no
+    broker in-sandbox, production path identical module/options) feeds the
+    compiled processor chain; records arrive as (topic, partition, offset,
+    timestamp, content) like the Kafka source."""
+    from loongcollector_spark.plans.compiler import compile_input, compile_pipeline
+
+    cfg = {
+        "Type": "service_kafka",
+        "Brokers": ["broker-1:9092"],
+        "Topics": ["logs"],
+        "ConsumerGroup": "cg1",
+        "MockRowsPerSecond": 200,
+    }
+    stream = compile_input(spark, cfg, mock=True)
+    assert stream.isStreaming
+    assert set(["topic", "partition", "offset", "timestamp", "content"]) <= set(
+        stream.columns
+    )
+    pipe = compile_pipeline(
+        {
+            "processors": [
+                {
+                    "Type": "processor_parse_regex_native",
+                    "SourceKey": "content",
+                    "Regex": r"msg-(\d+)",
+                    "Keys": ["n"],
+                }
+            ]
+        }
+    )
+    seen = []
+
+    def process(bdf, epoch_id):
+        out = pipe.apply(to_events(bdf))
+        seen.extend(
+            (r["topic"], int(r[FIELDS]["n"])) for r in out.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline and len(seen) < 5:
+        time.sleep(0.5)
+    q.stop()
+    assert len(seen) >= 5
+    assert all(t == "logs" for t, _ in seen)
+    ns = sorted(n for _, n in seen)
+    assert ns == list(range(ns[0], ns[0] + len(ns)))  # contiguous offsets
+
+
+def test_kafka_input_production_wiring_options():
+    """The non-mock path maps reference config fields onto the Kafka source
+    options (Brokers/Topics/Offset/ConsumerGroup). Building the reader plan
+    requires the kafka connector jar, absent in-sandbox — so assert the
+    option mapping logic up to the load() call via a stub reader."""
+    from loongcollector_spark.plans import compiler
+
+    class StubReader:
+        def __init__(self):
+            self.calls = {}
+
+        def format(self, f):
+            self.calls["format"] = f
+            return self
+
+        def option(self, k, v):
+            self.calls[k] = v
+            return self
+
+        def load(self):
+            raise RuntimeError("no connector in sandbox")
+
+    class StubSpark:
+        readStream = StubReader()
+
+    cfg = {
+        "Type": "service_kafka",
+        "Brokers": ["b1:9092", "b2:9092"],
+        "Topics": ["t1", "t2"],
+        "Offset": "newest",
+        "ConsumerGroup": "cg",
+        "MaxMessageLen": 1048576,
+    }
+    try:
+        compiler.compile_input(StubSpark(), cfg)
+    except RuntimeError:
+        pass
+    calls = StubSpark.readStream.calls
+    assert calls["format"] == "kafka"
+    assert calls["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert calls["subscribe"] == "t1,t2"
+    assert calls["startingOffsets"] == "latest"
+    assert calls["kafka.group.id"] == "cg"
+    assert calls["kafka.fetch.max.bytes"] == "1048576"
