@@ -186,6 +186,10 @@ def _split_quoted_strict(line: str, sep: str, quote: str):
     separator or end-of-line) or contains NO quote char at all. Any other
     quote placement fails the whole parse (returns None) — pinned by
     TestProcessDoubleQuote's mixed pass/fail golden."""
+    if quote not in line:
+        # vectorized common case: a quote-free line is a plain split (the FSM
+        # below walks it to the same answer char-by-char in Python)
+        return line.split(sep)
     fields = []
     i, n = 0, len(line)
     while True:

@@ -228,10 +228,14 @@ class DesensitizeArrow(Operator):
                 return pre + const
 
             for pdf in batches:
+                # rebuild the dict only for rows the regex actually touches
+                # (pat.search is a cheap pre-screen; most rows miss)
                 pdf[FIELDS] = [
                     (
                         {**d, src_key: pat.sub(repl, d[src_key], count=count)}
-                        if d is not None and d.get(src_key) is not None
+                        if d is not None
+                        and d.get(src_key) is not None
+                        and pat.search(d[src_key])
                         else d
                     )
                     for d in pdf[FIELDS]
@@ -419,6 +423,9 @@ class KeyValueSplitterArrow(Operator):
 
         def split_quoted(s: str) -> list[str]:
             """Split on delim outside quotes; doubled quote escapes."""
+            if q not in s:
+                # vectorized common case: no quote char → plain C-level split
+                return s.split(delim)
             parts, buf, i, in_q = [], [], 0, False
             while i < len(s):
                 c = s[i]

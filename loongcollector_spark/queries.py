@@ -689,6 +689,60 @@ SELECT doc_id, method, code,
 FROM h"""
 
 
+def q_prom_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_prom_parse_metric_native: exposition lines → MetricEvent
+    rows; comment/malformed lines dropped (TextParser.cpp FSM as one anchored
+    regex + single-pass group extraction)."""
+    from .operators.prom_text import PromTextParser
+
+    ev = _events_raw(spark, sf_dir)
+    mod = F.col("event_id") % 10
+    val_txt = F.floor(F.col("event_id") * 1.37).cast("long").cast("string")
+    ts_txt = (F.lit(1700000000) + F.col("event_id") % 100000).cast("string")
+    line = (
+        F.when(mod == 0, F.lit("# HELP a comment line"))
+        .when(mod == 1, F.lit("=== 1"))
+        .otherwise(
+            F.concat(
+                F.col("event_type"), F.lit('_total{user="u'),
+                F.col("user_id").cast("string"), F.lit('",env="prod"} '),
+                val_txt, F.lit(" "), ts_txt,
+            )
+        )
+    )
+    df = ev.select("doc_id", line.alias("content"))
+    out = PromTextParser().apply(df)
+    t = F.col("tags")
+    return out.select(
+        "doc_id",
+        "metric_name",
+        F.element_at(t, F.lit("user")).alias("user_tag"),
+        F.element_at(t, F.lit("env")).alias("env_tag"),
+        F.element_at(t, F.lit("__name__")).alias("name_tag"),
+        F.round("value", 2).alias("value"),
+        "timestamp",
+        "ns",
+    )
+
+
+def oracle_prom_text_parse() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+  WHERE event_id % 10 NOT IN (0, 1)
+)
+SELECT doc_id,
+  event_type || '_total' AS metric_name,
+  'u' || user_id AS user_tag,
+  'prod' AS env_tag,
+  event_type || '_total' AS name_tag,
+  round(CAST(floor(event_id * 1.37) AS BIGINT), 2) AS value,
+  1700000000 + event_id % 100000 AS timestamp,
+  0 AS ns
+FROM ev"""
+
+
 def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
     log+metric stream fanned out by __event_type__ plus an unconditioned
@@ -743,6 +797,7 @@ ORDER BY sink"""
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "prom_relabel": q_prom_relabel,
+    "prom_text_parse": q_prom_text_parse,
     "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
@@ -782,6 +837,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_e2e": oracles.oracle_pipeline_aggregates(),
     "prom_relabel": oracle_prom_relabel(),
+    "prom_text_parse": oracle_prom_text_parse(),
     "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),
