@@ -743,6 +743,80 @@ SELECT doc_id,
 FROM ev"""
 
 
+def q_otel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_trace Format=json: OTLP/JSON payloads → one row per
+    span with the reference's field keys (otlp_trace_parser.go:132-215)."""
+    from .operators.otel import OtelTraceParser
+
+    ev = _events_raw(spark, sf_dir)
+    tid = F.md5(F.col("doc_id"))
+    sid = F.substring(F.md5(F.concat(F.col("doc_id"), F.lit("s"))), 1, 16)
+    start_ns = (F.lit(1663904182000000000) + F.col("event_id") * 1000).cast("string")
+    end_ns = (
+        F.lit(1663904182000000000)
+        + F.col("event_id") * 1000
+        + (F.col("event_id") % 100 + 1) * 1000000
+    ).cast("string")
+    payload = F.concat(
+        F.lit('{"resourceSpans":[{"resource":{"attributes":['
+              '{"key":"host.name","value":{"stringValue":"h'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}},{"key":"service.name","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeSpans":[{"scope":{"name":"io.otel","version":"1.0"},'
+              '"spans":[{"traceId":"'),
+        tid,
+        F.lit('","spanId":"'),
+        sid,
+        F.lit('","name":"op-'),
+        F.col("event_type"),
+        F.lit('","kind":'),
+        (F.col("event_id") % 5 + 1).cast("string"),
+        F.lit(',"startTimeUnixNano":"'),
+        start_ns,
+        F.lit('","endTimeUnixNano":"'),
+        end_ns,
+        F.lit('","attributes":[{"key":"http.status","value":{"intValue":"'),
+        (200 + F.col("user_id") % 5 * 100).cast("string"),
+        F.lit('"}}],"status":{"code":'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("}}]}]}]}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = OtelTraceParser().apply(df)
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k.replace(".", "_")) for k in [
+            "host", "service", "traceID", "spanID", "kind", "name",
+            "start", "end", "duration", "attribute", "statusCode", "resource",
+        ]],
+    )
+
+
+def oracle_otel_trace() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id,
+  'h' || (user_id % 5) AS host,
+  event_type AS service,
+  md5(doc_id) AS traceID,
+  substring(md5(doc_id || 's'), 1, 16) AS spanID,
+  CASE event_id % 5 + 1
+    WHEN 1 THEN 'internal' WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+    WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer' END AS kind,
+  'op-' || event_type AS name,
+  CAST((1663904182000000000 + event_id * 1000) // 1000 AS VARCHAR) AS start,
+  CAST((1663904182000000000 + event_id * 1000 + (event_id % 100 + 1) * 1000000) // 1000 AS VARCHAR) AS "end",
+  CAST((event_id % 100 + 1) * 1000 AS VARCHAR) AS duration,
+  '{"http.status":' || (200 + user_id % 5 * 100) || '}' AS attribute,
+  CASE event_id % 3 WHEN 2 THEN 'ERROR' WHEN 1 THEN 'OK' ELSE 'UNSET' END AS statusCode,
+  '{}' AS resource
+FROM ev"""
+
+
 def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
     log+metric stream fanned out by __event_type__ plus an unconditioned
@@ -798,6 +872,7 @@ QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
     "prom_relabel": q_prom_relabel,
     "prom_text_parse": q_prom_text_parse,
+    "otel_trace": q_otel_trace,
     "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
@@ -838,6 +913,7 @@ ORACLES = {
     "pipeline_e2e": oracles.oracle_pipeline_aggregates(),
     "prom_relabel": oracle_prom_relabel(),
     "prom_text_parse": oracle_prom_text_parse(),
+    "otel_trace": oracle_otel_trace(),
     "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),
