@@ -37,7 +37,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode JVM heap (set at FIRST JVM launch; later sessions in the
+        # same process inherit it). 8g showed GC-driven CPU/row inflation at
+        # 32 threads (scaling bench cpu ratio 1.39 → 1.16 at 16g).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
