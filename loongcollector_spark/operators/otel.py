@@ -221,3 +221,283 @@ class OtelTraceParser(Operator):
             F.col("__sp__").alias("sp"),
         )
         return spans.select(*keep, flet(bound, build).alias(FIELDS))
+
+
+# --- OTLP metrics → SLS metric logs -----------------------------------------
+
+_MDP = (
+    f"struct<attributes:{_ATTR},timeUnixNano:string,asDouble:double,asInt:string>"
+)
+_HDP = (
+    f"struct<attributes:{_ATTR},timeUnixNano:string,count:string,sum:double,"
+    "min:double,max:double,explicitBounds:array<double>,bucketCounts:array<string>>"
+)
+_SDP = (
+    f"struct<attributes:{_ATTR},timeUnixNano:string,count:string,sum:double,"
+    "quantileValues:array<struct<quantile:double,value:double>>>"
+)
+_METRIC = (
+    f"struct<name:string,gauge:struct<dataPoints:array<{_MDP}>>,"
+    f"sum:struct<dataPoints:array<{_MDP}>,isMonotonic:boolean>,"
+    f"histogram:struct<dataPoints:array<{_HDP}>>,"
+    f"summary:struct<dataPoints:array<{_SDP}>>>"
+)
+OTLP_METRIC_SCHEMA = (
+    "struct<resourceMetrics:array<struct<"
+    f"resource:struct<attributes:{_ATTR}>,"
+    f"scopeMetrics:array<struct<metrics:array<{_METRIC}>>>>>>"
+)
+
+_ROW = "struct<nm:string,lb:string,t:string,v:double>"
+
+
+def go_float_g(v: Column) -> Column:
+    """Approximate strconv.FormatFloat(v,'g',-1,64) for the practical range:
+    whole numbers render without the trailing '.0' Spark's cast adds."""
+    as_long = v.try_cast("long")
+    return F.when(
+        v.isNull(), F.lit("")
+    ).when(
+        (as_long.isNotNull()) & (as_long.cast("double") == v) & (F.abs(v) < 1e15),
+        as_long.cast("string"),
+    ).otherwise(v.cast("string"))
+
+
+def _attr_value_text(v: Column) -> Column:
+    """anyValueToString (otlp_metric_parser.go:26-46) for the scalar kinds."""
+    return (
+        F.when(v.getField("stringValue").isNotNull(), v.getField("stringValue"))
+        .when(v.getField("boolValue").isNotNull(), v.getField("boolValue").cast("string"))
+        .when(v.getField("intValue").isNotNull(), v.getField("intValue"))
+        .when(v.getField("doubleValue").isNotNull(), go_float_g(v.getField("doubleValue")))
+        .otherwise(F.lit(""))
+    )
+
+
+def _label_entries(attrs: Column) -> Column:
+    base = F.coalesce(attrs, F.expr(f"CAST(array() AS {_ATTR})"))
+    return F.transform(
+        base,
+        lambda e: F.struct(
+            e.getField("key").alias("k"), _attr_value_text(e.getField("value")).alias("v")
+        ),
+    )
+
+
+def labels_str(entries: Column) -> Column:
+    """MetricLabels.String() (log_helper.go:209-224): sort by key, join
+    k#$#v with '|'."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(entries),
+            lambda e: F.concat(e.getField("k"), F.lit("#$#"), e.getField("v")),
+        ),
+        "|",
+    )
+
+
+@dataclass
+class OtelMetricParser(Operator):
+    """processor_otel_metric Format=json — ConvertOtlpMetrics
+    (otlp_metric_parser.go:48-246): every OTLP data point becomes SLS metric
+    log rows with fields __name__ / __time_nano__ / __labels__ / __value__.
+
+    Covered: gauge, sum (+isMonotonic label), histogram (_sum/_min/_max when
+    non-zero, _count, CUMULATIVE le-bucket rows with the +Inf bound), summary
+    (_sum/_count + quantile rows). Out of scope: exponential histogram and
+    exemplar rows (documented subset); float text uses the Go-'g'
+    approximation of go_float_g."""
+
+    source_key: str = "content"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = F.element_at(F.col(FIELDS), F.lit(self.source_key))
+        parsed = F.from_json(src, OTLP_METRIC_SCHEMA)
+        keep = [c for c in df.columns if c != FIELDS]
+        rm = (
+            df.withColumn("__rm__", parsed.getField("resourceMetrics"))
+            .filter(F.col("__rm__").isNotNull())
+            .select(*keep, F.explode("__rm__").alias("__r__"))
+        )
+        sm = rm.select(
+            *keep,
+            F.col("__r__.resource.attributes").alias("__rattrs__"),
+            F.explode("__r__.scopeMetrics").alias("__s__"),
+        )
+        mt = sm.select(
+            *keep, "__rattrs__", F.explode("__s__.metrics").alias("__m__")
+        )
+
+        def row(nm: Column, lb: Column, t: Column, v: Column) -> Column:
+            return F.struct(nm.alias("nm"), lb.alias("lb"), t.alias("t"), v.alias("v"))
+
+        def build_rows(b: Column) -> Column:
+            rlb = _label_entries(b.getField("rattrs"))
+            m = b.getField("m")
+            name = m.getField("name")
+
+            def dp_labels(dp: Column, extra: Column | None = None) -> Column:
+                ents = F.concat(rlb, _label_entries(dp.getField("attributes")))
+                if extra is not None:
+                    ents = F.concat(ents, extra)
+                return labels_str(ents)
+
+            def num_val(dp: Column) -> Column:
+                return F.coalesce(
+                    dp.getField("asDouble"),
+                    dp.getField("asInt").try_cast("double"),
+                    F.lit(0.0),
+                )
+
+            empty = F.expr(f"CAST(array() AS array<{_ROW}>)")
+
+            gauge_rows = F.when(
+                m.getField("gauge").isNotNull(),
+                F.transform(
+                    F.coalesce(m.getField("gauge").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
+                    lambda dp: row(name, dp_labels(dp), dp.getField("timeUnixNano"), num_val(dp)),
+                ),
+            ).otherwise(empty)
+
+            mono = F.coalesce(m.getField("sum").getField("isMonotonic"), F.lit(False))
+            mono_entry = F.array(
+                F.struct(
+                    F.lit("otlp_metric_ismonotonic").alias("k"),
+                    mono.cast("string").alias("v"),
+                )
+            )
+            sum_rows = F.when(
+                m.getField("sum").isNotNull(),
+                F.transform(
+                    F.coalesce(m.getField("sum").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
+                    lambda dp: row(
+                        name, dp_labels(dp, mono_entry), dp.getField("timeUnixNano"), num_val(dp)
+                    ),
+                ),
+            ).otherwise(empty)
+
+            def hist_rows_for(dp: Column) -> Column:
+                t = dp.getField("timeUnixNano")
+                lb = dp_labels(dp)
+                counts = F.coalesce(
+                    dp.getField("bucketCounts"), F.expr("CAST(array() AS array<string>)")
+                )
+                bounds = F.coalesce(
+                    dp.getField("explicitBounds"), F.expr("CAST(array() AS array<double>)")
+                )
+                n_bounds = F.size(bounds)
+                n_buckets = F.least(n_bounds + 1, F.size(counts))
+                idx = F.sequence(F.lit(1), n_buckets)
+
+                def bucket_row(j: Column) -> Column:
+                    cum = F.aggregate(
+                        F.slice(counts, 1, j),
+                        F.lit(0.0),
+                        lambda acc, x: acc + F.coalesce(x.try_cast("double"), F.lit(0.0)),
+                    )
+                    le = F.when(
+                        j <= n_bounds, go_float_g(F.try_element_at(bounds, j))
+                    ).otherwise(F.lit("+Inf"))
+                    ents = F.concat(
+                        rlb,
+                        _label_entries(dp.getField("attributes")),
+                        F.array(F.struct(F.lit("le").alias("k"), le.alias("v"))),
+                    )
+                    return row(
+                        F.concat(name, F.lit("_bucket")), labels_str(ents), t, cum
+                    )
+
+                base_rows = F.concat(
+                    F.when(
+                        F.coalesce(dp.getField("sum"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_sum")), lb, t, dp.getField("sum"))),
+                    ).otherwise(empty),
+                    F.when(
+                        F.coalesce(dp.getField("min"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_min")), lb, t, dp.getField("min"))),
+                    ).otherwise(empty),
+                    F.when(
+                        F.coalesce(dp.getField("max"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_max")), lb, t, dp.getField("max"))),
+                    ).otherwise(empty),
+                    F.array(
+                        row(
+                            F.concat(name, F.lit("_count")), lb, t,
+                            F.coalesce(dp.getField("count").try_cast("double"), F.lit(0.0)),
+                        )
+                    ),
+                    F.transform(idx, bucket_row),
+                )
+                return base_rows
+
+            hist_rows = F.when(
+                m.getField("histogram").isNotNull(),
+                F.flatten(
+                    F.transform(
+                        F.coalesce(m.getField("histogram").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_HDP}>)")),
+                        hist_rows_for,
+                    )
+                ),
+            ).otherwise(empty)
+
+            def summary_rows_for(dp: Column) -> Column:
+                t = dp.getField("timeUnixNano")
+                lb = dp_labels(dp)
+                quants = F.coalesce(
+                    dp.getField("quantileValues"),
+                    F.expr("CAST(array() AS array<struct<quantile:double,value:double>>)"),
+                )
+                q_rows = F.transform(
+                    quants,
+                    lambda q: row(
+                        name,
+                        labels_str(
+                            F.concat(
+                                rlb,
+                                _label_entries(dp.getField("attributes")),
+                                F.array(
+                                    F.struct(
+                                        F.lit("quantile").alias("k"),
+                                        go_float_g(q.getField("quantile")).alias("v"),
+                                    )
+                                ),
+                            )
+                        ),
+                        t,
+                        q.getField("value"),
+                    ),
+                )
+                return F.concat(
+                    F.array(
+                        row(F.concat(name, F.lit("_sum")), lb, t, F.coalesce(dp.getField("sum"), F.lit(0.0))),
+                        row(
+                            F.concat(name, F.lit("_count")), lb, t,
+                            F.coalesce(dp.getField("count").try_cast("double"), F.lit(0.0)),
+                        ),
+                    ),
+                    q_rows,
+                )
+
+            summary_rows = F.when(
+                m.getField("summary").isNotNull(),
+                F.flatten(
+                    F.transform(
+                        F.coalesce(m.getField("summary").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_SDP}>)")),
+                        summary_rows_for,
+                    )
+                ),
+            ).otherwise(empty)
+
+            return F.concat(gauge_rows, sum_rows, hist_rows, summary_rows)
+
+        bound = F.struct(
+            F.col("__rattrs__").alias("rattrs"), F.col("__m__").alias("m")
+        )
+        rows = mt.select(*keep, F.explode(flet(bound, build_rows)).alias("__row__"))
+        fields_map = F.create_map(
+            F.lit("__name__"), F.col("__row__.nm"),
+            F.lit("__time_nano__"), F.coalesce(F.col("__row__.t"), F.lit("0")),
+            F.lit("__labels__"), F.col("__row__.lb"),
+            F.lit("__value__"), go_float_g(F.col("__row__.v")),
+        )
+        return rows.select(*keep, fields_map.alias(FIELDS))

@@ -116,7 +116,11 @@ class DelimiterParser(Operator):
         if quote_path:
             schema = ", ".join(f"`_c{i}` string" for i in range(n + self.max_overflow_cols))
             arr_struct = F.from_csv(
-                src, F.lit(schema), {"sep": self.separator, "quote": self.quote}
+                src,
+                F.lit(schema),
+                # escape = quote → doubled-quote escaping (the strict FSM's
+                # rule, ProcessorParseDelimiterNative.cpp:268-275)
+                {"sep": self.separator, "quote": self.quote, "escape": self.quote},
             )
             arr = F.array(
                 *[arr_struct.getField(f"_c{i}") for i in range(n + self.max_overflow_cols)]
@@ -673,7 +677,9 @@ class CsvParser(Operator):
         n = len(self.split_keys)
         total = n + self.max_expand_cols
         schema = ", ".join(f"`_c{i}` string" for i in range(total))
-        opts = {"sep": self.split_sep, "quote": self.quote}
+        # escape = quote → RFC4180 doubled-quote escaping, the Go-csv rule
+        # (Spark's default escape is backslash, which Go csv treats literally)
+        opts = {"sep": self.split_sep, "quote": self.quote, "escape": self.quote}
         if self.trim_leading_space:
             opts["ignoreLeadingWhiteSpace"] = "true"
         parsed = F.from_csv(src, F.lit(schema), opts)

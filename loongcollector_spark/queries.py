@@ -817,6 +817,63 @@ SELECT doc_id,
 FROM ev"""
 
 
+def q_otel_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_metric Format=json: one gauge + one monotonic-sum data
+    point per payload → SLS metric log rows (__name__/__labels__/
+    __time_nano__/__value__; ConvertOtlpMetrics, otlp_metric_parser.go)."""
+    from .operators.otel import OtelMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    ts = (F.lit(1663904182000000000) + F.col("event_id") * 1000).cast("string")
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":['
+              '{"key":"host.name","value":{"stringValue":"h'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeMetrics":[{"metrics":['
+              '{"name":"evt_value","gauge":{"dataPoints":[{"attributes":['
+              '{"key":"etype","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}],"timeUnixNano":"'),
+        ts,
+        F.lit('","asDouble":'),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit('.5}]}},{"name":"evt_total","sum":{"isMonotonic":true,'
+              '"dataPoints":[{"attributes":[],"timeUnixNano":"'),
+        ts,
+        F.lit('","asInt":"'),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit('"}]}}]}]}]}'),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = OtelMetricParser().apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__value__").alias("value"),
+    )
+
+
+def oracle_otel_metric() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id, 'evt_value' AS name,
+  'etype#$#' || event_type || '|host.name#$#h' || (user_id % 5) AS labels,
+  CAST(1663904182000000000 + event_id * 1000 AS VARCHAR) AS time_nano,
+  (event_id % 97) || '.5' AS value
+FROM ev
+UNION ALL
+SELECT doc_id, 'evt_total' AS name,
+  'host.name#$#h' || (user_id % 5) || '|otlp_metric_ismonotonic#$#true' AS labels,
+  CAST(1663904182000000000 + event_id * 1000 AS VARCHAR) AS time_nano,
+  CAST(event_id % 1000 AS VARCHAR) AS value
+FROM ev"""
+
+
 def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
     log+metric stream fanned out by __event_type__ plus an unconditioned
@@ -873,6 +930,7 @@ QUERIES = {
     "prom_relabel": q_prom_relabel,
     "prom_text_parse": q_prom_text_parse,
     "otel_trace": q_otel_trace,
+    "otel_metric": q_otel_metric,
     "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
@@ -914,6 +972,7 @@ ORACLES = {
     "prom_relabel": oracle_prom_relabel(),
     "prom_text_parse": oracle_prom_text_parse(),
     "otel_trace": oracle_otel_trace(),
+    "otel_metric": oracle_otel_metric(),
     "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),

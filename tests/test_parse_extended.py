@@ -275,3 +275,33 @@ def test_csv_empty_mid_extra_field_position(spark):
         )
     )
     assert fs[0] == {"a": "1", "ex_1": "", "ex_2": "3"}
+
+
+def test_csv_reference_goldens_batch(spark):
+    """processor_csv_test.go 'without preserving others' goldens: blank-only
+    record is ONE valid field, quoted fields with doubled quotes, short rows,
+    extra fields silently dropped."""
+    cases = [
+        ("", {"f1": ""}),
+        ("  ", {"f1": "  "}),
+        ("12", {"f1": "12"}),
+        ("12,34,56", {"f1": "12", "f2": "34", "f3": "56"}),
+        ('"normal","""quote""",","', {"f1": "normal", "f2": '"quote"', "f3": ","}),
+        ("12,34", {"f1": "12", "f2": "34"}),
+        ("12,34,56,78,90", {"f1": "12", "f2": "34", "f3": "56"}),
+    ]
+    out = CsvParser(["f1", "f2", "f3"]).apply(
+        _events(spark, [c for c, _ in cases])
+    )
+    fs = _fields(out)
+    for i, (_, expect) in enumerate(cases):
+        assert fs[i] == expect, (i, fs[i], expect)
+
+
+def test_csv_quoted_json_golden(spark):
+    """processor_csv_test.go embedded-JSON golden: a fully-quoted field with
+    doubled quotes and embedded commas/braces decodes verbatim."""
+    rec = '"  words{""a"":123,""b"":""string"",""c"":[1,2,3],""d"":{""e"":""string""}}  ",x'
+    fs = _fields(CsvParser(["j", "k"]).apply(_events(spark, [rec])))
+    assert fs[0]["j"] == '  words{"a":123,"b":"string","c":[1,2,3],"d":{"e":"string"}}  '
+    assert fs[0]["k"] == "x"
