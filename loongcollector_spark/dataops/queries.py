@@ -756,7 +756,38 @@ SELECT source, bin, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
 FROM packed GROUP BY source, bin ORDER BY source, bin"""
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode path: deterministic PPM/WAV payloads built per doc,
+    decoded back by magic-byte dispatch (decode_media_features) — the oracle
+    predicts every decoded feature in closed form from doc_id."""
+    from .multimodal import attach_real_media, decode_media_features
+
+    docs = _docs(spark, sf_dir)
+    media = attach_real_media(docs)
+    out = decode_media_features(media)
+    return out.select(
+        "doc_id", "kind", "media_format", "width", "height",
+        "mean_r", "mean_g", "mean_b", "sample_rate", "n_samples", "rms",
+    )
+
+
+def oracle_multimodal_decode() -> str:
+    return """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+  CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'ppm' END AS media_format,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 16 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 3 <> 0 THEN CAST(4 + doc_id % 8 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(doc_id * 3 % 256 AS DOUBLE), 4) END AS mean_r,
+  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(doc_id * 5 % 256 AS DOUBLE), 4) END AS mean_g,
+  CASE WHEN doc_id % 3 <> 0 THEN round(CAST(doc_id * 7 % 256 AS DOUBLE), 4) END AS mean_b,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(8000 + doc_id % 4 * 1000 AS INTEGER) END AS sample_rate,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(64 + doc_id % 32 * 2 AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 3 = 0 THEN round(CAST(100 + doc_id % 100 AS DOUBLE), 4) END AS rms
+FROM documents"""
+
+
 DATAOPS_QUERIES = {
+    "multimodal_decode": q_multimodal_decode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_hot": q_dedup_minhash_hot,
@@ -778,6 +809,7 @@ DATAOPS_QUERIES = {
 }
 
 DATAOPS_ORACLES = {
+    "multimodal_decode": oracle_multimodal_decode(),
     "embed_ivf": oracle_embed_ivf(),
     "curation_pipeline": oracle_curation_pipeline(),
     "dedup_clusters": oracle_dedup_clusters(),

@@ -126,9 +126,36 @@ def capped_bucket_pairs(
       the representative, so connected-components clustering is unchanged for
       true dup clusters.
 
-    One extra window pass keyed by the bucket (rank + size share a single
-    shuffle); oversized buckets are rare by construction, so the ranking sort
-    is bounded by the hot-bucket size, not the table."""
+    ``n_anchors=1`` (the MinHash default) needs NO per-bucket sort: bucket
+    size + min-id representative come from one groupBy (map-side partial
+    agg). ``n_anchors>1`` ranks members with a bucket-keyed window — the
+    sort is bounded by the hot-bucket size, not the table."""
+    if n_anchors == 1:
+        stats = bands.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__bn__"), F.min(id_col).alias("__rep__")
+        )
+        tagged = bands.join(stats, list(keys))
+        a = tagged.alias("a")
+        b = tagged.alias("b")
+        on_bucket = None
+        for kcol in keys:
+            eq = F.col(f"a.{kcol}") == F.col(f"b.{kcol}")
+            on_bucket = eq if on_bucket is None else (on_bucket & eq)
+        small = a.join(
+            b,
+            on_bucket
+            & (F.col("a.__bn__") <= max_bucket)
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        # star pairs: representative × every other member (rep = bucket min
+        # id, so rep < id always)
+        big = tagged.filter(
+            (F.col("__bn__") > max_bucket) & (F.col(id_col) != F.col("__rep__"))
+        ).select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
+        return small.unionByName(big).distinct()
+
     wb = Window.partitionBy(*keys)
     ranked = bands.withColumn(
         "__rk__", F.row_number().over(wb.orderBy(id_col))

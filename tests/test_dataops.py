@@ -239,3 +239,43 @@ def test_pack_token_bins_shard_invariant(spark):
     # sort tasks; only the tiny per-chunk totals window is keyed by source
     plan = str(b._jdf.queryExecution().optimizedPlan())
     assert "__pid__" in plan
+
+
+def test_multimodal_real_decode_roundtrips(spark):
+    """PPM/WAV are REAL decoders (pure stdlib/numpy): resize and
+    frame-sample roundtrip through encode→transform→decode."""
+    from loongcollector_spark.dataops import multimodal as mm
+
+    ppm = mm.make_ppm(16, 8, 10, 20, 30)
+    w, h, pix = mm.decode_ppm(ppm)
+    assert (w, h) == (16, 8) and pix.shape == (8, 16, 3)
+    assert (pix[0, 0] == [10, 20, 30]).all()
+    small = mm.resize_image_ppm(ppm, 4, 2)
+    w2, h2, pix2 = mm.decode_ppm(small)
+    assert (w2, h2) == (4, 2) and (pix2[1, 3] == [10, 20, 30]).all()
+
+    wav = mm.make_wav(8000, 64, 250)
+    rate, samples = mm.decode_wav(wav)
+    assert rate == 8000 and len(samples) == 64
+    assert samples[0] == 250 and samples[1] == -250
+    half = mm.frame_sample_wav(wav, 2)
+    rate2, s2 = mm.decode_wav(half)
+    assert rate2 == 4000 and len(s2) == 32 and (s2 == 250).all()
+
+
+def test_multimodal_decode_features_distributed(spark):
+    """decode_media_features dispatches per row on magic bytes inside one
+    mapInPandas pass; unknown payloads degrade to nulls."""
+    from loongcollector_spark.dataops import multimodal as mm
+
+    rows = [
+        (1, mm.make_ppm(4, 4, 200, 100, 50)),
+        (2, mm.make_wav(16000, 10, 99)),
+        (3, b"\x89PNG fake"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in mm.decode_media_features(df).collect()}
+    assert out[1]["media_format"] == "ppm" and out[1]["mean_r"] == 200.0
+    assert out[2]["media_format"] == "wav" and out[2]["sample_rate"] == 16000
+    assert out[2]["rms"] == 99.0
+    assert out[3]["media_format"] == "unknown" and out[3]["width"] is None
