@@ -786,8 +786,28 @@ def oracle_multimodal_decode() -> str:
 FROM documents"""
 
 
+def q_embed_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL k-means codebook (distributed spherical Lloyd
+    iterations, deterministic first-k init) instead of the first-8 stand-in.
+    Iterative training is the acknowledged non-SQL-expressible category —
+    no DuckDB oracle (rows-only driver check); invariants are pytest-pinned
+    (test_dataops.py: codebook beats the stand-in on intra-cell cosine,
+    deterministic across runs)."""
+    from . import similarity
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    cents = similarity.kmeans_centroids(embs, k=8, iters=2)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(embs, queries, cents, k=5).select(
+        "qid", "vec_id", "cos"
+    )
+
+
 DATAOPS_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
+    "embed_ivf_kmeans": q_embed_ivf_kmeans,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_hot": q_dedup_minhash_hot,

@@ -198,3 +198,89 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def argmax_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid (plan-time unrolled; k is small)."""
+    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    best_id, best_cos = F.lit(0), cosine(vec, cent_cols[0])
+    for i, c in enumerate(cent_cols[1:], start=1):
+        cos_i = cosine(vec, c)
+        better = cos_i > best_cos
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_cos = F.when(better, cos_i).otherwise(best_cos)
+    return best_id
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical k-means codebook (Lloyd iterations, cosine
+    assignment): deterministic init = the k lowest-id vectors; per iteration
+    ONE narrow assignment pass + a (cell, dim)-keyed partial-agg shuffle of
+    k·dim keys; only the k·dim centroid means ever reach the driver — the
+    standard coarse-quantizer training shape at any scale. Empty cells keep
+    their previous centroid. Results are deterministic given the input
+    (floating-point sum order may vary across partitionings; assignments are
+    robust to that for non-degenerate data)."""
+    v = vectors.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("__v__")
+    )
+    cents = [
+        list(r["__v__"])
+        for r in v.orderBy(id_col).limit(k).collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = v.withColumn("__cell__", argmax_cell(F.col("__v__"), cents))
+        means = (
+            assigned.select("__cell__", F.posexplode("__v__").alias("pos", "val"))
+            .groupBy("__cell__", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = {c: list(cents[c]) for c in range(k)}
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell__"], {})[r["pos"]] = r["m"]
+        for c, dims in by_cell.items():
+            new[c] = [dims.get(p, cents[c][p]) for p in range(dim)]
+        cents = [new[c] for c in range(k)]
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF probe: assign every vector and query to its codebook cell, exact
+    top-k within the query's cell. At scale the table is written partitioned
+    by cell id, so the probe scans one cell's partition."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
+    vb = vectors.withColumn("__cell__", argmax_cell(v, centroids))
+    qb = queries.withColumn("__qcell__", argmax_cell(q, centroids))
+    joined = vb.join(broadcast(qb), F.col("__cell__") == F.col("__qcell__")).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = joined.select(
+        F.col(qid_col), F.col(id_col), F.round(cosine(v, q), 4).alias("cos")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

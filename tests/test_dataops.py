@@ -279,3 +279,38 @@ def test_multimodal_decode_features_distributed(spark):
     assert out[2]["media_format"] == "wav" and out[2]["sample_rate"] == 16000
     assert out[2]["rms"] == 99.0
     assert out[3]["media_format"] == "unknown" and out[3]["width"] is None
+
+
+def test_kmeans_codebook_properties(spark, sf_dir):
+    """k-means IVF codebook: deterministic across runs, and its mean
+    intra-cell cosine beats the first-k stand-in codebook."""
+    import pyspark.sql.functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    c1 = similarity.kmeans_centroids(embs, k=4, iters=2)
+    c2 = similarity.kmeans_centroids(embs, k=4, iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == len(c2[0])
+
+    def mean_intra(cents):
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        assigned = embs.withColumn("cell", similarity.argmax_cell(v, cents))
+        best = None
+        for i, c in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            cos_i = F.when(F.col("cell") == i, similarity.cosine(v, lit))
+            best = cos_i if best is None else F.coalesce(best, cos_i)
+        return assigned.agg(F.avg(best)).collect()[0][0]
+
+    stand_in = [
+        list(r["e"])
+        for r in embs.select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    ]
+    assert mean_intra(c1) >= mean_intra(stand_in) - 1e-9

@@ -192,3 +192,44 @@ def test_geoip_ingest_tool_roundtrip(spark, tmp_path):
     assert got[2]["ip_country_"] == "United States"
     assert "ip_city_" not in got[2]  # empty city name never appended
     assert got[3] == {"ip": "not-an-ip"}  # lookup miss leaves event untouched
+
+
+def test_filter_native_rule_mode_reference_golden(spark):
+    """ProcessorFilterNativeUnittest::TestLogFilterRule exact golden:
+    Include {key1: '.*value1', key2: 'value2.*'} — FULL-match semantics
+    ('value1xxxxx' fails '.*value1'); events missing a filtered key drop."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.filters import FilterNative
+
+    rows = [
+        (1, {"key1": "value1xxxxx", "key2": "value2xxxxx"}),
+        (2, {"key1": "abcdeavalue1", "key2": "value2xxxxx"}),
+        (3, {"key1": "abcvalue1"}),
+    ]
+    df = spark.createDataFrame(rows, f"i long, {FIELDS} map<string,string>")
+    out = FilterNative(include={"key1": ".*value1", "key2": "value2.*"}).apply(df)
+    assert [r["i"] for r in out.collect()] == [2]
+
+
+def test_filter_native_expression_mode_reference_golden(spark):
+    """ProcessorFilterNativeUnittest::TestBaseFilter case 1: AND of two regex
+    leaves, same fixtures."""
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.filters import FilterNative
+
+    cond = {
+        "operator": "and",
+        "operands": [
+            {"key": "key1", "exp": ".*value1", "type": "regex"},
+            {"key": "key2", "exp": "value2.*", "type": "regex"},
+        ],
+    }
+    rows = [
+        (1, {"key1": "value1xxxxx", "key2": "value2xxxxx"}),
+        (2, {"key1": "abcdeavalue1", "key2": "value2xxxxx"}),
+    ]
+    df = spark.createDataFrame(rows, f"i long, {FIELDS} map<string,string>")
+    out = FilterNative(condition_exp=cond).apply(df)
+    assert [r["i"] for r in out.collect()] == [2]
