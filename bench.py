@@ -275,7 +275,7 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     from loongcollector_spark.session import get_spark as gs
 
     low_cpus = max(cpus // 4, 2)
-    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "48"))
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "96"))
     passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
 
     def cpu_probe() -> float:

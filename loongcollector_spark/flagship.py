@@ -91,10 +91,12 @@ def parsed_events_from(
     def branch(source: str) -> DataFrame:
         sub = seq.filter(F.col("source") == source)
         if arrow:
-            sub = decode_tokens_arrow(sub, "tokens", "content")
+            # drop the token arrays INSIDE the python stage: a .drop after it
+            # would ship the dominant payload Python→JVM just to discard it
+            sub = decode_tokens_arrow(sub, "tokens", "content", drop_tokens=True)
         else:
-            sub = sub.withColumn("content", decode_tokens("tokens"))
-        return to_events(sub.drop("tokens"))
+            sub = sub.withColumn("content", decode_tokens("tokens")).drop("tokens")
+        return to_events(sub)
 
     nginx = RegexParser(NGINX_REGEX, NGINX_KEYS, opts).apply(branch("nginx"))
     appjson = JsonParser(opts).apply(branch("app-json"))
@@ -123,10 +125,10 @@ def fused_parsed_events(
     from .tokens import decode_tokens, decode_tokens_arrow
 
     if arrow:
-        dec = decode_tokens_arrow(seq, "tokens", "content")
+        dec = decode_tokens_arrow(seq, "tokens", "content", drop_tokens=True)
     else:
-        dec = seq.withColumn("content", decode_tokens("tokens"))
-    ev = to_events(dec.drop("tokens"))
+        dec = seq.withColumn("content", decode_tokens("tokens")).drop("tokens")
+    ev = to_events(dec)
     opts = ParserOptions(keep_fail=keep_unmatch, coping_raw_log=keep_unmatch)
     src = F.element_at(F.col("fields"), F.lit("content"))
 

@@ -72,26 +72,40 @@ def _decode_batch(token_lists) -> list[str]:
 
 
 def decode_tokens_arrow(
-    df: DataFrame, tokens_col: str = "tokens", out_col: str = "content"
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "content",
+    drop_tokens: bool = False,
 ) -> DataFrame:
     """Arrow-batched decode: adds ``out_col`` string column from ``tokens_col``.
 
     One Python worker pass over Arrow batches; whole-batch numpy decode (one
     buffer concat + per-row slice — no per-token Python).
 
+    ``drop_tokens=True`` excludes the token array from the OUTPUT schema —
+    a ``.drop`` after the stage cannot be pushed into it, so without this the
+    decoded batch ships the (dominant) token arrays back Python→JVM only to
+    discard them one projection later.
+
     NOTE: filters on other columns (e.g. ``source``) cannot be pushed through
     mapInPandas by Catalyst — apply them BEFORE calling this."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     fields = list(df.columns)
-    out_fields = list(df.schema.fields)
+    out_names = [c for c in fields if not (drop_tokens and c == tokens_col)]
+    out_fields = [
+        f for f in df.schema.fields if not (drop_tokens and f.name == tokens_col)
+    ]
     if out_col not in fields:
         out_fields.append(StructField(out_col, StringType()))
+        emit = [*out_names, out_col]
+    else:
+        emit = out_names
     schema = StructType(out_fields)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = _decode_batch(pdf[tokens_col].values)
-            yield pdf[[*fields, out_col]] if out_col not in fields else pdf[fields]
+            yield pdf[emit]
 
     return df.mapInPandas(mapper, schema=schema)
