@@ -112,11 +112,31 @@ class StringReplace(Operator):
         elif self.method == "const":
             out = F.replace(src, F.lit(self.match), F.lit(self.replace_string))
         elif self.method == "unquote":
-            quoted = src.rlike('^".*"$') | src.rlike("^'.*'$")
-            out = F.when(quoted, F.expr(
-                f"substring(element_at({FIELDS}, '{self.source_key}'), 2, "
-                f"length(element_at({FIELDS}, '{self.source_key}')) - 2)"
-            )).otherwise(src)
+            # strconv.Unquote semantics (processor_string_replace.go:116-121):
+            # a "..."-wrapped value is unquoted directly; anything else is
+            # wrapped with its raw '"' escaped, so escape SEQUENCES decode in
+            # both cases (\x22, \uXXXX, \n, \\ ...). JVM route: normalize Go
+            # escapes to JSON ones, then a from_json string decode; any
+            # invalid escape → decode null → original kept (the error path).
+            # Divergence (documented): Go octal \377 escapes are not decoded.
+            sent = "\x02"
+            quoted = src.startswith('"') & src.endswith('"') & (F.length(src) >= 2)
+            inner = F.when(
+                quoted, src.substr(F.lit(2), F.length(src) - 2)
+            ).otherwise(F.replace(src, F.lit('"'), F.lit("\\x22")))
+
+            def normalize(c: Column) -> Column:
+                c = F.replace(c, F.lit("\\\\"), F.lit(sent))  # hide escaped \
+                c = F.regexp_replace(c, r"\\x([0-9a-fA-F]{2})", r"\\u00$1")
+                c = F.replace(c, F.lit("\\a"), F.lit("\\u0007"))
+                c = F.replace(c, F.lit("\\v"), F.lit("\\u000b"))
+                return F.replace(c, F.lit(sent), F.lit("\\\\"))
+
+            decoded = F.from_json(
+                F.concat(F.lit('{"v":"'), normalize(inner), F.lit('"}')),
+                "struct<v:string>",
+            ).getField("v")
+            out = F.coalesce(decoded, src)
         else:
             raise ValueError(f"unknown method {self.method}")
         dest = self.dest_key or self.source_key
@@ -670,3 +690,115 @@ class LogToMetric(Operator):
         return out.filter(F.col("__value__").rlike(self._NUM_RX)).withColumn(
             "__value__", F.col("__value__").cast("double")
         )
+
+
+_GO_LAYOUT_TOKENS = [
+    ("2006", "yyyy"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    (".000000000", ".SSSSSSSSS"),  # ns — handled by the GoTime special case
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("Z07:00", "XXX"),
+    ("-07:00", "xxx"),
+    ("-0700", "xx"),
+    ("MST", "zz"),
+    ("15", "HH"),
+    ("06", "yy"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("03", "hh"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("PM", "a"),
+]
+
+
+def go_layout_to_spark(layout: str) -> str:
+    """Go reference-time layout → Spark datetime pattern (single-pass token
+    substitution so outputs are never re-matched); bare 'T'/'Z' literals are
+    quoted. Covers the documented layout subset (no '_2'/ordinal tokens)."""
+    import re as _re
+
+    alt = "|".join(_re.escape(k) for k, _ in _GO_LAYOUT_TOKENS)
+    mapping = dict(_GO_LAYOUT_TOKENS)
+    out = _re.sub(alt, lambda m: mapping[m.group(0)], layout)
+    return _re.sub(r"(?<!')([TZ])(?!')", r"'\1'", out)
+
+
+_GOTIME_EPOCH_FORMATS = ("seconds", "milliseconds", "microseconds", "nanoseconds")
+
+
+@dataclass
+class GoTime(Operator):
+    """processor_gotime (plugins/processor/gotime/processor_gotime.go:27-160):
+    parse fields[source_key] by a Go layout (or fixed epoch
+    seconds/milliseconds/microseconds/nanoseconds), emit it re-formatted by
+    ``dest_format`` in the dest timezone under ``dest_key``; SetTime also
+    stamps ``event_time``; KeepSource=false consumes the source key.
+    ``source_location``/``dest_location`` are UTC offsets in hours (the
+    reference's machine-timezone default is pinned to UTC here — driver/
+    executor-local timezones are not a thing a distributed job should depend
+    on)."""
+
+    source_key: str
+    source_format: str
+    dest_key: str
+    dest_format: str
+    source_location: int = 0  # hours east of UTC
+    dest_location: int = 0
+    set_time: bool = False
+    keep_source: bool = True
+    out_time_col: str = "event_time"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = fget(self.source_key)
+        ns_rem = None
+        if self.source_format in _GOTIME_EPOCH_FORMATS:
+            iv = src.try_cast("long")
+            if self.source_format == "seconds":
+                ts = F.timestamp_seconds(iv)
+            elif self.source_format == "milliseconds":
+                ts = F.timestamp_millis(iv)
+            elif self.source_format == "microseconds":
+                ts = F.timestamp_micros(iv)
+            else:  # nanoseconds — Spark timestamps are µs; keep the ns tail
+                ts = F.timestamp_micros(F.floor(iv.cast("decimal(25,0)") / 1000).cast("long"))
+                ns_rem = (iv.cast("decimal(25,0)") % 1000000000).cast("long")
+        else:
+            fmt = go_layout_to_spark(self.source_format)
+            naive = F.to_timestamp(src, fmt)
+            ts = (
+                F.to_utc_timestamp(naive, f"GMT{self.source_location:+03d}:00")
+                if self.source_location
+                else naive
+            )
+        dest_ts = (
+            F.from_utc_timestamp(ts, f"GMT{self.dest_location:+03d}:00")
+            if self.dest_location
+            else ts
+        )
+        dfmt = self.dest_format
+        if ns_rem is not None and dfmt.endswith(".000000000"):
+            base = F.date_format(dest_ts, go_layout_to_spark(dfmt[: -len(".000000000")]))
+            rendered = F.concat(base, F.lit("."), F.lpad(ns_rem.cast("string"), 9, "0"))
+        else:
+            rendered = F.date_format(dest_ts, go_layout_to_spark(dfmt))
+
+        ok = ts.isNotNull()
+        base_map = (
+            F.col(FIELDS)
+            if self.keep_source
+            else F.map_filter(F.col(FIELDS), lambda k, v: k != F.lit(self.source_key))
+        )
+        merged = F.when(
+            ok, F.map_concat(base_map, F.create_map(F.lit(self.dest_key), rendered))
+        ).otherwise(F.col(FIELDS))
+        out = df
+        if self.set_time:
+            # stamp BEFORE the fields rewrite — ts reads the source key,
+            # which keep_source=False removes from the map
+            out = out.withColumn(self.out_time_col, F.when(ok, ts))
+        return out.withColumn(FIELDS, merged)

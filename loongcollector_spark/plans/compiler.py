@@ -197,6 +197,7 @@ PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
         replacing_string=c.get("ReplacingString", "********"),
         replacing_all=c.get("ReplacingAll", True),
     ),
+    "processor_gotime": lambda c: _gotime(c),
     "processor_base64_encoding": lambda c: Base64Encode(c["SourceKey"], c["NewKey"]),
     "processor_base64_decoding": lambda c: Base64Decode(c["SourceKey"], c["NewKey"]),
     "processor_md5": lambda c: Md5(c["SourceKey"], c["NewKey"]),
@@ -271,6 +272,21 @@ ARROW_PARITY_REGISTRY: Mapping[str, Callable[[Mapping[str, Any]], Operator]] = {
     "processor_desensitize_native": _arrow_desensitize,
     "processor_split_key_value": _arrow_kv,
 }
+
+
+def _gotime(c):
+    from ..operators.transforms import GoTime
+
+    return GoTime(
+        source_key=c["SourceKey"],
+        source_format=c["SourceFormat"],
+        dest_key=c["DestKey"],
+        dest_format=c["DestFormat"],
+        source_location=c.get("SourceLocation", 0),
+        dest_location=c.get("DestLocation", 0),
+        set_time=c.get("SetTime", False),
+        keep_source=c.get("KeepSource", True),
+    )
 
 
 def compile_processors(configs: list[Mapping[str, Any]]) -> Chain:

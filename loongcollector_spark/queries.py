@@ -874,6 +874,38 @@ SELECT doc_id, 'evt_total' AS name,
 FROM ev"""
 
 
+def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_gotime: epoch-seconds source → Go-layout formatted dest key
+    in a +08:00 destination timezone (processor_gotime.go:118-160)."""
+    from .operators.base import FIELDS
+    from .operators.transforms import GoTime
+
+    ev = _events_raw(spark, sf_dir)
+    df = ev.select(
+        "doc_id",
+        F.create_map(
+            F.lit("ts"), (F.lit(1600000000) + F.col("event_id") * 37 % 100000).cast("string")
+        ).alias(FIELDS),
+    )
+    g = GoTime(
+        "ts", "seconds", "formatted", "2006/01/02 15:04:05",
+        dest_location=8, keep_source=True,
+    )
+    out = g.apply(df)
+    return out.select("doc_id", fget("ts").alias("ts"), fget("formatted").alias("formatted"))
+
+
+def oracle_gotime() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         1600000000 + event_id * 37 % 100000 AS epoch
+  FROM events
+)
+SELECT doc_id, CAST(epoch AS VARCHAR) AS ts,
+  strftime(to_timestamp(epoch) + INTERVAL 8 HOUR, '%Y/%m/%d %H:%M:%S') AS formatted
+FROM ev"""
+
+
 def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
     log+metric stream fanned out by __event_type__ plus an unconditioned
@@ -931,6 +963,7 @@ QUERIES = {
     "prom_text_parse": q_prom_text_parse,
     "otel_trace": q_otel_trace,
     "otel_metric": q_otel_metric,
+    "gotime": q_gotime,
     "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
@@ -973,6 +1006,7 @@ ORACLES = {
     "prom_text_parse": oracle_prom_text_parse(),
     "otel_trace": oracle_otel_trace(),
     "otel_metric": oracle_otel_metric(),
+    "gotime": oracle_gotime(),
     "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),

@@ -116,3 +116,139 @@ def test_shardhash_count_one(spark):
     out = sh.apply(df).withColumn("tag", sh.shardhash_tag()).collect()
     assert {r[sh.bucket_col] for r in out} == {0}
     assert {r["tag"] for r in out} == {"0" * 32}
+
+
+def test_string_replace_unquote_reference_goldens(spark):
+    """processor_string_replace_test.go TestProcessorUnquoteReplaceWork:
+    \\x22 / \\uXXXX escape decoding in both the quoted and unquoted paths."""
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.transforms import StringReplace
+
+    rec1 = (
+        r"{\x22UNAME\x22:\x22\x22,\x22GID\x22:\x22\x22,\x22PAID\x22:\x22\x22,"
+        r"\x22UUID\x22:\x22\x22,\x22STARTTIME\x22:\x22\x22,\x22ENDTIME\x22:"
+        r"\x22\x22,\x22UID\x22:\x2212345678\x22,\x22page_num\x22:1,"
+        r"\x22page_size\x22:10}"
+    )
+    exp1 = (
+        '{"UNAME":"","GID":"","PAID":"","UUID":"","STARTTIME":"","ENDTIME":"",'
+        '"UID":"12345678","page_num":1,"page_size":10}'
+    )
+    rec2 = 'aaa"\\u554a'
+    cases = [(0, rec1, exp1), (1, rec2, 'aaa"啊'), (2, '"message"', "message")]
+    df = to_events(
+        spark.createDataFrame([(i, r) for i, r, _ in cases], ["i", "content"])
+    )
+    out = StringReplace("content", method="unquote").apply(df)
+    got = {r["i"]: dict(r[FIELDS])["content"] for r in out.collect()}
+    for i, _, exp in cases:
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_string_replace_regex_reference_goldens(spark):
+    """TestProcessorStringReplaceWork regex goldens incl. group refs and a
+    lookbehind phone-mask pattern that must NOT match."""
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.transforms import StringReplace
+
+    df = to_events(
+        spark.createDataFrame([(0, "10.10.239.16")], ["i", "content"])
+    )
+    out = StringReplace("content", method="regex", match=r"(\d.*\.)\d+",
+                        replace_string="$1*/24").apply(df)
+    assert dict(out.collect()[0][FIELDS])["content"] == "10.10.239.*/24"
+
+    df2 = to_events(
+        spark.createDataFrame([(0, "10.10.239.16 10.10.238.10 ")], ["i", "content"])
+    )
+    out2 = StringReplace("content", method="regex", match=r".\d ",
+                         replace_string="0/24 ").apply(df2)
+    assert dict(out2.collect()[0][FIELDS])["content"] == "10.10.239.0/24 10.10.238.0/24 "
+
+
+def test_dict_map_reference_goldens(spark, tmp_path):
+    """processor_dict_map_test.go goldens (testfile.csv dict): overwrite /
+    fill / dest-key variants; Missing fills ONLY when the source KEY is
+    absent (processLog:175-182) — a dict-value miss changes nothing."""
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.enrich import DictMap, read_dict_csv
+
+    csv = tmp_path / "testfile.csv"
+    csv.write_text('"127.0.0.1","LocalHost-LocalHost"\n"192.168.0.1","default login"\n')
+    d = read_dict_csv(str(csv))
+    assert d == {"127.0.0.1": "LocalHost-LocalHost", "192.168.0.1": "default login"}
+
+    def run(op, fields):
+        df = spark.createDataFrame([(0, fields)], f"i long, {FIELDS} map<string,string>")
+        return dict(op.apply(df).collect()[0][FIELDS])
+
+    ow1 = DictMap(d, "_ip_", handle_missing=True, missing="Not Detected", mode="overwrite")
+    assert run(ow1, {"_ip_": "127.0.0.1"}) == {"_ip_": "LocalHost-LocalHost"}
+    assert run(ow1, {"_Missing_ip_": "x"}) == {
+        "_Missing_ip_": "x", "_ip_": "Not Detected"
+    }
+    # dict-value miss: source present but unmapped → NOTHING happens
+    assert run(ow1, {"_ip_": "10.0.0.99"}) == {"_ip_": "10.0.0.99"}
+
+    ow2 = DictMap(d, "_ip_", dest_key="_Newip_", handle_missing=True,
+                  missing="Not Detected", mode="overwrite")
+    assert run(ow2, {"_Newip_": "127.0.0.1", "_ip_": "127.0.0.1"}) == {
+        "_ip_": "127.0.0.1", "_Newip_": "LocalHost-LocalHost"
+    }
+    assert run(ow2, {"_Missing_ip_": "x"}) == {
+        "_Missing_ip_": "x", "_Newip_": "Not Detected"
+    }
+
+    fill = DictMap(d, "_ip_", dest_key="_Newip_", handle_missing=True,
+                   missing="Not Detected", mode="fill")
+    assert run(fill, {"_Newip_": "127.0.0.1", "_ip_": "127.0.0.1"}) == {
+        "_ip_": "127.0.0.1", "_Newip_": "127.0.0.1"
+    }
+
+    nomiss = DictMap(d, "_ip_", handle_missing=False, mode="overwrite")
+    assert run(nomiss, {"_Missing_ip_": "x"}) == {"_Missing_ip_": "x"}
+
+
+def test_gotime_reference_goldens(spark):
+    """processor_gotime_test.go fixed-timestamp goldens (machine tz pinned to
+    +9, which reproduces the published expected strings) incl. the
+    nanosecond tail Spark timestamps cannot carry natively."""
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.transforms import GoTime
+
+    def run(op, val):
+        df = spark.createDataFrame(
+            [(0, {"s_key": val})], f"i long, {FIELDS} map<string,string>"
+        )
+        return dict(op.apply(df).collect()[0][FIELDS])
+
+    g = GoTime("s_key", "seconds", "d_key", "2006/01/02 15:04:05", dest_location=9)
+    assert run(g, "1645595256")["d_key"] == "2022/02/23 14:47:36"
+
+    g = GoTime("s_key", "milliseconds", "d_key", "2006/01/02 15:04:05.000", dest_location=9)
+    assert run(g, "1645595256807")["d_key"] == "2022/02/23 14:47:36.807"
+
+    g = GoTime("s_key", "microseconds", "d_key", "2006/01/02 15:04:05.000000", dest_location=9)
+    assert run(g, "1645595256807000")["d_key"] == "2022/02/23 14:47:36.807000"
+
+    g = GoTime("s_key", "nanoseconds", "d_key", "2006/01/02 15:04:05.000000000", dest_location=9)
+    assert run(g, "1645595256807000123")["d_key"] == "2022/02/23 14:47:36.807000123"
+
+
+def test_gotime_layout_parse_and_keep_source(spark):
+    """Go-layout parse (2006-01-02...) with source tz offset, KeepSource=false
+    consumes the source key; SetTime stamps event_time."""
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.operators.transforms import GoTime
+
+    df = spark.createDataFrame(
+        [(0, {"s_key": "2022-02-23 14:47:36"})], f"i long, {FIELDS} map<string,string>"
+    )
+    g = GoTime(
+        "s_key", "2006-01-02 15:04:05", "d_key", "2006/01/02 15:04:05",
+        source_location=8, dest_location=9, keep_source=False, set_time=True,
+    )
+    row = g.apply(df).collect()[0]
+    f = dict(row[FIELDS])
+    assert f == {"d_key": "2022/02/23 15:47:36"}  # +8 wall → +9 wall = +1h
+    assert row["event_time"] is not None
