@@ -91,3 +91,75 @@ def test_minhash_joins_are_equijoins(spark, sf_dir):
     plan = _plan(q_dedup_minhash(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prom_relabel_chain_is_narrow(spark):
+    """A full relabel chain (append + 6 actions + cleanup + external labels)
+    must compile to ONE narrow projection tree: no Exchange, no join, no
+    Python stage."""
+    from loongcollector_spark.operators.relabel import PromRelabelProcessor, RelabelConfig
+
+    df = spark.createDataFrame(
+        [(1, {"__name__": "m", "code": "200", "host": "h"})],
+        "i long, tags map<string,string>",
+    )
+    proc = PromRelabelProcessor(
+        configs=(
+            RelabelConfig(action="keep", regex="2..", source_labels=["code"]),
+            RelabelConfig(action="replace", regex="(.*)", replacement="$1:9100",
+                          source_labels=["host"], target_label="addr"),
+            RelabelConfig(action="hashmod", source_labels=["host"],
+                          target_label="shard", modulus=4),
+            RelabelConfig(action="labelmap", regex="(co)de", replacement="$1"),
+            RelabelConfig(action="labeldrop", regex="host"),
+            RelabelConfig(action="lowercase", source_labels=["addr"], target_label="addr_lc"),
+        ),
+        target_tags={"job": "x"},
+        external_labels={"cluster": "c"},
+    )
+    plan = _plan(proc.apply(df))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_geoip_join_is_broadcast(spark):
+    """The range lookup must broadcast the dim (BroadcastNestedLoopJoin for
+    the BETWEEN condition) — never a shuffle join or unhinted cartesian."""
+    from loongcollector_spark.operators.base import to_events
+    from loongcollector_spark.operators.enrich import GeoIpProcessor
+
+    ranges = spark.createDataFrame(
+        [(0, 100, "c", "p", "pc", "C", "CC", 1.0, 2.0)],
+        "lo long, hi long, city string, province string, province_code string, "
+        "country string, country_code string, latitude double, longitude double",
+    )
+    ev = to_events(spark.createDataFrame([(1, "10.0.0.1")], ["i", "content"]), source_key="ip")
+    plan = _plan(GeoIpProcessor(ranges, source_key="ip").apply(ev))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_star_cap_has_no_window(spark):
+    """n_anchors=1 capping must use the groupBy+min path — a bucket-keyed
+    Window sort would re-introduce a per-bucket sort stage."""
+    from loongcollector_spark.dataops import text
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = _plan(text.minhash_candidate_pairs(docs, max_bucket=64))
+    assert "Window" not in plan
+
+
+def test_otel_metric_rows_are_single_pass(spark):
+    """OTLP metric conversion = from_json + explodes + one projection; no
+    shuffle, no Python."""
+    from loongcollector_spark.operators.base import to_events
+    from loongcollector_spark.operators.otel import OtelMetricParser
+
+    df = to_events(spark.createDataFrame([(1, "{}")], ["i", "content"]))
+    plan = _plan(OtelMetricParser().apply(df))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
