@@ -56,3 +56,36 @@ def test_json_arrow_drop_on_fail(spark):
     out = JsonParserArrow().apply(_events(spark, ["not json", '{"k":1}']))
     rows = out.collect()
     assert len(rows) == 1 and dict(rows[0][FIELDS]) == {"k": "1"}
+
+
+def test_json_edge_inputs_both_paths(spark):
+    """ProcessorParseJsonNativeUnittest edge matrix: top-level array /
+    primitive / empty string fail (source kept); {} succeeds empty; unicode
+    escapes decode; 64-bit ints keep exact digits."""
+    import json as _json
+
+    from loongcollector_spark.operators.common import ParserOptions
+    from loongcollector_spark.operators.parse import JsonParser, JsonParserArrow
+
+    cases = [
+        (0, "[1,2,3]", None),              # array → fail
+        (1, "12345", None),                # primitive → fail
+        (2, "", None),                     # empty string → fail
+        (3, "{}", {}),                     # empty object → success, no fields
+        (4, '{"u":"\\u4f60\\u597d"}', {"u": "你好"}),
+        (5, '{"big":9223372036854775807}', {"big": "9223372036854775807"}),
+        (6, '{"chinese":"你好世界","mixed":"Hello 世界"}',
+         {"chinese": "你好世界", "mixed": "Hello 世界"}),
+    ]
+    opts = ParserOptions(keep_fail=True)
+    for parser in (JsonParser(opts), JsonParserArrow(opts)):
+        out = parser.apply(_events(spark, [c for _, c, _ in cases]))
+        got = {r["i"]: dict(r[FIELDS]) for r in out.collect()}
+        name = type(parser).__name__
+        for i, raw, expect in cases:
+            f = dict(got[i])
+            if expect is None:
+                assert f == {"content": raw}, (name, i, f)
+            else:
+                exp = dict(expect)
+                assert f == exp, (name, i, f, exp)

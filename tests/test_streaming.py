@@ -257,3 +257,51 @@ def test_kafka_input_production_wiring_options():
     assert calls["startingOffsets"] == "latest"
     assert calls["kafka.group.id"] == "cg"
     assert calls["kafka.fetch.max.bytes"] == "1048576"
+
+
+def test_prom_text_relabel_windowed_rollup_streaming(spark, tmp_path):
+    """The new metric operators run UNCHANGED inside Structured Streaming:
+    file-stream of exposition lines → PromTextParser → RelabelConfig chain →
+    watermarked event-time window rollup → memory sink."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.prom_text import PromTextParser
+    from loongcollector_spark.operators.relabel import RelabelConfig
+
+    inp = str(tmp_path / "in")
+    base = 1700000000
+    rows = []
+    for i in range(120):
+        code = 200 if i % 3 else 500
+        rows.append(
+            (f"d{i}", f'http_requests_total{{code="{code}"}} 1 {base + i}')
+        )
+    spark.createDataFrame(rows, ["doc_id", "content"]).write.parquet(inp)
+
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    parsed = PromTextParser().apply(stream)
+    kept = RelabelConfig(
+        action="keep", regex="2..", source_labels=["code"]
+    ).apply(parsed, tags_col="tags")
+    with_time = kept.withColumn("ts", F.timestamp_seconds(F.col("timestamp")))
+    agg = (
+        with_time.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "60 seconds"), "metric_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("prom_rollup")
+        .outputMode("complete")  # append would hold the last window at the watermark
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from prom_rollup order by window").collect()
+    # 120 lines, i%3==0 (code 500) dropped by the keep rule → 80 kept across
+    # three UNALIGNED 60s windows (epoch 1700000000 starts mid-window)
+    assert sum(r["n"] for r in out) == 80
+    assert all(r["metric_name"] == "http_requests_total" for r in out)
+    assert [r["n"] for r in out] == [26, 40, 14]
