@@ -22,14 +22,21 @@ PACK_ID_COL = "__pack_id__"
 
 def with_lineage(df: DataFrame) -> DataFrame:
     """Per-partition lineage: ``__pack_id__`` ≈ the reference's monotonic
-    per-source pack id (aggregator_base.go:141-150) = partition id + row index
-    within partition, both computed without any shuffle."""
+    per-source pack id (aggregator_base.go:141-150) = partition id + row
+    index within the partition, computed without any shuffle.
+    ``monotonically_increasing_id`` already encodes the partition id in its
+    top 31 bits; masking them off leaves the plain per-partition row index,
+    rendered as ``<partition>-<index>`` like the reference's
+    ``<id>-<hex>-<seq>`` pack-id text."""
+    row_in_partition = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
     return df.withColumn(
         PACK_ID_COL,
         F.concat_ws(
             "-",
             F.spark_partition_id().cast("string"),
-            F.monotonically_increasing_id().cast("string"),
+            row_in_partition.cast("string"),
         ),
     )
 
