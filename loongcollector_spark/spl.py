@@ -21,6 +21,12 @@ Supported verbs (the documented core set):
   ``project-away a, b``                 — drop listed fields
   ``project-rename new = old``          — rename a field
   ``stats <agg>(<arg>) by k1, k2``      — grouped aggregation (count/sum/avg/min/max)
+  ``parse-kv <key>, '<delim>', '<sep>'``— key/value split → fields
+  ``sort by <field> [desc]``            — global sort (scale note: total order
+                                          = single-range shuffle; use only on
+                                          reduced/aggregated frames)
+  ``limit <n>``                         — row limit
+  ``dedup by k1, k2``                   — keep one row per field-value combo
 
 Fields live in the event ``fields`` map; ``where``/``extend`` expressions are
 Spark SQL snippets in which bare field names are rewritten to map lookups.
@@ -202,6 +208,51 @@ def compile_spl(script: str):
                 return df.groupBy(*gcols).agg(_AGG_FNS[f](a).alias(name))
 
             ops.append(_stats)
+        elif verb == "parse-kv":
+            m = re.match(r"(\w+)\s*,\s*'([^']*)'\s*,\s*'([^']*)'$", rest)
+            if not m:
+                raise ValueError(f"bad parse-kv: {stage}")
+            key, delim, sep2 = m.group(1), m.group(2), m.group(3)
+            from .operators.transforms import KeyValueSplitter
+
+            ops.append(
+                KeyValueSplitter(
+                    source_key=key, delimiter=delim, separator=sep2, keep_source=False
+                ).apply
+            )
+        elif verb == "sort":
+            m = re.match(r"by\s+(\w+)(\s+desc)?$", rest)
+            if not m:
+                raise ValueError(f"bad sort: {stage}")
+            k, desc = m.group(1), bool(m.group(2))
+
+            def _sort(df, key=k, d=desc):
+                col = fget(key)
+                return df.orderBy(col.desc() if d else col.asc())
+
+            ops.append(_sort)
+        elif verb == "limit":
+            if not rest.isdigit():
+                raise ValueError(f"bad limit: {stage}")
+            ops.append(lambda df, n=int(rest): df.limit(n))
+        elif verb == "dedup":
+            m = re.match(r"by\s+(.*)$", rest)
+            if not m:
+                raise ValueError(f"bad dedup: {stage}")
+            keys = _parse_as_list(m.group(1))
+
+            def _dedup(df, ks=keys):
+                from pyspark.sql import Window
+
+                tagged = df.withColumn(
+                    "__dedup_rn__",
+                    F.row_number().over(
+                        Window.partitionBy(*[fget(k) for k in ks]).orderBy(F.lit(1))
+                    ),
+                )
+                return tagged.filter(F.col("__dedup_rn__") == 1).drop("__dedup_rn__")
+
+            ops.append(_dedup)
         else:
             raise ValueError(f"unknown SPL verb: {verb}")
 

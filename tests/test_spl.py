@@ -114,3 +114,22 @@ def test_spl_where_with_function_call(spark):
     out = compile_spl(script)(_events(spark, ["  abc ,1", "x,2"]))
     rows = [dict(r[FIELDS]) for r in out.collect()]
     assert len(rows) == 1 and rows[0]["t"] == "abc"
+
+
+def test_spl_parse_kv_sort_limit_dedup(spark):
+    script = (
+        "* | parse-kv content, ' ', '='"
+        " | where cast(ms as int) > 1"
+        " | sort by ms desc | limit 2"
+    )
+    out = compile_spl(script)(
+        _events(spark, ["a=1 ms=9", "a=2 ms=5", "a=3 ms=1", "a=4 ms=7"])
+    )
+    rows = [dict(r[FIELDS]) for r in out.collect()]
+    assert [r["ms"] for r in rows] == ["9", "7"]
+
+    dd = compile_spl("* | parse-kv content, ' ', '=' | dedup by a")(
+        _events(spark, ["a=x b=1", "a=x b=2", "a=y b=3"])
+    )
+    vals = sorted(dict(r[FIELDS])["a"] for r in dd.collect())
+    assert vals == ["x", "y"]
