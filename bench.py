@@ -340,14 +340,22 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
 
     import subprocess
 
+    # the allowed CPU set BEFORE any pinning (a later sched_getaffinity would
+    # reflect the previous pin and could strand the high run at 8 CPUs)
+    full_affinity = sorted(os.sched_getaffinity(0))
+
     def _pin_tree(n_cores: int) -> None:
         """Confine the WHOLE Spark process tree (driver, JVM, python workers)
         to n_cores physical CPUs. In unconfined local mode a local[8] run is
         not an 8-core run — the 8 python decode workers and GC threads execute
         BESIDE the 8 task threads (~11 effective cores measured), deflating
         the N→4N ratio vs a real 8-core executor budget."""
-        mask = f"0-{n_cores - 1}"
-        os.sched_setaffinity(0, range(n_cores))
+        use = full_affinity[:n_cores]
+        mask = ",".join(str(c) for c in use)
+        try:
+            os.sched_setaffinity(0, use)
+        except OSError:
+            return  # restricted environment — skip pinning, never break bench
         # full descendant walk: the pyspark daemon/workers are grandchildren
         procs: dict[int, int] = {}
         for p in os.listdir("/proc"):
