@@ -326,7 +326,10 @@ def near_dup_clusters(
     label among itself and its neighbors; converges in O(component diameter)
     rounds (checked per round, early exit). Per round: one shuffle join on
     node id + one aggregate — the standard large-graph CC shape (dup
-    components are tiny in practice, so rounds ≈ 2-3)."""
+    components are tiny in practice, so rounds ≈ 2-3). A component with
+    diameter > max_iter would return unconverged labels — that is surfaced
+    as a warning instead of silently wrong clusters (large-star/small-star
+    contraction is the upgrade path if such chains ever appear)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -334,6 +337,7 @@ def near_dup_clusters(
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id"))
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -356,6 +360,15 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — labels may be unmerged; "
+            "raise max_iter or switch to star-contraction",
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
