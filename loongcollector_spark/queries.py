@@ -906,6 +906,78 @@ SELECT doc_id, CAST(epoch AS VARCHAR) AS ts,
 FROM ev"""
 
 
+def q_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained field ops that previously had pytest-only coverage:
+    Appender (append-with-delimiter + create-if-absent) →
+    FieldsWithCondition (first-matching-case add/drop) → Drop → PickKey →
+    DropLastKey (drop raw only when parsed keys all present)."""
+    from .operators.base import FIELDS
+    from .operators.transforms import (
+        Appender,
+        Drop,
+        DropLastKey,
+        FieldsWithCondition,
+        PickKey,
+    )
+
+    ev = _events_raw(spark, sf_dir)
+    fields = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("raw"), F.concat(F.col("event_type"), F.lit("|"), F.col("user_id").cast("string")),
+        F.lit("junk"), F.lit("x"),
+    )
+    # rows where uid%4==0 also carry a pre-existing tags value
+    fields = F.when(
+        F.col("user_id") % 4 == 0,
+        F.map_concat(fields, F.create_map(F.lit("tags"), F.lit("env=prod"))),
+    ).otherwise(fields)
+    df = ev.select("doc_id", fields.alias(FIELDS))
+    chain = [
+        Appender("tags", "cluster=c1", delimiter=","),
+        FieldsWithCondition(
+            cases=[
+                {"when": {"etype": ("equals", "error")}, "add": {"sev": "high"}, "drop": ["junk"]},
+                {"when": {"etype": ("startwith", "p")}, "add": {"sev": "purchase-ish"}},
+                {"when": {"etype": ("regexp", "view|click")}, "add": {"sev": "low"}},
+            ],
+        ),
+        Drop(["uid"]),
+        PickKey(exclude=["junk"]),
+        DropLastKey("raw", include=["etype", "sev"]),
+    ]
+    out = df
+    for op in chain:
+        out = op.apply(out)
+    return out.select(
+        "doc_id",
+        fget("etype").alias("etype"),
+        fget("sev").alias("sev"),
+        fget("tags").alias("tags"),
+        fget("raw").alias("raw"),
+    )
+
+
+def oracle_field_ops() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+)
+SELECT doc_id,
+  event_type AS etype,
+  CASE WHEN event_type = 'error' THEN 'high'
+       WHEN event_type LIKE 'p%' THEN 'purchase-ish'
+       WHEN regexp_matches(event_type, 'view|click') THEN 'low'
+  END AS sev,
+  CASE WHEN user_id % 4 = 0 THEN 'env=prod,cluster=c1' ELSE 'cluster=c1' END AS tags,
+  CASE WHEN event_type IN ('error', 'purchase', 'view', 'click')
+       THEN NULL
+       ELSE event_type || '|' || user_id
+  END AS raw
+FROM ev"""
+
+
 def q_route_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-TYPE routing (EventTypeCondition, Condition.cpp:36-59): a mixed
     log+metric stream fanned out by __event_type__ plus an unconditioned
@@ -964,6 +1036,7 @@ QUERIES = {
     "otel_trace": q_otel_trace,
     "otel_metric": q_otel_metric,
     "gotime": q_gotime,
+    "field_ops": q_field_ops,
     "route_event_type": q_route_event_type,
     "routed_rows": q_routed_rows,
     "drop_counts": q_drop_counts,
@@ -1007,6 +1080,7 @@ ORACLES = {
     "otel_trace": oracle_otel_trace(),
     "otel_metric": oracle_otel_metric(),
     "gotime": oracle_gotime(),
+    "field_ops": oracle_field_ops(),
     "route_event_type": oracle_route_event_type(),
     "routed_rows": oracles.oracle_routed_rows(),
     "drop_counts": oracles.oracle_drop_counts(),
