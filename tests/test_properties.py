@@ -58,3 +58,39 @@ def test_expand_grok_literal_text_passthrough(s):
     # text without grok references expands to itself
     if "%{" not in s:
         assert expand_grok(s) == s
+
+
+def test_csv_parser_matches_go_csv_fsm_on_generated_inputs(spark):
+    """Property check: CsvParser's validity-regex + field-count machinery
+    must agree with the strict quote FSM (_split_quoted_strict — the same
+    grammar Go encoding/csv accepts) on ~400 adversarial generated lines
+    over {letters, comma, quote, space}."""
+    import random
+
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.parse import CsvParser, _split_quoted_strict
+
+    rng = random.Random(42)
+    alphabet = ['a', 'b', ',', '"', ' ', '""', '","', 'x,y']
+    lines = []
+    for _ in range(400):
+        n = rng.randint(0, 8)
+        lines.append("".join(rng.choice(alphabet) for _ in range(n)))
+    lines = sorted(set(lines))
+
+    keys = ["f1", "f2", "f3"]
+    df = to_events(
+        spark.createDataFrame(
+            [(i, l) for i, l in enumerate(lines)], ["i", "content"]
+        )
+    )
+    out = CsvParser(keys).apply(df)
+    got = {r["i"]: dict(r[FIELDS]) for r in out.collect()}
+
+    for i, line in enumerate(lines):
+        cols = _split_quoted_strict(line, ",", '"')
+        if cols is None:
+            expect = {"content": line}  # Go csv error → source kept
+        else:
+            expect = {k: cols[j] for j, k in enumerate(keys) if j < len(cols)}
+        assert got[i] == expect, (line, got[i], expect)
