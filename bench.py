@@ -249,6 +249,7 @@ def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     seq_cache = ensure_sequences_cache(spark, sf_dir, factor)
 
+    run_full_decode = os.environ.get("SPARK_GRAFT_FULL_DECODE_BENCH") == "1"
     # one-time: materialize the DECODED nginx lines (decode is fixture prep —
     # the agent reads raw strings from the file; parquet is the stand-in)
     content_path = seq_cache.rstrip("/") + "_nginx_content"
@@ -269,25 +270,26 @@ def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
         _noop(parser.apply(to_events(spark.read.parquet(content_path))))
 
     sec = _timeit(run, warm=1, runs=1)
-    # decode+parse (all 3 formats) over the full replicated table: the
-    # end-to-end parse stage number at the same scale
-    seq_big = spark.read.parquet(seq_cache)
-    sec_full = _timeit(
-        lambda: _noop(flagship.parsed_events_from(seq_big)), warm=0, runs=1
-    )
-    spark.stop()
-    mb = n_bytes / 1e6
-    return {
+    out = {
         "rows": n_lines,
-        "mb": round(mb, 1),
+        "mb": round(n_bytes / 1e6, 1),
         "sec": round(sec, 3),
-        "mb_per_sec": round(mb / sec, 1),
-        "mb_per_sec_per_core": round(mb / sec / cpus, 2),
+        "mb_per_sec": round(n_bytes / 1e6 / sec, 1),
+        "mb_per_sec_per_core": round(n_bytes / 1e6 / sec / cpus, 2),
         "lines_per_sec": round(n_lines / sec, 1),
         "ref_single_thread_mb_per_sec": 68.0,
-        "decode_parse_all_sources_sec": round(sec_full, 3),
         "cpus": cpus,
     }
+    if run_full_decode:
+        # decode+parse (all 3 formats) over the full replicated table — the
+        # 100x smoke; off by default (duplicates the scaling evidence and
+        # costs 30-80 s of the bench budget)
+        seq_big = spark.read.parquet(seq_cache)
+        out["decode_parse_all_sources_sec"] = round(
+            _timeit(lambda: _noop(flagship.parsed_events_from(seq_big)), warm=0, runs=1), 3
+        )
+    spark.stop()
+    return out
 
 
 def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
@@ -390,9 +392,11 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
                 check=False,
             )
 
-    def measure(n: int) -> tuple[float, float]:
-        """One session at local[n] PINNED to n cores: warm run, then timed
-        run with a process-tree CPU delta → (wall sec, cpu sec)."""
+    def measure_block(n: int, k: int) -> list[tuple[float, float]]:
+        """One session at local[n] PINNED to n cores: warm once, then k timed
+        runs each with a process-tree CPU delta. One session per LEVEL, not
+        per pass — session startup + codegen warm-up costs ~25 s per session
+        and per-pass sessions blew the bench past its time budget."""
         _pin_tree(n)
         s = gs(
             f"bench-scale-{n}",
@@ -401,36 +405,39 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
             extra_conf=scan_conf,
         )
         s.sparkContext.setLogLevel("ERROR")
-        seq_big = s.read.parquet(big_cache)
-        flagship.pipeline_aggregates_from(s, seq_big).collect()  # warm
-        seq_big2 = s.read.parquet(big_cache)
-        c0 = _tree_cpu_s()
-        t0 = time.perf_counter()
-        flagship.pipeline_aggregates_from(s, seq_big2).collect()
-        wall = time.perf_counter() - t0
-        cpu = _tree_cpu_s() - c0
+        flagship.pipeline_aggregates_from(s, s.read.parquet(big_cache)).collect()
+        out = []
+        for _ in range(k):
+            seq_big = s.read.parquet(big_cache)
+            c0 = _tree_cpu_s()
+            t0 = time.perf_counter()
+            flagship.pipeline_aggregates_from(s, seq_big).collect()
+            out.append((time.perf_counter() - t0, _tree_cpu_s() - c0))
         s.stop()
         _pin_tree(cpus)  # unpin for probes / the next level
-        return wall, cpu
+        return out
 
     mem_pre = mem_probe()
+    p0 = cpu_probe()
+    lows = measure_block(low_cpus, passes)
+    p_mid = cpu_probe()
+    highs = measure_block(cpus, passes)
+    p1 = cpu_probe()
+    ceiling = (p0 + p_mid + p1) / 3
     runs = []
     for i in range(passes):
-        p_pre = cpu_probe()
-        t_low, cpu_low = measure(low_cpus)
-        t_high, cpu_high = measure(cpus)
-        p_post = cpu_probe()
+        t_low, cpu_low = lows[i]
+        t_high, cpu_high = highs[i]
         eff = (big_rows / t_high) / (big_rows / t_low) / (cpus / low_cpus)
-        ceiling = (p_pre + p_post) / 2
         runs.append(
             {
-                "probe_pre": round(p_pre, 3),
+                "probe_pre": round(p0 if i == 0 else p_mid, 3),
                 "sec_low": round(t_low, 3),
                 "sec_high": round(t_high, 3),
                 "cpu_s_low": round(cpu_low, 1),
                 "cpu_s_high": round(cpu_high, 1),
                 "efficiency": round(eff, 3),
-                "probe_post": round(p_post, 3),
+                "probe_post": round(p1 if i == passes - 1 else p_mid, 3),
                 "eff_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
             }
         )
