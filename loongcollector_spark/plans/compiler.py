@@ -166,6 +166,8 @@ PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
     "processor_add_fields": lambda c: AddFields(
         c["Fields"], ignore_if_exist=c.get("IgnoreIfExist", False)
     ),
+    # no-op passthrough (plugins/processor/defaultone/processor_default.go:35-37)
+    "processor_default": lambda c: Chain(),
     "processor_rename": lambda c: Rename(
         dict(zip(c["SourceKeys"], c["DestKeys"]))
     ),
