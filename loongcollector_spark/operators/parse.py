@@ -393,6 +393,38 @@ class JsonParserArrow(Operator):
         return df.mapInPandas(mapper, schema=schema)
 
 
+_STRPTIME_FRACTION = "[SSSSSSSSS][SSSSSSSS][SSSSSSS][SSSSSS][SSSSS][SSSS][SSS][SS][S]"
+_STRPTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%p": "a",
+    "%z": "xx", "%Z": "zz", "%f": _STRPTIME_FRACTION, "%%": "'%'",
+}
+
+
+def strptime_to_spark(fmt: str) -> str:
+    """C-strptime format (processor_strptime, plugins/processor/strptime/
+    strptime.go:41-68) → Spark datetime pattern. ``%s`` alone maps to the
+    magnitude-dispatched ``epoch_auto``; ``%f`` is the plugin's
+    flexible-width fraction. Literal letters are quoted for Java patterns."""
+    if fmt.strip() == "%s":
+        return "epoch_auto"
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok not in _STRPTIME_MAP:
+                raise ValueError(f"unsupported strptime token {tok}")
+            out.append(_STRPTIME_MAP[tok])
+            i += 2
+        else:
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
 @dataclass
 class TimestampParser(Operator):
     """Parse fields[source_key] with a Spark datetime pattern into an
@@ -417,6 +449,16 @@ class TimestampParser(Operator):
             # reference %s: epoch seconds (ProcessorParseTimestampNative %s path)
             ts = F.to_timestamp(
                 F.when(src.rlike(r"^\d+$"), src.cast("long")).cast("timestamp")
+            )
+        elif self.source_format == "epoch_auto":
+            # processor_strptime %s: magnitude-dispatched s/ms/µs — the Go
+            # plugin accepts 1451710799 / ...123 / ...123456 as the SAME
+            # instant (strptime_test.go TestFormat rows 6-8)
+            iv = F.when(src.rlike(r"^\d+$"), src.try_cast("long"))
+            ts = (
+                F.when(iv < 100_000_000_000, F.timestamp_seconds(iv))
+                .when(iv < 100_000_000_000_000, F.timestamp_millis(iv))
+                .otherwise(F.timestamp_micros(iv))
             )
         elif self.source_format == "epoch_milli":
             ts = F.timestamp_millis(

