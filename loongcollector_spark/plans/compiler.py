@@ -201,6 +201,14 @@ PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
     ),
     "processor_gotime": lambda c: _gotime(c),
     "processor_strptime": lambda c: _strptime(c),
+    "processor_rate_limit": lambda c: _rate_limit(c),
+    "processor_log_to_sls_metric": lambda c: _log_to_metric(c),
+    "processor_geoip": lambda c: _geoip(c),
+    # cloud metadata is resolved driver-side (no ECS metadata service in a
+    # Spark job); the config carries the already-resolved key→value map
+    "processor_cloud_meta": lambda c: AddFields(
+        c.get("Metadata", {}), ignore_if_exist=False
+    ),
     "processor_base64_encoding": lambda c: Base64Encode(c["SourceKey"], c["NewKey"]),
     "processor_base64_decoding": lambda c: Base64Decode(c["SourceKey"], c["NewKey"]),
     "processor_md5": lambda c: Md5(c["SourceKey"], c["NewKey"]),
@@ -275,6 +283,59 @@ ARROW_PARITY_REGISTRY: Mapping[str, Callable[[Mapping[str, Any]], Operator]] = {
     "processor_desensitize_native": _arrow_desensitize,
     "processor_split_key_value": _arrow_kv,
 }
+
+
+def _rate_limit(c):
+    from ..operators.filters import RateLimit
+
+    limit_str = c.get("Limit", "100/s")
+    num, _, unit = limit_str.partition("/")
+    window = {"s": "1 second", "m": "1 minute", "h": "1 hour"}[unit or "s"]
+    return RateLimit(
+        fields_keys=c.get("Fields", []),
+        limit=int(num),
+        window=window,
+        time_col=c.get("TimeCol"),
+    )
+
+
+def _log_to_metric(c):
+    from ..operators.transforms import LogToMetric
+
+    return LogToMetric(
+        metric_labels=c.get("MetricLabelKeys", []),
+        metric_values=c.get("MetricValues", {}),
+        time_col=c.get("MetricTimeKey"),
+    )
+
+
+class _LazyGeoIp:
+    """processor_geoip registry shim: the range table parquet (built by
+    tools/geoip_ingest.py from the GeoLite2 CSV export — the relational
+    stand-in for the config's mmdb DBPath) is read lazily from the input
+    frame's own session at apply() time, since the compiler has no
+    SparkSession."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..operators.enrich import GeoIpProcessor
+
+        ranges = df.sparkSession.read.parquet(self.cfg["RangeTablePath"])
+        return GeoIpProcessor(
+            ranges,
+            source_key=self.cfg.get("SourceKey", "ip"),
+            keep_source=self.cfg.get("KeepSource", True),
+            no_city=self.cfg.get("NoCity", False),
+            no_province=self.cfg.get("NoProvince", False),
+            no_country=self.cfg.get("NoCountry", False),
+            no_country_code=self.cfg.get("NoCountryCode", False),
+        ).apply(df)
+
+
+def _geoip(c):
+    return _LazyGeoIp(c)
 
 
 def _strptime(c):

@@ -250,3 +250,53 @@ def test_arrow_parity_selection_warns_and_works(spark):
     assert rows[1] == {"a": "x", "b": "y, z"}
     # strict-quote FSM failure drops the row (keep_fail default false)
     assert 2 not in rows
+
+
+def test_registry_rate_limit_geoip_cloudmeta_log2metric(spark, tmp_path):
+    """The four remaining implemented-but-unregistered processors compile
+    from config and run: rate limit (Limit '2/s' string), lazy geoip range
+    table read at apply() time, cloud-meta static map, log→metric."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.plans.compiler import compile_pipeline
+
+    # geoip ranges parquet
+    spark.createDataFrame(
+        [(0, 2**32 - 1, "C", "P", "PC", "Xland", "XL", 1.0, 2.0)],
+        "lo long, hi long, city string, province string, province_code string, "
+        "country string, country_code string, latitude double, longitude double",
+    ).write.parquet(str(tmp_path / "ranges"))
+
+    pipe = compile_pipeline(
+        {
+            "processors": [
+                {"Type": "processor_cloud_meta",
+                 "Metadata": {"__cloud_instance_id__": "i-123"}},
+                {"Type": "processor_geoip", "SourceKey": "ip",
+                 "RangeTablePath": str(tmp_path / "ranges")},
+                {"Type": "processor_rate_limit", "Fields": ["ip"], "Limit": "2/s"},
+            ]
+        }
+    )
+    rows = [(i, {"ip": "10.0.0.1", "rt": str(i)}) for i in range(5)]
+    df = spark.createDataFrame(rows, f"i long, {FIELDS} map<string,string>")
+    out = pipe.apply(df).collect()
+    assert len(out) == 2  # rate-limited to 2 per key combo (no time col)
+    f = dict(out[0][FIELDS])
+    assert f["__cloud_instance_id__"] == "i-123"
+    assert f["ip_country_"] == "Xland" and f["ip_city_"] == "C"
+
+    m = compile_pipeline(
+        {
+            "processors": [
+                {"Type": "processor_log_to_sls_metric",
+                 "MetricLabelKeys": ["host"], "MetricValues": {"rt_ms": "rt"}},
+            ]
+        }
+    )
+    mdf = spark.createDataFrame(
+        [(0, {"host": "h1", "rt": "42"})], f"i long, {FIELDS} map<string,string>"
+    )
+    mrow = m.apply(mdf).collect()[0]
+    assert mrow["__name__"] == "rt_ms" and mrow["__value__"] == 42.0
