@@ -739,7 +739,7 @@ SELECT doc_id,
   event_type || '_total' AS name_tag,
   round(CAST(floor(event_id * 1.37) AS BIGINT), 2) AS value,
   1700000000 + event_id % 100000 AS timestamp,
-  0 AS ns
+  CAST(0 AS BIGINT) AS ns
 FROM ev"""
 
 
