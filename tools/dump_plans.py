@@ -1,0 +1,85 @@
+"""Regenerate PLANS.md: the formatted physical plans of the headline queries
+with the invariants each one is expected to show (the same invariants
+tests/test_plan_quality.py gates). Usage: python tools/dump_plans.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def main() -> None:
+    from loongcollector_spark import flagship
+    from loongcollector_spark.queries import QUERIES
+    from loongcollector_spark.session import get_spark
+
+    spark = get_spark("dump-plans", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = [
+        (
+            "pipeline_e2e — parse→enrich→route→aggregate",
+            flagship.pipeline_aggregates(spark, SF),
+            "ONE scan per source branch with the source filter at/below the "
+            "Python decode stage; BroadcastHashJoin for the lookup (never "
+            "SortMergeJoin); explode fan-out (no N-scan recompute); partial "
+            "HashAggregate pairs around a single tiny sink-key Exchange.",
+        ),
+        (
+            "dedup_minhash — shingle→minhash→LSH(capped)→Jaccard",
+            QUERIES["dedup_minhash"](spark, SF),
+            "explode→partial-agg signature build; bucket stats via groupBy "
+            "(NO Window for the n_anchors=1 star cap); every join an "
+            "equi-join on high-cardinality keys.",
+        ),
+        (
+            "prom_relabel — tag-map rewrite chain",
+            QUERIES["prom_relabel"](spark, SF),
+            "one narrow projection tree: no Exchange, no Join, no Python.",
+        ),
+        (
+            "geoip_fields — broadcast range lookup",
+            QUERIES["geoip_fields"](spark, SF),
+            "BroadcastNestedLoopJoin (BETWEEN range condition) against the "
+            "broadcast dim; no shuffle join, no cartesian.",
+        ),
+        (
+            "token_packing — two-phase distributed prefix sum",
+            QUERIES["token_packing"](spark, SF),
+            "windows keyed by (source, __pid__) chunks — no single "
+            "unbounded per-source sort; tiny offsets frame broadcast back.",
+        ),
+    ]
+
+    out = [
+        "# PLANS — formatted physical plans of the headline queries\n",
+        "Regenerate with `python tools/dump_plans.py`. The stated invariants",
+        "are enforced by tests/test_plan_quality.py; this file exists so the",
+        "plans can be READ without running Spark.\n",
+    ]
+    for title, df, invariant in sections:
+        out.append(f"\n## {title}\n")
+        out.append(f"**Invariant**: {invariant}\n")
+        out.append("```\n" + _plan(df).strip() + "\n```\n")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
