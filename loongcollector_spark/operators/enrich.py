@@ -15,6 +15,23 @@ from pyspark.sql.functions import broadcast
 
 from .base import FIELDS, Operator, fget
 
+# net.ParseIP-strict dotted quad: exactly 4 octets, each 0-255, no leading
+# zeros (Go 1.17+ rejects "010"); anything looser ("1.2.3.4.5", "01.2.3.4")
+# must be a lookup MISS, not a silent partial parse (processor_geoip.go:118)
+IPV4_RX = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+
+
+def _ipv4_int(ip: F.Column) -> F.Column:
+    """Strict IPv4 → uint32-as-long; NULL (lookup miss) on malformed input."""
+    parts = F.split(ip, r"\.")
+    raw = (
+        parts.getItem(0).try_cast("long") * 16777216
+        + parts.getItem(1).try_cast("long") * 65536
+        + parts.getItem(2).try_cast("long") * 256
+        + parts.getItem(3).try_cast("long")
+    )
+    return F.when(ip.rlike(IPV4_RX), raw)
+
 
 def read_dict_csv(path: str, max_size: int = 1000) -> dict[str, str]:
     """2-column CSV → dict (processor_dict_map.go readCsvFile:96-137; duplicate
@@ -122,13 +139,7 @@ def ip_range_lookup(
     range join ip_int BETWEEN lo AND hi against a broadcast range table. The
     mmdb decode itself is out of scope (no geoip2 in-container); the Spark-side
     plumbing is the broadcast range join."""
-    ip_int = (
-        F.split(F.col(ip_col), r"\.").getItem(0).cast("long") * 16777216
-        + F.split(F.col(ip_col), r"\.").getItem(1).cast("long") * 65536
-        + F.split(F.col(ip_col), r"\.").getItem(2).cast("long") * 256
-        + F.split(F.col(ip_col), r"\.").getItem(3).cast("long")
-    )
-    df = df.withColumn("__ip_int__", ip_int)
+    df = df.withColumn("__ip_int__", _ipv4_int(F.col(ip_col)))
     joined = df.join(
         broadcast(ranges),
         (F.col("__ip_int__") >= ranges["lo"]) & (F.col("__ip_int__") <= ranges["hi"]),
@@ -162,15 +173,7 @@ class GeoIpProcessor(Operator):
         from .common import flet
 
         ip = fget(self.source_key)
-        # try_cast: a non-IP value is a lookup miss (net.ParseIP nil, go:118),
-        # not an error — ANSI cast would throw
-        ip_int = (
-            F.split(ip, r"\.").getItem(0).try_cast("long") * 16777216
-            + F.split(ip, r"\.").getItem(1).try_cast("long") * 65536
-            + F.split(ip, r"\.").getItem(2).try_cast("long") * 256
-            + F.split(ip, r"\.").getItem(3).try_cast("long")
-        )
-        tagged = df.withColumn("__ip_int__", ip_int)
+        tagged = df.withColumn("__ip_int__", _ipv4_int(ip))
         dim = self.ranges.select(
             "lo", "hi", "city", "province", "province_code", "country",
             "country_code", "latitude", "longitude",

@@ -585,7 +585,10 @@ class GrokParser(Operator):
                 def build(a: Column) -> Column:
                     by_base: dict[str, list[Column]] = {}
                     for i, nm in enumerate(ns):
-                        base = nm.split(DUP_SUFFIX)[0]
+                        # strip only the generated __dupN suffix — a semantic
+                        # name merely containing "__dup" (e.g. a__dupe) is NOT
+                        # a rename and must stay distinct
+                        base = re.sub(rf"{DUP_SUFFIX}\d+$", "", nm)
                         by_base.setdefault(base, []).append(F.element_at(a, i + 1))
                     pairs = {}
                     for base, vs in by_base.items():

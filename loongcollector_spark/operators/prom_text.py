@@ -109,9 +109,15 @@ class PromTextParser:
             ts_num = tstok.try_cast("double")
             # < 2^31 → seconds → ms (TextParser.cpp:296-301); > 2^63 overflow
             ms = F.when(ts_num < F.lit(2.0**31), ts_num * 1000).otherwise(ts_num)
-            ms_ok = ms <= F.lit(2.0**63)
-            ts_sec = F.floor(ms / 1000).cast("long")
-            ts_ns = (ms.cast("decimal(25,0)") % 1000).cast("long") * 1000000
+            # TextParser.cpp:300-304 fails only the overflowing LINE; with ANSI
+            # mode on (Spark 4 default) an unguarded cast of e.g. 1e300 to
+            # long/decimal(25,0) would abort the whole job, so ts_sec/ts_ns are
+            # computed only inside the in-range branch (try_cast as backstop).
+            ms_ok = (ms <= F.lit(2.0**63)) & (ms >= F.lit(-(2.0**63)))
+            ts_sec = F.when(ms_ok, F.floor(ms / 1000)).try_cast("long")
+            ts_ns = (
+                F.when(ms_ok, ms).try_cast("decimal(25,0)") % 1000
+            ).try_cast("long") * 1000000
             has_ts = (tstok != "") & F.lit(self.honor_timestamps)
             default_sec = F.lit(self.default_timestamp_ms // 1000).cast("long")
             default_ns = F.lit(self.default_timestamp_ms % 1000 * 1000000).cast("long")

@@ -54,9 +54,12 @@ def _shift_refs(template: str, by: int) -> str:
 
 
 def _escape_literal_dollars(template: str) -> str:
-    """Escape backslashes in a template destined for Java regexp_replace
-    (group refs $N are kept live)."""
-    return template.replace("\\", "\\\\")
+    """Escape backslashes AND literal dollars in a template destined for Java
+    regexp_replace, keeping group refs ($ followed by a digit — _shift_refs has
+    already normalized ${N} to $N) live. boost::regex_replace emits a bare
+    trailing '$' (e.g. 'cost$') literally; Java throws without the escape."""
+    t = template.replace("\\", "\\\\")
+    return re.sub(r"\$(?!\d)", r"\\$", t)
 
 
 @dataclass

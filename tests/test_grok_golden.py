@@ -162,3 +162,13 @@ def test_grok_custom_pattern_dir(spark, tmp_path):
     )
     out = _fields(g.apply(_events(spark, ["app-1234 patched-x"])))
     assert out[0] == {"app": "app-1234", "o": "patched-x"}
+
+
+def test_grok_semantic_name_containing_dup_not_merged(spark):
+    """A semantic name merely CONTAINING '__dup' (e.g. a__dupe) is not a
+    generated rename and must stay a distinct output field."""
+    out = GrokParser(
+        ["%{WORD:a} %{WORD:a__dupe}"],
+    ).apply(_events(spark, ["hello world"]))
+    f = _fields(out)[0]
+    assert f["a"] == "hello" and f["a__dupe"] == "world"

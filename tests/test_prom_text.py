@@ -113,3 +113,20 @@ def test_event_type_and_values_variant(spark):
     rows = _parse(spark, ["m 1"])
     assert rows[0]["__event_type__"] == "metric"
     assert rows[0]["values"] is None
+
+
+def test_timestamp_overflow_drops_line_not_job(spark):
+    """TextParser.cpp:300-304 fails only the overflowing LINE ('timestamp
+    overflow'); with ANSI casts an unguarded 1e300 or >2^63 token would abort
+    the whole Spark job (NUMERIC_VALUE_OUT_OF_RANGE)."""
+    rows = _parse(
+        spark,
+        [
+            "ok 1 1234567890",
+            "huge 1 1e300",            # double parses, ms cast overflows
+            "big 1 99999999999999999999",  # > 2^63
+            "neg 1 -1e300",            # negative overflow path
+            "ok2 2 1715829785083",
+        ],
+    )
+    assert [r["metric_name"] for r in rows] == ["ok", "ok2"]

@@ -243,3 +243,28 @@ def test_union_event_stream_and_types(spark):
         for r in stream.groupBy(EVENT_TYPE_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert counts == {"log": 1, "metric": 1, "trace": 1}
+
+
+def test_relabel_literal_dollar_in_replacement(spark):
+    """boost::regex_replace emits a '$' not followed by a group ref literally
+    ('cost$'); Java regexp_replace throws unless it is escaped."""
+    cfg = RelabelConfig(
+        action="replace",
+        regex="(.*)",
+        replacement="${1}-cost$",
+        source_labels=["__meta_kubernetes_pod_label_app"],
+        target_label="price",
+    )
+    out = _one(cfg.apply(_tags_df(spark, K8S_LABELS)))
+    assert out["price"] == "node-exporter-cost$"
+
+    # '$' in the target_label template too
+    cfg2 = RelabelConfig(
+        action="replace",
+        regex="(.*)",
+        replacement="v",
+        source_labels=["__meta_kubernetes_pod_label_app"],
+        target_label="usd$amt",
+    )
+    out2 = _one(cfg2.apply(_tags_df(spark, K8S_LABELS)))
+    assert out2["usd$amt"] == "v"

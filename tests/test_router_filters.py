@@ -233,3 +233,41 @@ def test_filter_native_expression_mode_reference_golden(spark):
     df = spark.createDataFrame(rows, f"i long, {FIELDS} map<string,string>")
     out = FilterNative(condition_exp=cond).apply(df)
     assert [r["i"] for r in out.collect()] == [2]
+
+
+def test_geoip_strict_ip_parse_like_net_parseip(spark, tmp_path):
+    """net.ParseIP (processor_geoip.go:118) rejects '1.2.3.4.5' and
+    leading-zero octets; malformed values must be lookup MISSES, never
+    enriched from a partial parse."""
+    import pandas as pd
+
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.operators.enrich import GeoIpProcessor
+
+    rng = tmp_path / "r.parquet"
+    pd.DataFrame(
+        [
+            {
+                "lo": 0, "hi": 2**32 - 1, "city": "Everywhere",
+                "province": "P", "province_code": "PC", "country": "C",
+                "country_code": "CC", "latitude": 1.0, "longitude": 2.0,
+            }
+        ]
+    ).to_parquet(rng, index=False)
+    ranges = spark.read.parquet(str(rng))
+    bad = ["1.2.3.4.5", "01.2.3.4", "1.2.3.256", "1.2.3", "...", "300.1.1.1"]
+    ev = to_events(
+        spark.createDataFrame(
+            [(i, s) for i, s in enumerate(["1.2.3.4", "0.0.0.0"] + bad)],
+            ["i", "content"],
+        ),
+        source_key="ip",
+    )
+    got = {
+        r["i"]: dict(r[FIELDS])
+        for r in GeoIpProcessor(ranges, source_key="ip").apply(ev).collect()
+    }
+    assert got[0]["ip_city_"] == "Everywhere"
+    assert got[1]["ip_city_"] == "Everywhere"  # 0.0.0.0 is a valid quad
+    for i in range(2, 2 + len(bad)):
+        assert got[i] == {"ip": bad[i - 2]}, bad[i - 2]
