@@ -160,9 +160,16 @@ def _bench_session(sf_dir: str, cpus: int) -> dict[str, float]:
         q_token_stats,
     )
 
-    queries["dedup_minhash"] = _timeit(
-        lambda: _noop(q_dedup_minhash(spark, sf_dir)), warm=0, runs=1
-    )
+    def _minhash_pass():
+        # cold CACHE each pass (the persisted band frame must not leak across
+        # passes — CacheManager matches canonicalized plans, so a stale entry
+        # would serve the rebuilt DataFrame), but JIT-warm: one warmup pass
+        # amortizes whole-stage-codegen compilation of this ~150-node plan so
+        # the number measures the algorithm, not JVM classloading.
+        spark.catalog.clearCache()
+        _noop(q_dedup_minhash(spark, sf_dir))
+
+    queries["dedup_minhash"] = _timeit(_minhash_pass, warm=1, runs=1)
     queries["embed_topk"] = _timeit(
         lambda: q_embed_topk(spark, sf_dir).collect(), warm=0, runs=1
     )

@@ -163,3 +163,48 @@ def test_otel_metric_rows_are_single_pass(spark):
     plan = _plan(OtelMetricParser().apply(df))
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan
+
+
+def _tree_lines(plan: str):
+    return plan.split("\n\n")[0].splitlines()
+
+
+def _has_imr_ancestor(lines, i):
+    """True if some line above i at strictly smaller tree indent contains
+    InMemoryRelation (i.e. line i sits inside a cached-build subtree)."""
+    indent = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+    for j in range(i - 1, -1, -1):
+        jind = len(lines[j]) - len(lines[j].lstrip(" :+-"))
+        if jind < indent and "InMemoryRelation" in lines[j]:
+            return True
+        if jind == 0:
+            break
+    return False
+
+
+def test_minhash_signature_built_once(spark):
+    """The MinHash signature build (the k-way min SortAggregate over exploded
+    shingles) must exist only INSIDE the persisted band frame's
+    InMemoryRelation — every bucket-stats / pair-join / star reference reads
+    the one materialization instead of re-running scan→shingle→aggregate
+    (the re-inlining trap that made dedup_minhash rebuild signatures ~8×)."""
+    from loongcollector_spark.dataops import text
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    try:
+        plan = _plan(text.minhash_near_dup_pairs(docs, threshold=0.5))
+        lines = _tree_lines(plan)
+        assert any("InMemoryRelation" in l for l in lines), "band frame not cached"
+        for i, l in enumerate(lines):
+            # SortAggregate only appears in the signature build (min over
+            # md5-hashed shingles); everything outside the cache must not
+            # contain one
+            if "SortAggregate" in l:
+                assert _has_imr_ancestor(lines, i), (
+                    "signature SortAggregate outside the cached band build:\n" + l
+                )
+    finally:
+        spark.catalog.clearCache()

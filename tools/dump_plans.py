@@ -40,9 +40,13 @@ def main() -> None:
         (
             "dedup_minhash — shingle→minhash→LSH(capped)→Jaccard",
             QUERIES["dedup_minhash"](spark, SF),
-            "explode→partial-agg signature build; bucket stats via groupBy "
-            "(NO Window for the n_anchors=1 star cap); every join an "
-            "equi-join on high-cardinality keys.",
+            "SINGLE signature build: the (id, band, bkey) frame is persisted, so "
+            "the scan→shingle→min-aggregate subtree exists only inside the "
+            "InMemoryRelation and every stats/join/star reference reads the "
+            "cache; one shared shingle frame feeds the Jaccard verify "
+            "(exchange-level reuse). Bucket stats via groupBy (NO Window for "
+            "the n_anchors=1 star cap); every join an equi-join on "
+            "high-cardinality keys.",
         ),
         (
             "prom_relabel — tag-map rewrite chain",
