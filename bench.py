@@ -137,6 +137,13 @@ def _bench_session(sf_dir: str, cpus: int) -> dict[str, float]:
     queries["pipeline_e2e"] = _timeit(
         lambda: flagship.pipeline_aggregates_from(spark, seq).collect()
     )
+    # single-scan CASE-dispatched variant (the shape for NOT-source-
+    # partitioned input: 1 scan + 1 decode stage instead of 3 branches)
+    queries["pipeline_e2e_fused"] = _timeit(
+        lambda: flagship.pipeline_aggregates_from(spark, seq, fused=True).collect(),
+        warm=0,
+        runs=1,
+    )
     # JVM-expression decode variant (oracle-parity path)
     queries["pipeline_e2e_jvm"] = _timeit(
         lambda: flagship.pipeline_aggregates_from(spark, seq, arrow=False).collect(),

@@ -189,8 +189,14 @@ def fused_parsed_events(
     return opts.finalize(ev, success, new_map, src)
 
 
-def enriched_from(spark: SparkSession, seq: DataFrame, **kw) -> DataFrame:
-    ev = parsed_events_from(seq, **kw)
+def enriched_from(
+    spark: SparkSession, seq: DataFrame, fused: bool = False, **kw
+) -> DataFrame:
+    """``fused=True`` parses via the single-scan CASE-dispatched stage (the
+    100 TB shape when the input is NOT source-partitioned: one scan + one
+    decode instead of three disjoint-filter branches)."""
+    parse = fused_parsed_events if fused else parsed_events_from
+    ev = parse(seq, **kw)
     lookup = source_lookup_df(spark)
     return BroadcastLookup(lookup, on="source").apply(ev)
 

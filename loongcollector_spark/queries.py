@@ -41,6 +41,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship.pipeline_aggregates(spark, sf_dir)
 
 
+def q_pipeline_e2e_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan CASE-dispatched parse variant — same result set as
+    pipeline_e2e (same oracle), different physical shape (1 scan + 1 decode
+    stage; the preferred plan when the input is not source-partitioned)."""
+    configure_existing(spark)
+    return flagship.pipeline_aggregates(spark, sf_dir, fused=True)
+
+
 def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_existing(spark)
     return flagship.routed_rows(spark, sf_dir)
@@ -1031,6 +1039,7 @@ ORDER BY sink"""
 
 QUERIES = {
     "pipeline_e2e": q_pipeline_e2e,
+    "pipeline_e2e_fused": q_pipeline_e2e_fused,
     "prom_relabel": q_prom_relabel,
     "prom_text_parse": q_prom_text_parse,
     "otel_trace": q_otel_trace,
@@ -1075,6 +1084,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_e2e": oracles.oracle_pipeline_aggregates(),
+    "pipeline_e2e_fused": oracles.oracle_pipeline_aggregates(),
     "prom_relabel": oracle_prom_relabel(),
     "prom_text_parse": oracle_prom_text_parse(),
     "otel_trace": oracle_otel_trace(),

@@ -146,3 +146,19 @@ def test_fused_csvlog_overflow_matches_branched(spark):
     fa, fb = dict(a[0][FIELDS]), dict(b[0][FIELDS])
     assert fa == fb
     assert fa["__column4__"] == "extra1" and fa["__column5__"] == "extra2"
+
+
+def test_fused_full_pipeline_matches_branched(spark, sf_dir):
+    """pipeline_aggregates with fused=True (single-scan CASE-dispatch parse)
+    must produce the exact branched-path aggregates."""
+    a = sorted(
+        flagship.pipeline_aggregates(spark, sf_dir).collect(), key=lambda r: r["sink"]
+    )
+    b = sorted(
+        flagship.pipeline_aggregates(spark, sf_dir, fused=True).collect(),
+        key=lambda r: r["sink"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert {r["sink"]: r["events"] for r in a} == {
+        "sink_a": 850, "sink_b": 100, "sink_default": 950,
+    }

@@ -208,3 +208,44 @@ def test_minhash_signature_built_once(spark):
                 )
     finally:
         spark.catalog.clearCache()
+
+
+def test_decode_repartition_only_on_narrow_scans(spark, sf_dir, tmp_path):
+    """The tiny-parquet fix (repartition to defaultParallelism) must NOT
+    insert a RoundRobin Exchange when the scan already yields >= 1 partition
+    per core — at real scale that would shuffle the whole raw table before
+    the decode stage."""
+    import os
+
+    # multi-file input read with a tiny maxPartitionBytes -> scan is already
+    # wide -> no repartition node
+    src = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    wide_dir = str(tmp_path / "events.parquet")
+    src.repartition(8).write.parquet(wide_dir)
+    conf = spark.conf
+    old = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        wide = sequences_df(spark, str(tmp_path))
+        assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        plan = _plan(wide)
+        assert "RoundRobinPartitioning" not in plan and "REPARTITION_BY_NUM" not in plan
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # single tiny file -> the widening repartition IS applied
+    narrow = sequences_df(spark, sf_dir)
+    plan = _plan(narrow)
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan
+
+
+def test_fused_pipeline_has_single_scan(spark, sf_dir):
+    """The fused flagship variant is the not-source-partitioned 100 TB shape:
+    exactly ONE parquet scan and ONE Python decode stage for all three
+    formats (the branched variant reads the fixture 3x with disjoint pushed
+    filters)."""
+    plan = _plan(flagship.pipeline_aggregates(spark, sf_dir, fused=True))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in tree and "SortMergeJoin" not in tree

@@ -38,6 +38,14 @@ def main() -> None:
             "HashAggregate pairs around a single tiny sink-key Exchange.",
         ),
         (
+            "pipeline_e2e_fused — single-scan CASE-dispatch variant",
+            flagship.pipeline_aggregates(spark, SF, fused=True),
+            "Exactly ONE parquet scan and ONE Python decode stage for all "
+            "three formats (the 100 TB shape when the input is not "
+            "source-partitioned); per-source parse is a CASE-dispatched "
+            "projection, everything else identical to pipeline_e2e.",
+        ),
+        (
             "dedup_minhash — shingle→minhash→LSH(capped)→Jaccard",
             QUERIES["dedup_minhash"](spark, SF),
             "SINGLE signature build: the (id, band, bkey) frame is persisted, so "
