@@ -789,19 +789,72 @@ FROM documents"""
 def q_embed_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a REAL k-means codebook (distributed spherical Lloyd
     iterations, deterministic first-k init) instead of the first-8 stand-in.
-    Iterative training is the acknowledged non-SQL-expressible category —
-    no DuckDB oracle (rows-only driver check); invariants are pytest-pinned
-    (test_dataops.py: codebook beats the stand-in on intra-cell cosine,
-    deterministic across runs)."""
+    The training loop is iterative, but with a FIXED iteration count and
+    per-iteration centroid rounding (round_to=6 absorbs float-sum-order
+    differences) the whole computation is reproducible in plain SQL — the
+    oracle unrolls the same two Lloyd iterations as nested CTEs, turning the
+    last rows-only driver check hash-green."""
     from . import similarity
 
     embs = _embs(spark, sf_dir).select("vec_id", "embedding")
-    cents = similarity.kmeans_centroids(embs, k=8, iters=2)
+    cents = similarity.kmeans_centroids(embs, k=8, iters=2, round_to=6)
     queries = embs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return similarity.ivf_topk(embs, queries, cents, k=5).select(
         "qid", "vec_id", "cos"
+    )
+
+
+def oracle_embed_ivf_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """SQL-unrolled spherical k-means (mirrors kmeans_centroids + ivf_topk):
+    init = k lowest-id vectors; per iteration an argmax-cosine assignment
+    (UNROUNDED cosine, ties to the lowest cell like the strictly-greater
+    Spark fold) and per-(cell, dim) means rounded to 6 decimals exactly like
+    round_to=6; empty cells keep their previous centroid."""
+    cosu = (
+        "(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS pos)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e "
+        f"FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        cell_cos = cosu.format(a="v.e", b="c.e")
+        parts.append(
+            f"a{i} AS (SELECT v.vec_id, v.e, c.cid, row_number() OVER "
+            f"(PARTITION BY v.vec_id ORDER BY {cell_cos} DESC, c.cid) AS rn "
+            f"FROM v CROSS JOIN c{i} c)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, pos, round(avg(e[pos]), 6) AS m "
+            f"FROM (SELECT e, cid FROM a{i} WHERE rn = 1), dims GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.cid, coalesce((SELECT list(m ORDER BY pos) "
+            f"FROM m{i} WHERE m{i}.cid = c.cid), c.e) AS e FROM c{i} c)"
+        )
+    final_cos = cosu.format(a="v.e", b="c.e")
+    score_cos = _COS_SQL.format(a="cells.e", b="q.qe")
+    parts.append(
+        f"af AS (SELECT v.vec_id, v.e, c.cid, row_number() OVER "
+        f"(PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid) AS rn "
+        f"FROM v CROSS JOIN c{iters} c)"
+    )
+    parts.append("cells AS (SELECT vec_id, e, cid AS cell FROM af WHERE rn = 1)")
+    parts.append(
+        "q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell FROM cells WHERE vec_id < 3)"
+    )
+    parts.append(
+        f"scored AS (SELECT q.qid, cells.vec_id, {score_cos} AS cos "
+        "FROM cells JOIN q ON cells.cell = q.qcell AND cells.vec_id <> q.qid)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT qid, vec_id, cos FROM scored\n"
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"
     )
 
 
@@ -831,6 +884,7 @@ DATAOPS_QUERIES = {
 DATAOPS_ORACLES = {
     "multimodal_decode": oracle_multimodal_decode(),
     "embed_ivf": oracle_embed_ivf(),
+    "embed_ivf_kmeans": oracle_embed_ivf_kmeans(),
     "curation_pipeline": oracle_curation_pipeline(),
     "dedup_clusters": oracle_dedup_clusters(),
     "sample_by_hash": oracle_sample_by_hash(),

@@ -218,6 +218,7 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> list[list[float]]:
     """Distributed spherical k-means codebook (Lloyd iterations, cosine
     assignment): deterministic init = the k lowest-id vectors; per iteration
@@ -226,7 +227,13 @@ def kmeans_centroids(
     standard coarse-quantizer training shape at any scale. Empty cells keep
     their previous centroid. Results are deterministic given the input
     (floating-point sum order may vary across partitionings; assignments are
-    robust to that for non-degenerate data)."""
+    robust to that for non-degenerate data).
+
+    ``round_to``: round each per-dim mean to that many decimals after every
+    iteration — pins the centroids bit-identically across engines so a SQL
+    oracle can unroll the same Lloyd iterations (float-sum-order differences
+    between Spark's partial agg and a sequential engine stay below the
+    rounding grain)."""
     v = vectors.select(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("__v__")
     )
@@ -250,6 +257,8 @@ def kmeans_centroids(
         for c, dims in by_cell.items():
             new[c] = [dims.get(p, cents[c][p]) for p in range(dim)]
         cents = [new[c] for c in range(k)]
+        if round_to is not None:
+            cents = [[round(x, round_to) for x in c] for c in cents]
     return cents
 
 
