@@ -225,22 +225,35 @@ class OtelTraceParser(Operator):
 
 # --- OTLP metrics → SLS metric logs -----------------------------------------
 
+_EXM = (
+    f"struct<timeUnixNano:string,asDouble:double,asInt:string,traceId:string,"
+    f"spanId:string,filteredAttributes:{_ATTR}>"
+)
 _MDP = (
-    f"struct<attributes:{_ATTR},timeUnixNano:string,asDouble:double,asInt:string>"
+    f"struct<attributes:{_ATTR},timeUnixNano:string,asDouble:double,asInt:string,"
+    f"exemplars:array<{_EXM}>>"
 )
 _HDP = (
     f"struct<attributes:{_ATTR},timeUnixNano:string,count:string,sum:double,"
-    "min:double,max:double,explicitBounds:array<double>,bucketCounts:array<string>>"
+    "min:double,max:double,explicitBounds:array<double>,bucketCounts:array<string>,"
+    f"exemplars:array<{_EXM}>>"
 )
 _SDP = (
     f"struct<attributes:{_ATTR},timeUnixNano:string,count:string,sum:double,"
     "quantileValues:array<struct<quantile:double,value:double>>>"
 )
+_BUCKETS = "struct<offset:int,bucketCounts:array<string>>"
+_EDP = (
+    f"struct<attributes:{_ATTR},timeUnixNano:string,count:string,sum:double,"
+    f"min:double,max:double,scale:int,zeroCount:string,positive:{_BUCKETS},"
+    f"negative:{_BUCKETS},exemplars:array<{_EXM}>>"
+)
 _METRIC = (
     f"struct<name:string,gauge:struct<dataPoints:array<{_MDP}>>,"
     f"sum:struct<dataPoints:array<{_MDP}>,isMonotonic:boolean>,"
     f"histogram:struct<dataPoints:array<{_HDP}>>,"
-    f"summary:struct<dataPoints:array<{_SDP}>>>"
+    f"summary:struct<dataPoints:array<{_SDP}>>,"
+    f"exponentialHistogram:struct<dataPoints:array<{_EDP}>>>"
 )
 OTLP_METRIC_SCHEMA = (
     "struct<resourceMetrics:array<struct<"
@@ -304,9 +317,19 @@ class OtelMetricParser(Operator):
 
     Covered: gauge, sum (+isMonotonic label), histogram (_sum/_min/_max when
     non-zero, _count, CUMULATIVE le-bucket rows with the +Inf bound), summary
-    (_sum/_count + quantile rows). Out of scope: exponential histogram and
-    exemplar rows (documented subset); float text uses the Go-'g'
-    approximation of go_float_g."""
+    (_sum/_count + quantile rows), exponential histogram
+    (exponentialHistogram2Logs, otlp_metric_parser.go:77-138: base =
+    2^(2^-scale); per-bucket le keys "(lower,upper]" / "[-upper,-lower)" plus
+    the positive.offset / negative.offset / zero.count pseudo-buckets — the
+    offset rows are emitted even when a side has no buckets, matching
+    GetPositive()'s nil-default offset 0), and exemplar rows on
+    gauge/sum/histogram/exp-histogram data points (exemplarMetricToLogs,
+    go:247-266: name+_exemplars, traceId/spanId hex labels when non-empty,
+    filteredAttributes appended, value asDouble|asInt|0, exemplar's own
+    timestamp; the sum exemplars inherit the ismonotonic label because
+    sum2Logs appends it before the exemplar loop). Float text uses the
+    Go-'g' approximation of go_float_g (shortest-repr parity holds for
+    |v| in [1e-3, 1e7) — keep synthetic bucket bounds in that range)."""
 
     source_key: str = "content"
 
@@ -350,12 +373,58 @@ class OtelMetricParser(Operator):
                 )
 
             empty = F.expr(f"CAST(array() AS array<{_ROW}>)")
+            empty_ents = F.expr("CAST(array() AS array<struct<k:string,v:string>>)")
+
+            def exemplar_rows(dp: Column, base_entries: Column) -> Column:
+                exs = F.coalesce(
+                    dp.getField("exemplars"), F.expr(f"CAST(array() AS array<{_EXM}>)")
+                )
+
+                def one(ex: Column) -> Column:
+                    tid = F.lower(F.coalesce(ex.getField("traceId"), F.lit("")))
+                    sid = F.lower(F.coalesce(ex.getField("spanId"), F.lit("")))
+                    ents = F.concat(
+                        base_entries,
+                        F.when(
+                            tid != "",
+                            F.array(F.struct(F.lit("traceId").alias("k"), tid.alias("v"))),
+                        ).otherwise(empty_ents),
+                        F.when(
+                            sid != "",
+                            F.array(F.struct(F.lit("spanId").alias("k"), sid.alias("v"))),
+                        ).otherwise(empty_ents),
+                        _label_entries(ex.getField("filteredAttributes")),
+                    )
+                    val = F.coalesce(
+                        ex.getField("asDouble"),
+                        ex.getField("asInt").try_cast("double"),
+                        F.lit(0.0),
+                    )
+                    return row(
+                        F.concat(name, F.lit("_exemplars")),
+                        labels_str(ents),
+                        ex.getField("timeUnixNano"),
+                        val,
+                    )
+
+                return F.transform(exs, one)
+
+            def gauge_rows_for(dp: Column) -> Column:
+                ents = F.concat(rlb, _label_entries(dp.getField("attributes")))
+                return F.concat(
+                    exemplar_rows(dp, ents),
+                    F.array(
+                        row(name, labels_str(ents), dp.getField("timeUnixNano"), num_val(dp))
+                    ),
+                )
 
             gauge_rows = F.when(
                 m.getField("gauge").isNotNull(),
-                F.transform(
-                    F.coalesce(m.getField("gauge").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
-                    lambda dp: row(name, dp_labels(dp), dp.getField("timeUnixNano"), num_val(dp)),
+                F.flatten(
+                    F.transform(
+                        F.coalesce(m.getField("gauge").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
+                        gauge_rows_for,
+                    )
                 ),
             ).otherwise(empty)
 
@@ -366,13 +435,26 @@ class OtelMetricParser(Operator):
                     mono.cast("string").alias("v"),
                 )
             )
+            def sum_rows_for(dp: Column) -> Column:
+                # sum2Logs appends ismonotonic BEFORE the exemplar loop —
+                # exemplar labels inherit it
+                ents = F.concat(
+                    rlb, _label_entries(dp.getField("attributes")), mono_entry
+                )
+                return F.concat(
+                    exemplar_rows(dp, ents),
+                    F.array(
+                        row(name, labels_str(ents), dp.getField("timeUnixNano"), num_val(dp))
+                    ),
+                )
+
             sum_rows = F.when(
                 m.getField("sum").isNotNull(),
-                F.transform(
-                    F.coalesce(m.getField("sum").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
-                    lambda dp: row(
-                        name, dp_labels(dp, mono_entry), dp.getField("timeUnixNano"), num_val(dp)
-                    ),
+                F.flatten(
+                    F.transform(
+                        F.coalesce(m.getField("sum").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_MDP}>)")),
+                        sum_rows_for,
+                    )
                 ),
             ).otherwise(empty)
 
@@ -426,6 +508,9 @@ class OtelMetricParser(Operator):
                             F.coalesce(dp.getField("count").try_cast("double"), F.lit(0.0)),
                         )
                     ),
+                    exemplar_rows(
+                        dp, F.concat(rlb, _label_entries(dp.getField("attributes")))
+                    ),
                     F.transform(idx, bucket_row),
                 )
                 return base_rows
@@ -436,6 +521,101 @@ class OtelMetricParser(Operator):
                     F.transform(
                         F.coalesce(m.getField("histogram").getField("dataPoints"), F.expr(f"CAST(array() AS array<{_HDP}>)")),
                         hist_rows_for,
+                    )
+                ),
+            ).otherwise(empty)
+
+            def exp_rows_for(dp: Column) -> Column:
+                t = dp.getField("timeUnixNano")
+                base_entries = F.concat(rlb, _label_entries(dp.getField("attributes")))
+                lb = labels_str(base_entries)
+                scale = F.coalesce(dp.getField("scale"), F.lit(0)).cast("double")
+                # base = 2^(2^-scale) (otlp_metric_parser.go:101)
+                base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -scale))
+
+                def le_row(key: Column, v: Column) -> Column:
+                    ents = F.concat(
+                        base_entries,
+                        F.array(F.struct(F.lit("le").alias("k"), key.alias("v"))),
+                    )
+                    return row(F.concat(name, F.lit("_bucket")), labels_str(ents), t, v)
+
+                def side_rows(side: str, positive: bool) -> Column:
+                    bk = dp.getField(side)
+                    counts = F.coalesce(
+                        bk.getField("bucketCounts"),
+                        F.expr("CAST(array() AS array<string>)"),
+                    )
+                    # GetOffset() on a nil side is 0 — the offset pseudo-bucket
+                    # row is emitted unconditionally
+                    off = F.coalesce(bk.getField("offset"), F.lit(0))
+
+                    def bucket_row(i: Column) -> Column:
+                        lower = F.pow(base, (off + i - 1).cast("double"))
+                        upper = lower * base
+                        if positive:
+                            key = F.concat(
+                                F.lit("("), go_float_g(lower), F.lit(","),
+                                go_float_g(upper), F.lit("]"),
+                            )
+                        else:
+                            key = F.concat(
+                                F.lit("["), go_float_g(-upper), F.lit(","),
+                                go_float_g(-lower), F.lit(")"),
+                            )
+                        cnt = F.coalesce(
+                            F.element_at(counts, i).try_cast("double"), F.lit(0.0)
+                        )
+                        return le_row(key, cnt)
+
+                    rows = F.when(
+                        F.size(counts) > 0,
+                        F.transform(F.sequence(F.lit(1), F.size(counts)), bucket_row),
+                    ).otherwise(empty)
+                    off_key = "positive.offset" if positive else "negative.offset"
+                    return F.concat(
+                        rows, F.array(le_row(F.lit(off_key), off.cast("double")))
+                    )
+
+                return F.concat(
+                    F.when(
+                        F.coalesce(dp.getField("sum"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_sum")), lb, t, dp.getField("sum"))),
+                    ).otherwise(empty),
+                    F.when(
+                        F.coalesce(dp.getField("min"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_min")), lb, t, dp.getField("min"))),
+                    ).otherwise(empty),
+                    F.when(
+                        F.coalesce(dp.getField("max"), F.lit(0.0)) != 0,
+                        F.array(row(F.concat(name, F.lit("_max")), lb, t, dp.getField("max"))),
+                    ).otherwise(empty),
+                    F.array(
+                        row(
+                            F.concat(name, F.lit("_count")), lb, t,
+                            F.coalesce(dp.getField("count").try_cast("double"), F.lit(0.0)),
+                        )
+                    ),
+                    exemplar_rows(dp, base_entries),
+                    side_rows("positive", True),
+                    F.array(
+                        le_row(
+                            F.lit("zero.count"),
+                            F.coalesce(dp.getField("zeroCount").try_cast("double"), F.lit(0.0)),
+                        )
+                    ),
+                    side_rows("negative", False),
+                )
+
+            exp_rows = F.when(
+                m.getField("exponentialHistogram").isNotNull(),
+                F.flatten(
+                    F.transform(
+                        F.coalesce(
+                            m.getField("exponentialHistogram").getField("dataPoints"),
+                            F.expr(f"CAST(array() AS array<{_EDP}>)"),
+                        ),
+                        exp_rows_for,
                     )
                 ),
             ).otherwise(empty)
@@ -488,7 +668,7 @@ class OtelMetricParser(Operator):
                 ),
             ).otherwise(empty)
 
-            return F.concat(gauge_rows, sum_rows, hist_rows, summary_rows)
+            return F.concat(gauge_rows, sum_rows, hist_rows, summary_rows, exp_rows)
 
         bound = F.struct(
             F.col("__rattrs__").alias("rattrs"), F.col("__m__").alias("m")

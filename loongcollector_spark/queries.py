@@ -882,6 +882,120 @@ SELECT doc_id, 'evt_total' AS name,
 FROM ev"""
 
 
+def q_otel_metric_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_metric exponential-histogram + exemplar path
+    (exponentialHistogram2Logs / exemplarMetricToLogs,
+    otlp_metric_parser.go:77-138,247-266): one exp-histogram data point per
+    payload — scale 0 (base 2, exact bounds), varying positive/negative
+    offsets and counts, min sometimes 0 (skipped), one exemplar with
+    traceId/spanId/filteredAttributes."""
+    from .operators.otel import OtelMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    ts = (F.lit(1663904182000000000) + F.col("event_id") * 1000).cast("string")
+    e = F.col("event_id")
+    tid = F.md5(F.col("doc_id"))
+    payload = F.concat(
+        F.lit('{"resourceMetrics":[{"resource":{"attributes":['
+              '{"key":"host.name","value":{"stringValue":"h'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeMetrics":[{"metrics":['
+              '{"name":"evt_lat","exponentialHistogram":{"dataPoints":[{'
+              '"attributes":[{"key":"etype","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}],"timeUnixNano":"'), ts,
+        F.lit('","count":"'), (e % 10 + 3).cast("string"),
+        F.lit('","sum":'), (e % 50).cast("string"), F.lit(".5"),
+        F.lit(',"min":'), (e % 3).cast("string"),
+        F.lit(',"max":'), (e % 7).cast("string"),
+        F.lit(',"scale":0,"zeroCount":"'), (e % 4).cast("string"),
+        F.lit('","positive":{"offset":'), (e % 5 - 2).cast("string"),
+        F.lit(',"bucketCounts":["'), (e % 3).cast("string"),
+        F.lit('","'), (e % 6).cast("string"),
+        F.lit('"]},"negative":{"offset":'), (e % 2).cast("string"),
+        F.lit(',"bucketCounts":["'), (e % 2).cast("string"),
+        F.lit('"]},"exemplars":[{"timeUnixNano":"'),
+        (F.lit(1663904182000000000) + e * 1000 + 7).cast("string"),
+        F.lit('","asDouble":'), (e % 13).cast("string"), F.lit(".25"),
+        F.lit(',"traceId":"'), tid,
+        F.lit('","spanId":"'), F.substring(tid, 1, 16),
+        F.lit('","filteredAttributes":[{"key":"exk","value":{"stringValue":"x'),
+        (e % 9).cast("string"),
+        F.lit('"}}]}]}]}}]}]}]}'),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = OtelMetricParser().apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__value__").alias("value"),
+    )
+
+
+def _p2_sql(expr: str) -> str:
+    """Go %v text of 2^n for the fixture's exponent range (all exact)."""
+    cases = {-3: "0.125", -2: "0.25", -1: "0.5", 0: "1", 1: "2", 2: "4",
+             3: "8", 4: "16", 5: "32"}
+    arms = " ".join(f"WHEN {n} THEN '{s}'" for n, s in cases.items())
+    return f"(CASE {expr} {arms} END)"
+
+
+def oracle_otel_metric_exp() -> str:
+    base_lb = "'etype#$#' || event_type || '|host.name#$#h' || (user_id % 5)"
+    tnano = "CAST(1663904182000000000 + event_id * 1000 AS VARCHAR)"
+    pos_off = "((event_id % 5) - 2)"
+    arms = []
+    # _sum always (x.5 is never 0), _min/_max only when non-zero, _count
+    arms.append(f"SELECT doc_id, 'evt_lat_sum' AS name, {base_lb} AS labels, "
+                f"{tnano} AS time_nano, (event_id % 50) || '.5' AS value FROM ev")
+    arms.append(f"SELECT doc_id, 'evt_lat_min', {base_lb}, {tnano}, "
+                "CAST(event_id % 3 AS VARCHAR) FROM ev WHERE event_id % 3 <> 0")
+    arms.append(f"SELECT doc_id, 'evt_lat_max', {base_lb}, {tnano}, "
+                "CAST(event_id % 7 AS VARCHAR) FROM ev WHERE event_id % 7 <> 0")
+    arms.append(f"SELECT doc_id, 'evt_lat_count', {base_lb}, {tnano}, "
+                "CAST(event_id % 10 + 3 AS VARCHAR) FROM ev")
+    # exemplar: labels sorted etype < exk < host.name < spanId < traceId
+    arms.append(
+        "SELECT doc_id, 'evt_lat_exemplars', "
+        "'etype#$#' || event_type || '|exk#$#x' || (event_id % 9) || "
+        "'|host.name#$#h' || (user_id % 5) || '|spanId#$#' || "
+        "substr(md5(doc_id), 1, 16) || '|traceId#$#' || md5(doc_id), "
+        "CAST(1663904182000000000 + event_id * 1000 + 7 AS VARCHAR), "
+        "(event_id % 13) || '.25' FROM ev"
+    )
+    # positive buckets i=0,1: (2^(off+i), 2^(off+i+1)]
+    for i in range(2):
+        lo = _p2_sql(f"{pos_off} + {i}")
+        hi = _p2_sql(f"{pos_off} + {i + 1}")
+        cnt = "CAST(event_id % 3 AS VARCHAR)" if i == 0 else "CAST(event_id % 6 AS VARCHAR)"
+        arms.append(
+            f"SELECT doc_id, 'evt_lat_bucket', {base_lb} || '|le#$#(' || {lo} "
+            f"|| ',' || {hi} || ']', {tnano}, {cnt} FROM ev"
+        )
+    arms.append(f"SELECT doc_id, 'evt_lat_bucket', {base_lb} || "
+                f"'|le#$#positive.offset', {tnano}, CAST({pos_off} AS VARCHAR) FROM ev")
+    arms.append(f"SELECT doc_id, 'evt_lat_bucket', {base_lb} || "
+                f"'|le#$#zero.count', {tnano}, CAST(event_id % 4 AS VARCHAR) FROM ev")
+    # negative bucket i=0: [-2^(off2+1), -2^off2)
+    nlo = _p2_sql("(event_id % 2)")
+    nhi = _p2_sql("(event_id % 2) + 1")
+    arms.append(
+        f"SELECT doc_id, 'evt_lat_bucket', {base_lb} || '|le#$#[-' || {nhi} "
+        f"|| ',-' || {nlo} || ')', {tnano}, CAST(event_id % 2 AS VARCHAR) FROM ev"
+    )
+    arms.append(f"SELECT doc_id, 'evt_lat_bucket', {base_lb} || "
+                f"'|le#$#negative.offset', {tnano}, "
+                "CAST(event_id % 2 AS VARCHAR) FROM ev")
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        "WITH ev AS (\n  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') "
+        "AS doc_id,\n         event_id, event_type, user_id\n  FROM events\n)\n"
+        + body
+    )
+
+
 def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_gotime: epoch-seconds source → Go-layout formatted dest key
     in a +08:00 destination timezone (processor_gotime.go:118-160)."""
@@ -1044,6 +1158,7 @@ QUERIES = {
     "prom_text_parse": q_prom_text_parse,
     "otel_trace": q_otel_trace,
     "otel_metric": q_otel_metric,
+    "otel_metric_exp": q_otel_metric_exp,
     "gotime": q_gotime,
     "field_ops": q_field_ops,
     "route_event_type": q_route_event_type,
@@ -1089,6 +1204,7 @@ ORACLES = {
     "prom_text_parse": oracle_prom_text_parse(),
     "otel_trace": oracle_otel_trace(),
     "otel_metric": oracle_otel_metric(),
+    "otel_metric_exp": oracle_otel_metric_exp(),
     "gotime": oracle_gotime(),
     "field_ops": oracle_field_ops(),
     "route_event_type": oracle_route_event_type(),
