@@ -112,6 +112,130 @@ def _record_ids(
     return df.withColumn("__rec__", F.sum(start_flag.cast("int")).over(w))
 
 
+_ITEM = "struct<o:bigint,l:string>"
+_REC = "struct<o:bigint,r:string>"
+
+
+def _fsm_fold_records(
+    df: DataFrame,
+    mode: str,  # "se" (start+end) | "ce" (continue+end)
+    start_pattern: str | None,
+    continue_pattern: str | None,
+    end_pattern: str,
+    source_key: str,
+    doc_col: str,
+    order_col: str,
+    joiner: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact reference FSM for the two combos whose state is inherently
+    sequential (a record's close depends on which line OPENED it, not on any
+    prefix count): start+end and continue+end
+    (ProcessorSplitMultilineLogStringNative.cpp:175-250). Notable semantics a
+    split-at-start model gets wrong: a start line is never end-checked (no
+    single-line 'START..END' records), an interior start inside an open
+    record is plain content, an open record at group end is UNMATCHED (end
+    pattern present), and a broken continue+end record unmatches ALL its
+    lines.
+
+    One JVM-side F.aggregate fold over the doc's ordered lines — the per-doc
+    memory bound equals the reference's (it holds the whole event group).
+    Returns (records, unmatched_line_keys): records as (doc, meta..., o,
+    record); unmatched as (doc, order) keys for the caller to resolve
+    against the original rows."""
+    line = fget(source_key)
+    empty_items = F.expr(f"CAST(array() AS array<{_ITEM}>)")
+    empty_recs = F.expr(f"CAST(array() AS array<{_REC}>)")
+
+    def acc(open_, start, cur, recs, unm):
+        return F.struct(
+            open_.alias("open"), start.cast("long").alias("start"),
+            cur.alias("cur"), recs.alias("recs"), unm.alias("unm"),
+        )
+
+    def joined(items):
+        return F.array_join(F.transform(items, lambda i: i.getField("l")), joiner)
+
+    def step(a: Column, x: Column) -> Column:
+        open_ = a.getField("open")
+        start, cur = a.getField("start"), a.getField("cur")
+        recs, unm = a.getField("recs"), a.getField("unm")
+        e = x.getField("l").rlike(end_pattern)
+        cur2 = F.concat(cur, F.array(x))
+        closed = F.struct(start.alias("o"), joined(cur2).alias("r"))
+        opened = acc(F.lit(True), x.getField("o"), F.array(x), recs, unm)
+        unmatched_line = acc(open_, start, cur, recs, F.concat(unm, F.array(x)))
+        if mode == "se":
+            s = x.getField("l").rlike(start_pattern)
+            return (
+                # closed + start → open (the start line is NOT end-checked)
+                F.when(~open_ & s, opened)
+                .when(~open_, unmatched_line)
+                # open + end → close the record (line included)
+                .when(
+                    e,
+                    acc(F.lit(False), F.lit(-1), empty_items,
+                        F.concat(recs, F.array(closed)), unm),
+                )
+                # open, not end (start or not) → plain content, wait
+                .otherwise(acc(F.lit(True), start, cur2, recs, unm))
+            )
+        c = x.getField("l").rlike(continue_pattern)
+        single = F.struct(x.getField("o").alias("o"), x.getField("l").alias("r"))
+        return (
+            F.when(~open_ & c, opened)
+            # closed + end-match → 1-line record (go:186-191)
+            .when(
+                ~open_ & e,
+                acc(F.lit(False), F.lit(-1), empty_items,
+                    F.concat(recs, F.array(single)), unm),
+            )
+            .when(~open_, unmatched_line)
+            .when(c, acc(F.lit(True), start, cur2, recs, unm))
+            # open + non-continue: end decides — match closes, miss unmatches
+            # the WHOLE record (go:204-227)
+            .when(
+                e,
+                acc(F.lit(False), F.lit(-1), empty_items,
+                    F.concat(recs, F.array(closed)), unm),
+            )
+            .otherwise(
+                acc(F.lit(False), F.lit(-1), empty_items, recs, F.concat(unm, cur2))
+            )
+        )
+
+    meta = [c for c in df.columns if c not in (FIELDS, order_col, doc_col)]
+    per_doc = df.groupBy(doc_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).cast("long").alias("o"), line.alias("l")))
+        ).alias("__lines__"),
+        *[F.first(c).alias(c) for c in meta],
+    )
+    init = acc(F.lit(False), F.lit(-1), empty_items, empty_recs, empty_items)
+    # open at group end → unmatched (an end pattern exists in both modes,
+    # ProcessorSplitMultilineLogStringNative.cpp:262-270 analog)
+    folded = per_doc.withColumn(
+        "__fsm__",
+        F.aggregate(
+            "__lines__", init, step,
+            lambda a: F.struct(
+                a.getField("recs").alias("recs"),
+                F.concat(a.getField("unm"), a.getField("cur")).alias("unm"),
+            ),
+        ),
+    )
+    records = folded.select(
+        doc_col, *meta, F.explode("__fsm__.recs").alias("__r__")
+    ).select(
+        doc_col, *meta,
+        F.col("__r__.o").alias(order_col),
+        F.create_map(F.lit(source_key), F.col("__r__.r")).alias(FIELDS),
+    )
+    unmatched_keys = folded.select(
+        doc_col, F.explode("__fsm__.unm").alias("__u__")
+    ).select(doc_col, F.col("__u__.o").alias(order_col))
+    return records, unmatched_keys
+
+
 @dataclass
 class SplitMultiline(Operator):
     """Multiline record assembly over line events — the reference's
@@ -150,6 +274,24 @@ class SplitMultiline(Operator):
         if self.start_pattern is None and self.end_pattern is None:
             raise ValueError("need start_pattern and/or end_pattern")
         line = fget(self.source_key)
+
+        mode = None
+        if self.end_pattern is not None and self.continue_pattern is None and self.start_pattern is not None:
+            mode = "se"
+        elif self.end_pattern is not None and self.continue_pattern is not None and self.start_pattern is None:
+            mode = "ce"
+        if mode is not None:
+            records, unmatched_keys = _fsm_fold_records(
+                df, mode, self.start_pattern, self.continue_pattern,
+                self.end_pattern, self.source_key, self.doc_col,
+                self.order_col, self.joiner,
+            )
+            if self.unmatched == UnmatchedTreatment.SINGLE_LINE:
+                singles = df.join(
+                    unmatched_keys, [self.doc_col, self.order_col], "left_semi"
+                )
+                records = records.unionByName(singles, allowMissingColumns=True)
+            return records
 
         if self.start_pattern is not None:
             start = line.rlike(self.start_pattern)

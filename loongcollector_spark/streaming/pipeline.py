@@ -157,6 +157,146 @@ def stateful_merge_by_flag(
     )
 
 
+def stateful_merge_by_regex(
+    df: DataFrame,
+    start_pattern: str | None = None,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
+    unmatched: str = "discard",
+    doc_col: str = "doc_id",
+    order_col: str = "line_no",
+    content_col: str = "content",
+):
+    """Streaming multiline merge by Start/Continue/End regexes across
+    micro-batch boundaries — the streaming analog of MergeLogsByRegex
+    (ProcessorMergeMultilineLogNative.cpp:161-325; same pattern combos as the
+    batch SplitMultiline: start / start+continue / start+end / continue+end /
+    end).
+
+    The agent buffers an open record until a closing line arrives — possibly
+    in a later file read. Here the open record is keyed state per doc:
+    (in_partial, pending joined lines, first line_no), persisted in the state
+    store across micro-batches; records are emitted when the FSM closes
+    them. Rows within a batch are processed in ``order_col`` order (a shard's
+    tailed lines arrive in order; cross-batch order is the file order, as in
+    the agent). Unlike the batch operator there is no end-of-input flush —
+    an open record simply waits for the next micro-batch.
+
+    ``unmatched``: 'discard' drops unmatched lines, 'single_line' emits each
+    as its own record (UnmatchedContentTreatment, MultilineOptions.h:32).
+
+    Output schema: (doc, record_start, record)."""
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if start_pattern is None and continue_pattern is None and end_pattern is None:
+        raise ValueError("need at least one of start/continue/end pattern")
+    start_rx = _re.compile(start_pattern) if start_pattern else None
+    cont_rx = _re.compile(continue_pattern) if continue_pattern else None
+    end_rx = _re.compile(end_pattern) if end_pattern else None
+    single_line = unmatched == "single_line"
+
+    out_schema = StructType(
+        [
+            StructField(doc_col, StringType()),
+            StructField("record_start", LongType()),
+            StructField("record", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("in_partial", LongType()),
+            StructField("pending", StringType()),
+            StructField("start", LongType()),
+        ]
+    )
+    # if only the end pattern is given the FSM sticks to the partial state
+    # (MergeLogsByRegex:175-178)
+    end_only = end_rx is not None and start_rx is None and cont_rx is None
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            in_partial, pending, start = state.get
+            in_partial = bool(in_partial)
+            lines = pending.split("\n") if pending else []
+        else:
+            in_partial, lines, start = end_only, [], -1
+        out_rows = []
+
+        def emit(ls, first):
+            if ls:
+                out_rows.append((key[0], first, "\n".join(ls)))
+
+        def unmatch(line, no):
+            if single_line:
+                out_rows.append((key[0], no, line))
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_col)
+            for _, row in pdf.iterrows():
+                line, no = row[content_col], int(row[order_col])
+                if not in_partial:
+                    rx = start_rx if start_rx is not None else cont_rx
+                    if rx.search(line):
+                        lines, start, in_partial = [line], no, True
+                    elif end_rx is not None and start_rx is None and cont_rx is not None and end_rx.search(line):
+                        # continue+end: line matches end directly (go straight
+                        # to a 1-line record, MergeLogsByRegex:230-239)
+                        emit([line], no)
+                    else:
+                        unmatch(line, no)
+                elif cont_rx is not None and cont_rx.search(line):
+                    lines.append(line)
+                elif end_rx is not None:
+                    lines.append(line)
+                    if cont_rx is not None:
+                        # continue+end: end decides match vs unmatch
+                        if end_rx.search(line):
+                            emit(lines, start)
+                        else:
+                            for j, l in enumerate(lines):
+                                unmatch(l, start + j)
+                        lines, in_partial = [], False
+                    elif end_rx.search(line):
+                        # start+end or end-only
+                        emit(lines, start)
+                        lines, start = [], -1
+                        if start_rx is not None:
+                            in_partial = False
+                        # end-only: stay partial, next record starts
+                    # else: wait for the closing line
+                elif cont_rx is None:
+                    # start-only
+                    if not start_rx.search(line):
+                        lines.append(line)
+                    else:
+                        emit(lines, start)
+                        lines, start = [line], no
+                else:
+                    # start+continue: record closes on the non-continue line
+                    emit(lines, start)
+                    if start_rx.search(line):
+                        lines, start = [line], no
+                    else:
+                        unmatch(line, no)
+                        lines, in_partial = [], False
+        state.update((int(in_partial), "\n".join(lines), start))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[doc_col, "record_start", "record"])
+
+    return df.groupBy(doc_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_sink_counts(
     routed: DataFrame,
     time_col: str = "event_time",

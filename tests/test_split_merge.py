@@ -163,3 +163,62 @@ def test_split_then_sessionize_roundtrip(spark):
     recs = SplitMultiline(start_pattern=r"ERROR.*").apply(lines)
     joined = sorted(r[FIELDS]["content"] for r in recs.collect())
     assert joined == ["ERROR first\n  at a", "ERROR second\n  at b\n  at c"]
+
+
+def test_multiline_begin_end_reference_goldens(spark):
+    """TestLogSplitWithBeginEnd (ProcessorSplitMultilineLogStringNativeUnittest)
+    exact cases: a start with no end is DISCARDED at group end (not emitted);
+    an interior start inside an open record is plain content; a start line is
+    never end-checked against itself."""
+    # case: unmatch + start + unmatch -> 0 records (the open record dies)
+    ev = _lines(spark, [("d1", ["junk", "BEGIN x", "junk2"])])
+    out = SplitMultiline(start_pattern=r"^BEGIN", end_pattern=r"^END").apply(ev)
+    assert out.collect() == []
+
+    # case: unmatch + start + end + unmatch -> exactly the BEGIN..END record
+    ev = _lines(spark, [("d1", ["junk", "BEGIN x", "END y", "junk2"])])
+    out = SplitMultiline(start_pattern=r"^BEGIN", end_pattern=r"^END").apply(ev)
+    recs = [r[FIELDS]["content"] for r in out.collect()]
+    assert recs == ["BEGIN x\nEND y"]
+
+    # interior BEGIN is content, not a new record
+    ev = _lines(spark, [("d1", ["BEGIN a", "BEGIN b", "END c"])])
+    out = SplitMultiline(start_pattern=r"^BEGIN", end_pattern=r"^END").apply(ev)
+    recs = [r[FIELDS]["content"] for r in out.collect()]
+    assert recs == ["BEGIN a\nBEGIN b\nEND c"]
+
+    # a line matching both start and end does NOT self-close
+    ev = _lines(spark, [("d1", ["BEGIN mid END", "tail END", "BEGIN solo END"])])
+    out = SplitMultiline(start_pattern=r"^BEGIN", end_pattern=r"END$").apply(ev)
+    recs = [r[FIELDS]["content"] for r in out.collect()]
+    assert recs == ["BEGIN mid END\ntail END"]  # the trailing solo stays open
+
+    # single_line treatment surfaces the dropped lines as their own records
+    ev = _lines(spark, [("d1", ["junk", "BEGIN x", "junk2"])])
+    out = SplitMultiline(
+        start_pattern=r"^BEGIN", end_pattern=r"^END",
+        unmatched=UnmatchedTreatment.SINGLE_LINE,
+    ).apply(ev)
+    recs = sorted(r[FIELDS]["content"] for r in out.collect())
+    assert recs == ["BEGIN x", "junk", "junk2"]
+
+
+def test_multiline_continue_end_broken_record_unmatches_all(spark):
+    """continue+end: a record broken by a non-continue non-end line unmatches
+    ALL its lines (HandleUnmatchLogs begin..cur,
+    ProcessorSplitMultilineLogStringNative.cpp:215-227)."""
+    ev = _lines(
+        spark, [("d1", [" c1", "breaker", " c2", "fin DONE", "DONE"])]
+    )
+    out = SplitMultiline(continue_pattern=r"^ ", end_pattern=r"DONE$").apply(ev)
+    recs = [r[FIELDS]["content"] for r in out.collect()]
+    # ' c1'+'breaker' all unmatched (discarded); ' c2'+'fin DONE' record;
+    # lone 'DONE' from closed state is its own record
+    assert sorted(recs) == [" c2\nfin DONE", "DONE"]
+
+    out2 = SplitMultiline(
+        continue_pattern=r"^ ", end_pattern=r"DONE$",
+        unmatched=UnmatchedTreatment.SINGLE_LINE,
+    ).apply(ev)
+    recs2 = sorted(r[FIELDS]["content"] for r in out2.collect())
+    assert recs2 == [" c1", " c2\nfin DONE", "DONE", "breaker"]
