@@ -529,6 +529,64 @@ def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method")
 
 
+def q_spl_lookup_apsara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL long-tail verbs: parse-apsara + lookup (broadcast dim join into
+    fields) + where/project — the doc page's verb set beyond the original
+    12 (docs/cn/plugins/processor/spl/processor-spl-native.md)."""
+    from .spl import compile_spl
+
+    ev = _events_raw(spark, sf_dir)
+    line = F.concat(
+        F.lit("[2024-01-05 10:20:30."),
+        F.lpad((F.col("event_id") % 1000000).cast("string"), 6, "0"),
+        F.lit("]\t["), F.upper("event_type"),
+        F.lit("]\t["), F.col("user_id").cast("string"),
+        F.lit("]\t[/build/app.cpp:"), (F.col("event_id") % 500).cast("string"),
+        F.lit("]\tmethod:GET\tstatus:"), (F.col("user_id") % 3).cast("string"),
+    )
+    dim = spark.createDataFrame(
+        [(0, "ok", "2xx"), (1, "warn", "4xx"), (2, "error", "5xx")],
+        ["status", "status_name", "status_class"],
+    )
+    script = (
+        "* | parse-apsara content"
+        " | lookup statusmap on status output status_name, status_class"
+        " | where status_name != 'warn'"
+        " | extend lvl_code = status * 10"
+        " | project-away content"
+    )
+    run = compile_spl(script, tables={"statusmap": dim})
+    out = run(to_events(ev.select("doc_id", line.alias("content"))))
+    return out.select(
+        "doc_id",
+        fget("microtime").alias("microtime"),
+        fget("__LEVEL__").alias("level"),
+        fget("status").alias("status"),
+        fget("status_name").alias("status_name"),
+        fget("status_class").alias("status_class"),
+        fget("lvl_code").alias("lvl_code"),
+    )
+
+
+def oracle_spl_lookup_apsara() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id
+  FROM events
+),
+dim AS (SELECT * FROM (VALUES (0, 'ok', '2xx'), (1, 'warn', '4xx'),
+                              (2, 'error', '5xx')) AS t(s, nm, cl))
+SELECT doc_id,
+  CAST(CAST(1704450030 AS BIGINT) * 1000000 + event_id % 1000000 AS VARCHAR) AS microtime,
+  upper(event_type) AS level,
+  CAST(user_id % 3 AS VARCHAR) AS status,
+  dim.nm AS status_name,
+  dim.cl AS status_class,
+  CAST((user_id % 3) * 10 AS VARCHAR) AS lvl_code
+FROM ev JOIN dim ON dim.s = user_id % 3
+WHERE dim.nm <> 'warn'"""
+
+
 def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_geoip analog: broadcast range join of parsed nginx client
     IPs against an ip-range dim (ip_int BETWEEN lo AND hi). The mmdb decode
@@ -1193,6 +1251,7 @@ QUERIES = {
     "rate_limit_windowed": q_rate_limit_windowed,
     "token_roundtrip": q_token_roundtrip,
     "spl_pipeline": q_spl_pipeline,
+    "spl_lookup_apsara": q_spl_lookup_apsara,
     "geoip_range": q_geoip_range,
     "geoip_fields": q_geoip_fields,
 }
@@ -1239,6 +1298,7 @@ ORACLES = {
     "rate_limit_windowed": oracles.oracle_rate_limit_windowed(),
     "token_roundtrip": oracles.oracle_token_roundtrip(),
     "spl_pipeline": oracles.oracle_spl_pipeline(),
+    "spl_lookup_apsara": oracle_spl_lookup_apsara(),
     "geoip_range": oracles.oracle_geoip_range(),
     "geoip_fields": oracle_geoip_fields(),
 }

@@ -27,6 +27,10 @@ Supported verbs (the documented core set):
                                           reduced/aggregated frames)
   ``limit <n>``                         — row limit
   ``dedup by k1, k2``                   — keep one row per field-value combo
+  ``parse-apsara <key>``                — apsara log-line parse → fields
+  ``lookup <table> on <key> [output a, b]`` — broadcast-join a dimension
+                                          table (compile_spl(tables={...}))
+                                          into fields; misses untouched
 
 Fields live in the event ``fields`` map; ``where``/``extend`` expressions are
 Spark SQL snippets in which bare field names are rewritten to map lookups.
@@ -111,9 +115,10 @@ _AGG_FNS = {
 }
 
 
-def compile_spl(script: str):
+def compile_spl(script: str, tables: dict[str, DataFrame] | None = None):
     """SPL script → (DataFrame -> DataFrame). Raises ValueError on unknown
-    verbs (the reference pipeline fails Init on an invalid script)."""
+    verbs (the reference pipeline fails Init on an invalid script).
+    ``tables`` supplies the dimension frames referenced by ``lookup``."""
     stages = _split_pipes(script)
     if not stages or stages[0] != "*":
         raise ValueError("SPL script must start with '*'")
@@ -253,6 +258,44 @@ def compile_spl(script: str):
                 return tagged.filter(F.col("__dedup_rn__") == 1).drop("__dedup_rn__")
 
             ops.append(_dedup)
+        elif verb == "parse-apsara":
+            from .operators.parse import ApsaraParser
+
+            ops.append(
+                ApsaraParser(ParserOptions(source_key=rest, keep_fail=True)).apply
+            )
+        elif verb == "lookup":
+            m = re.match(r"(\w+)\s+on\s+(\w+)(?:\s+output\s+(.*))?$", rest)
+            if not m:
+                raise ValueError(f"bad lookup: {stage}")
+            table, key = m.group(1), m.group(2)
+            outs = _parse_as_list(m.group(3)) if m.group(3) else None
+            if tables is None or table not in tables:
+                raise ValueError(f"unknown lookup table: {table}")
+
+            def _lookup(df, d=tables[table], k=key, sel=outs):
+                # DictMap-shaped enrich: broadcast-hash-join the (small) dim,
+                # stringified output columns merged into fields; lookup
+                # misses leave the event untouched
+                from pyspark.sql.functions import broadcast
+
+                cols = sel or [c for c in d.columns if c != k]
+                dim = d.select(
+                    F.col(k).cast("string").alias("__lk__"),
+                    *[F.col(c).cast("string").alias(f"__lv_{c}__") for c in cols],
+                )
+                joined = df.join(broadcast(dim), fget(k) == F.col("__lk__"), "left")
+                args: list[F.Column] = []
+                for c in cols:
+                    args += [F.lit(c), F.col(f"__lv_{c}__")]
+                add = F.map_filter(
+                    F.create_map(*args), lambda _k, v: v.isNotNull()
+                )
+                return joined.withColumn(
+                    FIELDS, F.map_concat(F.col(FIELDS), add)
+                ).drop("__lk__", *[f"__lv_{c}__" for c in cols])
+
+            ops.append(_lookup)
         else:
             raise ValueError(f"unknown SPL verb: {verb}")
 

@@ -133,3 +133,59 @@ def test_spl_parse_kv_sort_limit_dedup(spark):
     )
     vals = sorted(dict(r[FIELDS])["a"] for r in dd.collect())
     assert vals == ["x", "y"]
+
+
+def test_spl_parse_apsara_verb(spark):
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.spl import compile_spl
+
+    line = "[2024-01-05 10:20:30.000123]\t[INFO]\t[42]\t[/a.cpp:7]\tk:v"
+    ev = to_events(spark.createDataFrame([(0, line)], ["i", "content"]))
+    out = compile_spl("* | parse-apsara content | project-away content")(ev)
+    f = dict(out.collect()[0][FIELDS])
+    assert f["__LEVEL__"] == "INFO" and f["__THREAD__"] == "42"
+    assert f["__FILE__"] == "/a.cpp" and f["__LINE__"] == "7" and f["k"] == "v"
+    assert "content" not in f
+
+
+def test_spl_lookup_verb(spark):
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.spl import compile_spl
+
+    dim = spark.createDataFrame(
+        [("a", "Alpha", 1), ("b", "Beta", 2)], ["code", "name", "rank"]
+    )
+    ev = to_events(
+        spark.createDataFrame([(0, "a"), (1, "b"), (2, "z")], ["i", "content"])
+    )
+    ev = compile_spl("* | extend code = content | project code")(ev)
+    out = compile_spl(
+        "* | lookup dim on code output name", tables={"dim": dim}
+    )(ev)
+    rows = {dict(r[FIELDS])["code"]: dict(r[FIELDS]) for r in out.collect()}
+    assert rows["a"]["name"] == "Alpha" and rows["b"]["name"] == "Beta"
+    assert "name" not in rows["z"]  # miss leaves the event untouched
+
+    # default output: all non-key dim columns, stringified
+    out2 = compile_spl("* | lookup dim on code", tables={"dim": dim})(ev)
+    r = {dict(x[FIELDS])["code"]: dict(x[FIELDS]) for x in out2.collect()}
+    assert r["a"]["rank"] == "1"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown lookup table"):
+        compile_spl("* | lookup nosuch on code")
+
+
+def test_spl_lookup_is_broadcast_join(spark):
+    from loongcollector_spark.operators.base import to_events
+    from loongcollector_spark.spl import compile_spl
+
+    dim = spark.createDataFrame([("a", "x")], ["code", "name"])
+    ev = to_events(spark.createDataFrame([(0, "a")], ["i", "content"]))
+    ev = compile_spl("* | extend code = content")(ev)
+    out = compile_spl("* | lookup dim on code", tables={"dim": dim})(ev)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
