@@ -350,11 +350,92 @@ def minhash_near_dup_pairs(
     return jaccard_verify(cands, df, threshold=threshold, shingles_df=sh)
 
 
+def star_contraction_components(
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds on ANY graph — including
+    the pathological long chains where min-label propagation needs
+    O(diameter) rounds.
+
+    - large-star(u): attach every strictly-larger neighbor of u to
+      min(N(u) ∪ u);
+    - small-star(u): attach u and its smaller neighbors (bar the min) to
+      min(smaller neighbors ∪ u).
+
+    Each round = two groupBy(min) aggregates + equi-joins keyed by node id;
+    ``localCheckpoint`` truncates the iterative lineage. Input ``edges``:
+    (src, dst) long pairs (any orientation, self-loops ignored). Returns
+    (labels (id, label), rounds_used)."""
+    E = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = E.select(F.col("src").alias("id")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star over the symmetric edge set
+        mins = E.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            E.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least("mn", F.col("src")).alias("dst"),
+            )
+            .distinct()
+        )
+        # small-star over edges oriented big→small
+        S = large.filter(F.col("src") > F.col("dst")).unionByName(
+            large.filter(F.col("src") < F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        smins = S.groupBy("src").agg(F.min("dst").alias("mn"))
+        joined = S.join(smins, "src")
+        small = (
+            joined.filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(smins.select(F.col("src"), F.col("mn").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_E = small.unionByName(
+            small.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        changed = new_E.exceptAll(E).limit(1).count()
+        E.unpersist()
+        E = new_E.persist(StorageLevel.MEMORY_AND_DISK)
+        if changed == 0:
+            break
+    roots = E.filter(F.col("src") > F.col("dst")).groupBy("src").agg(
+        F.min("dst").alias("label")
+    )
+    labels = (
+        nodes.join(roots.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    return labels, rounds
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster)
     with cluster = min doc_id of the component (the canonical survivor).
@@ -365,8 +446,20 @@ def near_dup_clusters(
     node id + one aggregate — the standard large-graph CC shape (dup
     components are tiny in practice, so rounds ≈ 2-3). A component with
     diameter > max_iter would return unconverged labels — that is surfaced
-    as a warning instead of silently wrong clusters (large-star/small-star
-    contraction is the upgrade path if such chains ever appear)."""
+    as a warning instead of silently wrong clusters.
+
+    ``algorithm='star'`` switches to large-star/small-star contraction
+    (star_contraction_components): O(log n) rounds on pathological chain
+    graphs, at the cost of ~2× the per-round shuffles — pick it when
+    components may have large diameter."""
+    if algorithm == "star":
+        edges = pairs.select(
+            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        )
+        labels, _ = star_contraction_components(edges, max_rounds=max_iter)
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+        )
     # persist: edges are re-joined EVERY round — without materialization each
     # iteration re-runs the entire upstream pairs pipeline (minhash + verify)
     edges = (

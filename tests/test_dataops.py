@@ -314,3 +314,35 @@ def test_kmeans_codebook_properties(spark, sf_dir):
         .collect()
     ]
     assert mean_intra(c1) >= mean_intra(stand_in) - 1e-9
+
+
+def test_star_contraction_chain_converges_log_rounds(spark):
+    """A 64-node chain has diameter 63 — min-label propagation needs ~63
+    rounds, large-star/small-star must finish in O(log n) (< 10)."""
+    from loongcollector_spark.dataops import text
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101), (200, 200)],
+        ["id_a", "id_b"],
+    )
+    edges = pairs.selectExpr("CAST(id_a AS LONG) src", "CAST(id_b AS LONG) dst")
+    labels, rounds = text.star_contraction_components(edges, max_rounds=15)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert rounds < 10, rounds
+    assert all(got[i] == 0 for i in range(n))
+    assert got[100] == 100 and got[101] == 100
+    assert 200 not in got  # self-loop only: no real edge
+
+    # same clusters as the label-propagation default on a shallow graph
+    lp = {
+        (r["doc_id"], r["cluster"])
+        for r in text.near_dup_clusters(pairs.filter("id_a < 10")).collect()
+    }
+    st = {
+        (r["doc_id"], r["cluster"])
+        for r in text.near_dup_clusters(
+            pairs.filter("id_a < 10"), algorithm="star"
+        ).collect()
+    }
+    assert lp == st
