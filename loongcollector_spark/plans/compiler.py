@@ -227,7 +227,23 @@ PROCESSOR_REGISTRY: dict[str, Callable[[Mapping[str, Any]], Operator]] = {
     "processor_fields_with_condition": lambda c: FieldsWithCondition(
         cases=c["Cases"], drop_if_not_match=c.get("DropIfNotMatchCondition", False)
     ),
+    # ingestion-boundary: decodes a binary payload column of serialized
+    # LoongSuite PipelineEventGroups (ProcessorParseFromPBNative.cpp:34-121);
+    # sits FIRST in a pipeline whose input carries wire bytes
+    "processor_parse_from_pb_native": lambda c: _parse_from_pb(c),
 }
+
+
+def _parse_from_pb(c):
+    from ..operators.pb import ParseFromPB
+
+    proto = c.get("Protocol", "LoongSuite")
+    if proto != "LoongSuite":  # sSupportedProtocols — cpp:34-36
+        raise ValueError(f"unsupported protocol {proto!r}")
+    return ParseFromPB(
+        payload_col=c.get("PayloadColumn", "payload"),
+        passthrough=c.get("Passthrough", []),
+    )
 
 
 # byte-exact Arrow parity variants, selected with "ArrowParity": true on the

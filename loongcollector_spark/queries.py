@@ -1334,3 +1334,156 @@ SELECT doc_id, {cols} FROM g"""
 
 
 ORACLES["parse_grok"] = _grok_oracle()
+
+
+# ---------------------------------------------------------------------------
+# processor_parse_from_pb_native (SURVEY §2 #21): LoongSuite PB wire decode.
+# The oracle cannot build protobuf bytes in SQL, so the query proves the
+# wire ROUND TRIP over real bytes (encode in an applyInPandas fixture stage,
+# decode with the operator under test) and the oracle computes the expected
+# decoded rows directly from `events`; byte-level decode correctness against
+# hand-assembled wire bytes is pinned separately in tests/test_pb.py.
+
+_PB_TS_BASE = 1_700_000_000_000_000_000  # ns; offsets exercise the sec/ns split
+
+
+def q_parse_from_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorParseFromPBNative.cpp:74-121 — one payload per group, log
+    events fan out; group tags inherited onto every row."""
+    from .operators.pb import ParseFromPB, encode_groups_df, encode_log_event
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "props",
+        (F.col("event_id") % 32).alias("group_no"),
+    )
+
+    def build(r) -> bytes:
+        return encode_log_event(
+            ts=_PB_TS_BASE + int(r.event_id) * 1_000_003,
+            contents={
+                "event_type": r.event_type,
+                "user_id": str(r.user_id),
+                "props": r.props,
+            },
+            level=r.event_type,
+            file_offset=int(r.event_id),
+            raw_size=len(r.props),
+        )
+
+    payloads = encode_groups_df(ev, "group_no", build, etype="log", tag_cols={"g": "group_no"})
+    rows = ParseFromPB("payload").apply(payloads)
+    return rows.select(
+        F.col("file_offset").alias("event_id"),
+        F.col("group_tags")["g"].alias("g"),
+        "ts_sec",
+        "ts_ns",
+        F.col("contents")["event_type"].alias("event_type"),
+        F.col("contents")["user_id"].alias("user_id"),
+        F.col("contents")["props"].alias("props"),
+        "level",
+        "raw_size",
+    )
+
+
+def oracle_parse_from_pb() -> str:
+    return f"""SELECT event_id,
+  CAST(event_id % 32 AS VARCHAR) AS g,
+  ({_PB_TS_BASE} + event_id * 1000003) // 1000000000 AS ts_sec,
+  ({_PB_TS_BASE} + event_id * 1000003) % 1000000000 AS ts_ns,
+  event_type,
+  CAST(user_id AS VARCHAR) AS user_id,
+  props,
+  event_type AS level,
+  length(props) AS raw_size
+FROM events"""
+
+
+def q_parse_from_pb_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric + span decode through the same wire path: 'error' events ship
+    as MetricEvent groups (UntypedSingleValue variant), the rest as
+    SpanEvent groups (kind/status enum casts, start/end ns)."""
+    from .operators.pb import (
+        ParseFromPB,
+        encode_groups_df,
+        encode_metric_event,
+        encode_span_event,
+    )
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value",
+        (F.col("event_id") % 16).alias("group_no"),
+    )
+
+    def build_metric(r) -> bytes:
+        return encode_metric_event(
+            ts=_PB_TS_BASE + int(r.event_id) * 999_983,
+            name="m_" + r.event_type,
+            value=float(r.value),
+            tags={"u": str(r.user_id)},
+        )
+
+    def build_span(r) -> bytes:
+        ts = _PB_TS_BASE + int(r.event_id) * 999_983
+        return encode_span_event(
+            ts=ts,
+            trace_id=f"tr-{r.event_id}",
+            span_id=f"sp-{r.event_id}",
+            name=r.event_type,
+            kind=int(r.event_id) % 6,
+            start_ns=ts,
+            end_ns=ts + int(r.user_id),
+            tags={"u": str(r.user_id)},
+            status=int(r.event_id) % 3,
+        )
+
+    metrics = encode_groups_df(
+        ev.filter(F.col("event_type") == "error"), "group_no", build_metric, etype="metric"
+    )
+    spans = encode_groups_df(
+        ev.filter(F.col("event_type") != "error"), "group_no", build_span, etype="trace"
+    )
+    rows = ParseFromPB("payload").apply(metrics.unionByName(spans))
+    return rows.select(
+        "__event_type__",
+        "ts_sec",
+        "ts_ns",
+        "metric_name",
+        F.round(F.col("value"), 4).alias("value"),
+        F.col("metric_tags")["u"].alias("mu"),
+        "trace_id",
+        "span_id",
+        F.col("span_name").alias("span_name"),
+        "kind",
+        "start_ns",
+        "end_ns",
+        "status",
+        F.col("span_tags")["u"].alias("su"),
+    )
+
+
+def oracle_parse_from_pb_mixed() -> str:
+    ts = f"({_PB_TS_BASE} + event_id * 999983)"
+    return f"""SELECT 'metric' AS __event_type__,
+  {ts} // 1000000000 AS ts_sec, {ts} % 1000000000 AS ts_ns,
+  'm_' || event_type AS metric_name, round(value, 4) AS value,
+  CAST(user_id AS VARCHAR) AS mu,
+  NULL AS trace_id, NULL AS span_id, NULL AS span_name,
+  NULL AS kind, NULL AS start_ns, NULL AS end_ns, NULL AS status, NULL AS su
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'trace' AS __event_type__,
+  {ts} // 1000000000 AS ts_sec, {ts} % 1000000000 AS ts_ns,
+  NULL AS metric_name, NULL AS value, NULL AS mu,
+  'tr-' || event_id AS trace_id, 'sp-' || event_id AS span_id,
+  event_type AS span_name, event_id % 6 AS kind,
+  {ts} AS start_ns, {ts} + user_id AS end_ns, event_id % 3 AS status,
+  CAST(user_id AS VARCHAR) AS su
+FROM events WHERE event_type <> 'error'"""
+
+
+QUERIES["parse_from_pb"] = q_parse_from_pb
+QUERIES["parse_from_pb_mixed"] = q_parse_from_pb_mixed
+ORACLES["parse_from_pb"] = oracle_parse_from_pb()
+ORACLES["parse_from_pb_mixed"] = oracle_parse_from_pb_mixed()

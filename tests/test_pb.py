@@ -1,0 +1,205 @@
+"""processor_parse_from_pb_native: wire-format goldens.
+
+The oracle queries prove the encode->decode round trip over the events
+table; these tests pin BOTH directions against HAND-ASSEMBLED wire bytes
+(field keys and payloads written out byte by byte from the proto3 spec +
+protobuf_public/models/*.proto), so the encoder and decoder cannot drift
+together. Failure contract from ProcessorParseFromPBNative.cpp:96-104 and
+ProtocolConversion.cpp:9-108: parse error / empty event list / missing
+metric value variant -> group discarded.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from loongcollector_spark.operators.pb import (
+    PBError,
+    ParseFromPB,
+    decode_event_group,
+    encode_event_group,
+    encode_log_event,
+    encode_metric_event,
+    encode_span_event,
+    read_varint,
+    write_varint,
+)
+
+
+def k(fno: int, wt: int) -> bytes:
+    return bytes([fno << 3 | wt])
+
+
+def ld(fno: int, payload: bytes) -> bytes:
+    return k(fno, 2) + bytes([len(payload)]) + payload
+
+
+class TestVarint:
+    def test_roundtrip_values(self):
+        for v in (0, 1, 127, 128, 300, 2**32, 2**63 - 1, 2**64 - 1):
+            enc = write_varint(v)
+            dec, i = read_varint(enc, 0)
+            assert dec == v and i == len(enc)
+
+    def test_known_encodings(self):
+        # canonical examples from the protobuf encoding docs
+        assert write_varint(1) == b"\x01"
+        assert write_varint(150) == b"\x96\x01"
+        assert read_varint(b"\x96\x01", 0) == (150, 2)
+
+    def test_truncated(self):
+        with pytest.raises(PBError):
+            read_varint(b"\x96", 0)
+
+
+# one LogEvent, every field, written out by hand:
+#   Timestamp=1700000001000000123 (field 1 varint)
+#   Contents=[{Key='k1', Value='v1'}] (field 2 message)
+#   Level='warn' (field 3), FileOffset=7 (field 4), RawSize=42 (field 5)
+HAND_LOG = (
+    k(1, 0) + write_varint(1_700_000_001_000_000_123)
+    + ld(2, ld(1, b"k1") + ld(2, b"v1"))
+    + ld(3, b"warn")
+    + k(4, 0) + b"\x07"
+    + k(5, 0) + b"\x2a"
+)
+# group: Tags={'host': 'h1'} (field 2 map entry), Logs (field 3) wrapping
+# repeated Events (field 1)
+HAND_GROUP = ld(2, ld(1, b"host") + ld(2, b"h1")) + ld(3, ld(1, HAND_LOG))
+
+
+class TestDecodeHandAssembled:
+    def test_log_group(self):
+        g = decode_event_group(HAND_GROUP)
+        assert g is not None and g["type"] == "log"
+        assert g["tags"] == {"host": "h1"}
+        (ev,) = g["events"]
+        assert ev["ts"] == 1_700_000_001_000_000_123
+        assert ev["contents"] == {"k1": "v1"}
+        assert ev["level"] == "warn"
+        assert ev["file_offset"] == 7 and ev["raw_size"] == 42
+
+    def test_encoder_matches_hand_bytes(self):
+        body = encode_log_event(
+            ts=1_700_000_001_000_000_123,
+            contents={"k1": "v1"},
+            level="warn",
+            file_offset=7,
+            raw_size=42,
+        )
+        assert body == HAND_LOG
+        assert encode_event_group("log", [body], tags={"host": "h1"}) == HAND_GROUP
+
+    def test_metric_group(self):
+        # MetricEvent: ts (1), Name (2), Tags map (3), UntypedSingleValue (4)
+        # with inner double field 1 (fixed64)
+        inner = k(1, 1) + struct.pack("<d", 2.5)
+        m = (
+            k(1, 0) + write_varint(1_000_000_007)
+            + ld(2, b"cpu")
+            + ld(3, ld(1, b"core") + ld(2, b"0"))
+            + ld(4, inner)
+        )
+        g = decode_event_group(ld(4, ld(1, m)))
+        assert g is not None and g["type"] == "metric"
+        (ev,) = g["events"]
+        assert ev == {"ts": 1_000_000_007, "name": "cpu", "tags": {"core": "0"}, "value": 2.5}
+        assert encode_metric_event(1_000_000_007, "cpu", 2.5, {"core": "0"}) == m
+
+    def test_span_group(self):
+        s = (
+            k(1, 0) + b"\x05"
+            + ld(2, b"tr1") + ld(3, b"sp1") + ld(6, b"op")
+            + k(7, 0) + b"\x02"           # Kind=SERVER
+            + k(8, 0) + b"\x0a" + k(9, 0) + b"\x14"
+            + ld(10, ld(1, b"u") + ld(2, b"9"))
+            + k(13, 0) + b"\x02"          # Status=Error
+        )
+        g = decode_event_group(ld(5, ld(1, s)))
+        assert g is not None and g["type"] == "trace"
+        (ev,) = g["events"]
+        assert ev["trace_id"] == "tr1" and ev["span_id"] == "sp1"
+        assert ev["kind"] == 2 and ev["status"] == 2
+        assert ev["start_ns"] == 10 and ev["end_ns"] == 20
+        assert ev["tags"] == {"u": "9"}
+        assert (
+            encode_span_event(
+                5, "tr1", "sp1", "op", kind=2, start_ns=10, end_ns=20,
+                tags={"u": "9"}, status=2,
+            )
+            == s
+        )
+
+    def test_span_inner_events_and_links(self):
+        inner_ev = ld(2, b"retry") + k(1, 0) + b"\x03"  # out-of-order fields
+        link = ld(1, b"tr2") + ld(2, b"sp2") + ld(4, ld(1, b"x") + ld(2, b"y"))
+        s = ld(2, b"tr1") + ld(11, inner_ev) + ld(12, link)
+        g = decode_event_group(ld(5, ld(1, s)))
+        (ev,) = g["events"]
+        assert ev["events"] == [{"ts": 3, "name": "retry", "tags": {}}]
+        assert ev["links"] == [
+            {"trace_id": "tr2", "span_id": "sp2", "trace_state": "", "tags": {"x": "y"}}
+        ]
+
+
+class TestFailureContract:
+    def test_garbage_discarded(self):
+        assert decode_event_group(b"\xff\xff\xff") is None
+
+    def test_truncated_discarded(self):
+        assert decode_event_group(HAND_GROUP[:-3]) is None
+
+    def test_no_oneof_discarded(self):
+        # tags only, PipelineEvents_case NOT_SET
+        assert decode_event_group(ld(2, ld(1, b"a") + ld(2, b"b"))) is None
+
+    def test_empty_events_discarded(self):
+        # Logs present but zero events — cpp:14 "no log events"
+        assert decode_event_group(ld(3, b"")) is None
+
+    def test_metric_without_value_variant_discarded(self):
+        m_ok = encode_metric_event(1, "a", 1.0, {})
+        m_bad = k(1, 0) + b"\x01" + ld(2, b"b")  # no field-4 variant
+        # one bad metric fails the WHOLE group (conversion returns false)
+        assert decode_event_group(ld(4, ld(1, m_ok) + ld(1, m_bad))) is None
+
+    def test_unknown_fields_skipped(self):
+        # trailing unknown field no. 15 (varint) + no. 9 (len) are tolerated
+        extra = k(15, 0) + b"\x01" + ld(9, b"zz")
+        g = decode_event_group(HAND_GROUP + extra)
+        assert g is not None and g["events"][0]["contents"] == {"k1": "v1"}
+
+    def test_oneof_last_wins(self):
+        logs = ld(3, ld(1, encode_log_event(1, {"a": "b"})))
+        metrics = ld(4, ld(1, encode_metric_event(2, "m", 1.0, {})))
+        g = decode_event_group(logs + metrics)
+        assert g["type"] == "metric"
+
+    def test_ns_timestamp_split(self):
+        body = encode_log_event(ts=1_700_000_000_999_999_999, contents={"a": "b"})
+        g = decode_event_group(encode_event_group("log", [body]))
+        assert g["events"][0]["ts"] == 1_700_000_000_999_999_999
+
+
+class TestSparkOperator:
+    def test_bad_rows_dropped_good_fan_out(self, spark):
+        good = encode_event_group(
+            "log",
+            [encode_log_event(10**9 + 5, {"m": "x"}, level="info"),
+             encode_log_event(2 * 10**9, {"m": "y"})],
+            tags={"src": "t"},
+        )
+        df = spark.createDataFrame(
+            [("g1", bytearray(good)), ("g2", bytearray(b"\xff\x00garbage"))],
+            "gid string, payload binary",
+        )
+        out = ParseFromPB("payload", passthrough=["gid"]).apply(df).collect()
+        assert [r.gid for r in out] == ["g1", "g1"]
+        by_msg = {r.contents["m"]: r for r in out}
+        assert by_msg["x"].ts_sec == 1 and by_msg["x"].ts_ns == 5
+        assert by_msg["x"].level == "info"
+        assert by_msg["y"].ts_sec == 2 and by_msg["y"].ts_ns == 0
+        assert all(r.group_tags == {"src": "t"} for r in out)
+        assert all(r["__event_type__"] == "log" for r in out)
