@@ -162,3 +162,85 @@ class GroupByValues:
     def apply(self, df: DataFrame) -> DataFrame:
         key = F.concat_ws("_", *[F.coalesce(F.col(k), F.lit("")) for k in self.group_keys])
         return df.withColumn("__group_topic__", key).repartition(*[F.col(k) for k in self.group_keys])
+
+
+LOGSTORE_COL = "__logstore__"
+BATCH_COL = "__batch_no__"
+
+
+@dataclass
+class TelemetryRouter:
+    """aggregator_opentelemetry / aggregator_skywalking
+    (plugins/aggregator/opentelemetry/aggregator_opentelemetry.go:96-106,
+    plugins/aggregator/skywalking/aggregator_skywalking.go:93-109): route
+    each event to a per-telemetry-type logstore, then batch within the store
+    via the shared base aggregator (MaxLogCount=1024 events per group).
+
+    Routing rules (both plugins route on the CONTENTS, not a tag):
+    - otel: field count <=5 -> metrics store, >=19 -> traces store, else logs
+      (the OTLP conversion emits a fixed field layout per signal type, so
+      arity identifies the signal).
+    - skywalking: FIRST content key '__name__' -> metrics, 'links' -> traces,
+      'otlp.name' -> logs, anything else -> logs (with a warning in the
+      agent; here the row simply routes to the logs store).
+    - an event with zero contents is silently not added (Add returns nil
+      without routing) -> the row is dropped.
+
+    Spark shape: one column expression per rule — no shuffle for the routing
+    itself. Batching assigns ``__batch_no__`` = ordinal within the logstore
+    // max_count. With ``order_col`` the numbering is a deterministic global
+    window (oracle-comparable; one shuffle per store partition). Without it,
+    numbering is partition-local ((pid, local_seq // max) rendered as
+    'pid-k') — the scale path, mirroring the agent where batch identity is
+    per-instance anyway, and what a 1000-executor run should use.
+    """
+
+    mode: str = "opentelemetry"  # or "skywalking"
+    metrics_store: str = ""
+    trace_store: str = ""
+    log_store: str = ""
+    max_count: int = 1024
+    fields_col: str = "fields"
+
+    def __post_init__(self) -> None:
+        d = "otlp" if self.mode == "opentelemetry" else "skywalking"
+        self.metrics_store = self.metrics_store or f"{d}-metrics"
+        self.trace_store = self.trace_store or f"{d}-traces"
+        self.log_store = self.log_store or f"{d}-logs"
+
+    def route(self) -> F.Column:
+        f = F.col(self.fields_col)
+        if self.mode == "opentelemetry":
+            n = F.size(f)
+            return (
+                F.when(n <= 5, self.metrics_store)
+                .when(n >= 19, self.trace_store)
+                .otherwise(self.log_store)
+            )
+        first = F.element_at(F.map_keys(f), 1)
+        return (
+            F.when(first == "__name__", self.metrics_store)
+            .when(first == "links", self.trace_store)
+            .otherwise(self.log_store)  # 'otlp.name' and unrecognized both land here
+        )
+
+    def apply(self, df: DataFrame, order_col: str | None = None) -> DataFrame:
+        out = df.filter(F.size(F.col(self.fields_col)) > 0).withColumn(
+            LOGSTORE_COL, self.route()
+        )
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(LOGSTORE_COL).orderBy(order_col)
+            batch = ((F.row_number().over(w) - F.lit(1)) / self.max_count).cast("long")
+            return out.withColumn(BATCH_COL, batch.cast("string"))
+        out = out.repartition(F.col(LOGSTORE_COL))
+        local_seq = F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        return out.withColumn(
+            BATCH_COL,
+            F.concat_ws(
+                "-",
+                F.spark_partition_id().cast("string"),
+                (local_seq / self.max_count).cast("long").cast("string"),
+            ),
+        )

@@ -1487,3 +1487,65 @@ QUERIES["parse_from_pb"] = q_parse_from_pb
 QUERIES["parse_from_pb_mixed"] = q_parse_from_pb_mixed
 ORACLES["parse_from_pb"] = oracle_parse_from_pb()
 ORACLES["parse_from_pb_mixed"] = oracle_parse_from_pb_mixed()
+
+
+def q_telemetry_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_opentelemetry + aggregator_skywalking routing/batching:
+    otel routes on content arity (<=5 metrics / >=19 traces / else logs,
+    aggregator_opentelemetry.go:96-106), skywalking on the first content key
+    (aggregator_skywalking.go:93-109); zero-content rows are never added;
+    batches of max_count within each store."""
+    from .aggregate import BATCH_COL, LOGSTORE_COL, TelemetryRouter
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", (F.col("event_id") % 24).alias("n")
+    )
+    first_key = (
+        F.when(F.col("event_type") == "error", "__name__")
+        .when(F.col("event_type") == "click", "links")
+        .when(F.col("event_type") == "signup", "otlp.name")
+        .otherwise("other")
+    )
+    filler = F.transform(
+        F.sequence(F.lit(1), F.lit(23)),
+        lambda i: F.concat(F.lit("f"), i.cast("string")),
+    )
+    # n=0 rows get an EMPTY contents map — the router must drop them
+    keys = F.slice(F.concat(F.array(first_key), filler), 1, F.col("n"))
+    fields = F.map_from_arrays(keys, F.transform(keys, lambda _: F.lit("v")))
+    df = ev.withColumn("fields", fields)
+
+    otel = TelemetryRouter(mode="opentelemetry", max_count=64)
+    routed = otel.apply(df, order_col="event_id")
+    sky = TelemetryRouter(mode="skywalking")
+    return routed.select(
+        "event_id",
+        "n",
+        F.col(LOGSTORE_COL).alias("otel_store"),
+        F.col(BATCH_COL).alias("otel_batch"),
+        sky.route().alias("sky_store"),
+    )
+
+
+def oracle_telemetry_agg() -> str:
+    return """WITH e AS (
+  SELECT event_id, event_type, event_id % 24 AS n FROM events WHERE event_id % 24 > 0
+), r AS (
+  SELECT event_id, n,
+    CASE WHEN n <= 5 THEN 'otlp-metrics'
+         WHEN n >= 19 THEN 'otlp-traces'
+         ELSE 'otlp-logs' END AS otel_store,
+    CASE WHEN event_type = 'error' THEN 'skywalking-metrics'
+         WHEN event_type = 'click' THEN 'skywalking-traces'
+         ELSE 'skywalking-logs' END AS sky_store
+  FROM e
+)
+SELECT event_id, n, otel_store,
+  CAST((row_number() OVER (PARTITION BY otel_store ORDER BY event_id) - 1) // 64 AS VARCHAR) AS otel_batch,
+  sky_store
+FROM r"""
+
+
+QUERIES["telemetry_agg"] = q_telemetry_agg
+ORACLES["telemetry_agg"] = oracle_telemetry_agg()
