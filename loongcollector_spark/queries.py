@@ -1549,3 +1549,106 @@ FROM r"""
 
 QUERIES["telemetry_agg"] = q_telemetry_agg
 ORACLES["telemetry_agg"] = oracle_telemetry_agg()
+
+
+def _otel_pb_payload_udf(signal: str):
+    """pandas UDF: build the OTLP wire bytes (hex) for the q_otel_trace /
+    q_otel_metric fixture values — same numbers, protobuf wire instead of
+    JSON text, so the Format=protobuf path reuses those queries' oracles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators import otlp_pb as W
+
+    @pandas_udf("string")
+    def build(doc_id, event_id, event_type, user_id):
+        import hashlib
+
+        out = []
+        for d, e, t, u in zip(doc_id, event_id, event_type, user_id):
+            e, u = int(e), int(u)
+            if signal == "trace":
+                tid = bytes.fromhex(hashlib.md5(d.encode()).hexdigest())
+                sid = bytes.fromhex(hashlib.md5((d + "s").encode()).hexdigest()[:16])
+                start = 1663904182000000000 + e * 1000
+                end = start + (e % 100 + 1) * 1000000
+                sp = W.encode_span_pb(
+                    tid, sid, f"op-{t}", e % 5 + 1, start, end,
+                    attrs=[W.encode_attr("http.status", 200 + u % 5 * 100)],
+                    status_code=e % 3,
+                )
+                payload = W.encode_traces_data(
+                    [W.encode_attr("host.name", f"h{u % 5}"),
+                     W.encode_attr("service.name", t)],
+                    "io.otel", "1.0", [sp],
+                )
+            else:
+                ts = 1663904182000000000 + e * 1000
+                gauge_dp = W.encode_number_dp(
+                    ts, as_double=e % 97 + 0.5, attrs=[W.encode_attr("etype", t)]
+                )
+                sum_dp = W.encode_number_dp(ts, as_int=e % 1000)
+                payload = W.encode_metrics_data(
+                    [W.encode_gauge_metric("evt_value", [gauge_dp]),
+                     W.encode_sum_metric("evt_total", [sum_dp], True)],
+                    [W.encode_attr("host.name", f"h{u % 5}")],
+                )
+            out.append(payload.hex())
+        return pd.Series(out)
+
+    return build
+
+
+def q_otel_pb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_trace Format=protobuf (processor_otel_trace.go:31):
+    OTLP TracesData WIRE bytes → OtelPbToJson → the same OtelTraceParser and
+    oracle as the Format=json query."""
+    from .operators.otel import OtelTraceParser
+    from .operators.otlp_pb import OtelPbToJson
+
+    ev = _events_raw(spark, sf_dir)
+    build = _otel_pb_payload_udf("trace")
+    df = to_events(
+        ev.select(
+            "doc_id",
+            build("doc_id", "event_id", "event_type", "user_id").alias("content"),
+        )
+    )
+    out = OtelTraceParser().apply(OtelPbToJson("trace").apply(df))
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k.replace(".", "_")) for k in [
+            "host", "service", "traceID", "spanID", "kind", "name",
+            "start", "end", "duration", "attribute", "statusCode", "resource",
+        ]],
+    )
+
+
+def q_otel_pb_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_metric Format=protobuf: MetricsData wire bytes through
+    the shared converter, then the Format=json parser + oracle."""
+    from .operators.otel import OtelMetricParser
+    from .operators.otlp_pb import OtelPbToJson
+
+    ev = _events_raw(spark, sf_dir)
+    build = _otel_pb_payload_udf("metric")
+    df = to_events(
+        ev.select(
+            "doc_id",
+            build("doc_id", "event_id", "event_type", "user_id").alias("content"),
+        )
+    )
+    out = OtelMetricParser().apply(OtelPbToJson("metric").apply(df))
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__value__").alias("value"),
+    )
+
+
+QUERIES["otel_pb_trace"] = q_otel_pb_trace
+QUERIES["otel_pb_metric"] = q_otel_pb_metric
+ORACLES["otel_pb_trace"] = oracle_otel_trace()
+ORACLES["otel_pb_metric"] = oracle_otel_metric()
