@@ -858,7 +858,59 @@ def oracle_embed_ivf_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (public method: Rae et al. 2021
+    table A1): per-doc top-word share, duplicate 2/3-gram fractions,
+    top-2-gram share, composite keep flag."""
+    return text.gopher_repetition(_docs(spark, sf_dir))
+
+
+def oracle_gopher_repetition() -> str:
+    return """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+g AS (SELECT doc_id, w, len(w) AS n_words,
+  list_transform(range(1, greatest(len(w)-1,0)+1), i -> array_to_string(w[i:i+1], ' ')) AS g2,
+  list_transform(range(1, greatest(len(w)-2,0)+1), i -> array_to_string(w[i:i+2], ' ')) AS g3
+  FROM d),
+m AS (SELECT doc_id, n_words,
+  round(CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(w) AS t(x) GROUP BY x)) AS DOUBLE) / greatest(n_words,1), 4) AS top_word_share,
+  CASE WHEN len(g2) = 0 THEN 0.0 ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 4) END AS dup_2gram_frac,
+  CASE WHEN len(g3) = 0 THEN 0.0 ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 4) END AS dup_3gram_frac,
+  CASE WHEN len(g2) = 0 THEN 0.0 ELSE round(CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(g2) AS t(x) GROUP BY x)) AS DOUBLE)/len(g2), 4) END AS top_2gram_share
+ FROM g)
+SELECT doc_id, n_words, top_word_share, dup_2gram_frac, dup_3gram_frac, top_2gram_share,
+ CAST(CASE WHEN top_word_share <= 0.12 AND dup_2gram_frac <= 0.05 AND top_2gram_share <= 0.06 THEN 1 ELSE 0 END AS INT) AS repetition_ok
+FROM m"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = docs with doc_id %% 29 == 0;
+    flag every other doc sharing any distinct word 3-gram with it
+    (broadcast eval-gram probe)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+    return text.decontaminate(tr, ev)
+
+
+def oracle_decontaminate() -> str:
+    return """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w)-2,0)+1), i -> array_to_string(w[i:i+2], ' '))) AS g3 FROM d),
+ev AS (SELECT DISTINCT unnest(g3) AS gram FROM g WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, unnest(g3) AS gram FROM g WHERE doc_id % 29 <> 0),
+hits AS (SELECT tr.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS overlap
+         FROM tr LEFT JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+SELECT g.doc_id,
+  CAST(coalesce(h.n_grams,0) AS BIGINT) AS n_grams,
+  CAST(coalesce(h.overlap,0) AS BIGINT) AS overlap_grams,
+  CAST(CASE WHEN coalesce(h.overlap,0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id % 29 <> 0"""
+
+
 DATAOPS_QUERIES = {
+    "gopher_repetition": q_gopher_repetition,
+    "decontaminate": q_decontaminate,
     "multimodal_decode": q_multimodal_decode,
     "embed_ivf_kmeans": q_embed_ivf_kmeans,
     "dedup_exact": q_dedup_exact,
@@ -882,6 +934,8 @@ DATAOPS_QUERIES = {
 }
 
 DATAOPS_ORACLES = {
+    "gopher_repetition": oracle_gopher_repetition(),
+    "decontaminate": oracle_decontaminate(),
     "multimodal_decode": oracle_multimodal_decode(),
     "embed_ivf": oracle_embed_ivf(),
     "embed_ivf_kmeans": oracle_embed_ivf_kmeans(),

@@ -249,3 +249,34 @@ def test_fused_pipeline_has_single_scan(spark, sf_dir):
     assert tree.count("Scan parquet") == 1, tree
     assert tree.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in tree and "SortMergeJoin" not in tree
+
+
+def test_gopher_repetition_builds_grams_once(spark, sf_dir):
+    """The words split and each gram array must be built ONCE per row (the
+    CollapseProject re-inlining trap): one split(lower(..)), one concat_ws
+    tree per gram order, one sort_array per max_multiplicity — and no
+    shuffle at all (pure per-row folds)."""
+    from loongcollector_spark.dataops import text
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(text.gopher_repetition(df))
+    assert plan.count("concat_ws") == 2, plan
+    import re
+
+    assert len(re.findall(r"split\(lower", plan)) == 1, plan
+    assert plan.count("sort_array") == 2, plan
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The eval-gram probe must be a broadcast hash join (eval sets are
+    small); the train side shuffles only for the final per-doc agg."""
+    from loongcollector_spark.dataops import text
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.decontaminate(
+        df.filter("doc_id % 29 <> 0"), df.filter("doc_id % 29 = 0")
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
