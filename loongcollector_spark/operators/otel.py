@@ -35,20 +35,38 @@ _ATTR = (
 )
 _EVENT = f"struct<timeUnixNano:string,name:string,attributes:{_ATTR}>"
 _LINK = f"struct<traceId:string,spanId:string,attributes:{_ATTR}>"
-_SPAN = (
-    "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
-    "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
-    f"traceState:string,attributes:{_ATTR},events:array<{_EVENT}>,"
-    f"links:array<{_LINK}>,status:struct<code:int,message:string>>"
-)
-OTLP_TRACE_SCHEMA = (
-    "struct<resourceSpans:array<struct<"
-    f"resource:struct<attributes:{_ATTR}>,"
-    "scopeSpans:array<struct<scope:struct<name:string,version:string>,"
-    f"spans:array<{_SPAN}>>>>>>"
-)
+
+
+def _trace_schema(protojson: bool) -> str:
+    """OTLP trace from_json schema. protojson carries enums as either ints
+    or names ("SPAN_KIND_SERVER"), so kind/status.code parse as strings
+    there."""
+    enum_t = "string" if protojson else "int"
+    span = (
+        "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+        f"kind:{enum_t},startTimeUnixNano:string,endTimeUnixNano:string,"
+        f"traceState:string,attributes:{_ATTR},events:array<{_EVENT}>,"
+        f"links:array<{_LINK}>,status:struct<code:{enum_t},message:string>>"
+    )
+    return (
+        "struct<resourceSpans:array<struct<"
+        f"resource:struct<attributes:{_ATTR}>,"
+        "scopeSpans:array<struct<scope:struct<name:string,version:string>,"
+        f"spans:array<{span}>>>>>>"
+    )
+
+
+OTLP_TRACE_SCHEMA = _trace_schema(False)
 
 _KINDS = {1: "internal", 2: "server", 3: "client", 4: "producer", 5: "consumer"}
+_KIND_ENUM = {
+    1: "SPAN_KIND_INTERNAL",
+    2: "SPAN_KIND_SERVER",
+    3: "SPAN_KIND_CLIENT",
+    4: "SPAN_KIND_PRODUCER",
+    5: "SPAN_KIND_CONSUMER",
+}
+_HEX_ID_RX = "^([0-9a-fA-F]{2})*$"
 
 
 def _json_str(c: Column) -> Column:
@@ -135,19 +153,65 @@ def _links_json(links: Column) -> Column:
 class OtelTraceParser(Operator):
     """fields[source_key] = OTLP/JSON trace payload → one event ROW per span
     with the reference's 18-key field map; undecodable payloads are dropped
-    (processor_otel_trace.go:57-66 error path)."""
+    (processor_otel_trace.go:57-66 error path).
+
+    format="protojson" (processor_otel_trace.go:87-90 →
+    otlp_trace_parser.go:291-327 ConvertResourceSpans): the payload is a
+    single ResourceSpans object (wrapped into resourceSpans=[...] so the
+    shared schema applies), kind/status may be enum NAMES or ints, and span
+    ids follow the *NeedDecode flags — True treats the JSON string as hex
+    (the reference base64-re-encodes protojson's decoded bytes, recovering
+    the original string, then hex-decodes it; output = lowercased input;
+    a non-hex id fails the whole payload), False hex-encodes protojson's
+    base64-decoded bytes. Divergence (documented): link ids always pass
+    through lowercased, and an invalid base64 id in the False path yields ""
+    for that span instead of failing the payload."""
 
     source_key: str = "content"
+    format: str = "json"
+    trace_id_need_decode: bool = False
+    span_id_need_decode: bool = False
+    parent_span_id_need_decode: bool = False
 
     def apply(self, df: DataFrame) -> DataFrame:
+        pj = self.format == "protojson"
         src = F.element_at(F.col(FIELDS), F.lit(self.source_key))
-        parsed = F.from_json(src, OTLP_TRACE_SCHEMA)
+        if pj:
+            src = F.concat(F.lit('{"resourceSpans":['), src, F.lit("]}"))
+        parsed = F.from_json(src, _trace_schema(pj))
         keep = [c for c in df.columns if c != FIELDS]
         rs = (
             df.withColumn("__rs__", parsed.getField("resourceSpans"))
             .filter(F.col("__rs__").isNotNull())
-            .select(*keep, F.explode("__rs__").alias("__r__"))
         )
+        if pj:
+            # hex.DecodeString error drops the WHOLE payload
+            # (otlp_trace_parser.go:302-320 returns err → processLog skips)
+            flagged = [
+                ("traceId", self.trace_id_need_decode),
+                ("spanId", self.span_id_need_decode),
+                ("parentSpanId", self.parent_span_id_need_decode),
+            ]
+
+            def span_ok(sp: Column) -> Column:
+                ok = F.lit(True)
+                for fld, need in flagged:
+                    if need:
+                        v = F.coalesce(sp.getField(fld), F.lit(""))
+                        ok = ok & v.rlike(_HEX_ID_RX)
+                return ok
+
+            bad = F.exists(
+                F.col("__rs__"),
+                lambda r: F.exists(
+                    r.getField("scopeSpans"),
+                    lambda s: F.exists(
+                        s.getField("spans"), lambda sp: ~span_ok(sp)
+                    ),
+                ),
+            )
+            rs = rs.filter(~bad)
+        rs = rs.select(*keep, F.explode("__rs__").alias("__r__"))
         ss = rs.select(
             *keep,
             F.col("__r__.resource.attributes").alias("__rattrs__"),
@@ -159,6 +223,15 @@ class OtelTraceParser(Operator):
             F.col("__s__.scope").alias("__scope__"),
             F.explode("__s__.spans").alias("__sp__"),
         )
+
+        def _id(c: Column, need_decode: bool) -> Column:
+            raw = F.coalesce(c, F.lit(""))
+            if not pj or need_decode:
+                # json: ids are hex text already; protojson+NeedDecode: the
+                # base64-reencode+hexdecode round trip recovers the input
+                return F.lower(raw)
+            decoded = F.try_to_binary(raw, F.lit("base64"))
+            return F.lower(F.coalesce(F.hex(decoded), F.lit("")))
 
         def build(row: Column) -> Column:
             rattrs = row.getField("rattrs")
@@ -184,20 +257,35 @@ class OtelTraceParser(Operator):
             kind = sp.getField("kind")
             kind_str = F.lit("")
             for k, v in _KINDS.items():
-                kind_str = F.when(kind == k, F.lit(v)).otherwise(kind_str)
+                hit = (
+                    (kind == str(k)) | (kind == _KIND_ENUM[k])
+                    if pj
+                    else (kind == k)
+                )
+                kind_str = F.when(hit, F.lit(v)).otherwise(kind_str)
             code = sp.getField("status").getField("code")
-            status = (
-                F.when(code == 2, "ERROR").when(code == 1, "OK").otherwise("UNSET")
-            )
+            if pj:
+                status = (
+                    F.when((code == "2") | (code == "STATUS_CODE_ERROR"), "ERROR")
+                    .when((code == "1") | (code == "STATUS_CODE_OK"), "OK")
+                    .otherwise("UNSET")
+                )
+            else:
+                status = (
+                    F.when(code == 2, "ERROR").when(code == 1, "OK").otherwise("UNSET")
+                )
             pairs = [
                 ("host", F.coalesce(_attr_get(rattrs, "host.name"), F.lit(""))),
                 ("service", F.coalesce(_attr_get(rattrs, "service.name"), F.lit(""))),
                 ("resource", attrs_to_json(rattrs, ("host.name", "service.name"))),
                 ("otlp.name", F.coalesce(scope.getField("name"), F.lit(""))),
                 ("otlp.version", F.coalesce(scope.getField("version"), F.lit(""))),
-                ("traceID", F.lower(F.coalesce(sp.getField("traceId"), F.lit("")))),
-                ("spanID", F.lower(F.coalesce(sp.getField("spanId"), F.lit("")))),
-                ("parentSpanID", F.lower(F.coalesce(sp.getField("parentSpanId"), F.lit("")))),
+                ("traceID", _id(sp.getField("traceId"), self.trace_id_need_decode)),
+                ("spanID", _id(sp.getField("spanId"), self.span_id_need_decode)),
+                (
+                    "parentSpanID",
+                    _id(sp.getField("parentSpanId"), self.parent_span_id_need_decode),
+                ),
                 ("kind", kind_str),
                 ("name", F.coalesce(sp.getField("name"), F.lit(""))),
                 ("links", _links_json(sp.getField("links"))),
@@ -332,9 +420,17 @@ class OtelMetricParser(Operator):
     |v| in [1e-3, 1e7) — keep synthetic bucket bounds in that range)."""
 
     source_key: str = "content"
+    format: str = "json"
 
     def apply(self, df: DataFrame) -> DataFrame:
         src = F.element_at(F.col(FIELDS), F.lit(self.source_key))
+        if self.format == "protojson":
+            # processor_otel_metric.go:126-140: the protojson payload is a
+            # single ResourceMetrics object → wrap so the shared schema
+            # applies (no enum/bytes fields are read on the metric path:
+            # isMonotonic is a bool and temporality is unused, so the json
+            # schema holds verbatim)
+            src = F.concat(F.lit('{"resourceMetrics":['), src, F.lit("]}"))
         parsed = F.from_json(src, OTLP_METRIC_SCHEMA)
         keep = [c for c in df.columns if c != FIELDS]
         rm = (

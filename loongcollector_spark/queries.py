@@ -1652,3 +1652,134 @@ QUERIES["otel_pb_trace"] = q_otel_pb_trace
 QUERIES["otel_pb_metric"] = q_otel_pb_metric
 ORACLES["otel_pb_trace"] = oracle_otel_trace()
 ORACLES["otel_pb_metric"] = oracle_otel_metric()
+
+
+def q_otel_pj_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_trace Format=protojson (processor_otel_trace.go:87-90):
+    a single ResourceSpans object, enum-NAME kind, mixed name/int/absent
+    status, hex ids under NeedDecode=True — same values as q_otel_trace, so
+    it shares that oracle."""
+    from .operators.otel import OtelTraceParser
+
+    ev = _events_raw(spark, sf_dir)
+    tid = F.md5(F.col("doc_id"))
+    sid = F.substring(F.md5(F.concat(F.col("doc_id"), F.lit("s"))), 1, 16)
+    start_ns = (F.lit(1663904182000000000) + F.col("event_id") * 1000).cast("string")
+    end_ns = (
+        F.lit(1663904182000000000)
+        + F.col("event_id") * 1000
+        + (F.col("event_id") % 100 + 1) * 1000000
+    ).cast("string")
+    kind_name = F.element_at(
+        F.array(
+            *[
+                F.lit(n)
+                for n in [
+                    "SPAN_KIND_INTERNAL",
+                    "SPAN_KIND_SERVER",
+                    "SPAN_KIND_CLIENT",
+                    "SPAN_KIND_PRODUCER",
+                    "SPAN_KIND_CONSUMER",
+                ]
+            ]
+        ),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    status = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 3 == 1, F.lit('{"code":"STATUS_CODE_OK"}'))
+        .otherwise(F.lit('{"code":2}'))
+    )
+    payload = F.concat(
+        F.lit(
+            '{"resource":{"attributes":['
+            '{"key":"host.name","value":{"stringValue":"h'
+        ),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}},{"key":"service.name","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit(
+            '"}}]},"scopeSpans":[{"scope":{"name":"io.otel","version":"1.0"},'
+            '"spans":[{"traceId":"'
+        ),
+        tid,
+        F.lit('","spanId":"'),
+        sid,
+        F.lit('","name":"op-'),
+        F.col("event_type"),
+        F.lit('","kind":"'),
+        kind_name,
+        F.lit('","startTimeUnixNano":"'),
+        start_ns,
+        F.lit('","endTimeUnixNano":"'),
+        end_ns,
+        F.lit('","attributes":[{"key":"http.status","value":{"intValue":"'),
+        (200 + F.col("user_id") % 5 * 100).cast("string"),
+        F.lit('"}}],"status":'),
+        status,
+        F.lit("}]}]}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = OtelTraceParser(
+        format="protojson",
+        trace_id_need_decode=True,
+        span_id_need_decode=True,
+        parent_span_id_need_decode=True,
+    ).apply(df)
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k.replace(".", "_")) for k in [
+            "host", "service", "traceID", "spanID", "kind", "name",
+            "start", "end", "duration", "attribute", "statusCode", "resource",
+        ]],
+    )
+
+
+def q_otel_pj_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_metric Format=protojson (processor_otel_metric.go:126):
+    a single ResourceMetrics object through the shared converter — same
+    values as q_otel_metric, shares that oracle."""
+    from .operators.otel import OtelMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    ts = (F.lit(1663904182000000000) + F.col("event_id") * 1000).cast("string")
+    payload = F.concat(
+        F.lit(
+            '{"resource":{"attributes":['
+            '{"key":"host.name","value":{"stringValue":"h'
+        ),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(
+            '"}}]},"scopeMetrics":[{"metrics":['
+            '{"name":"evt_value","gauge":{"dataPoints":[{"attributes":['
+            '{"key":"etype","value":{"stringValue":"'
+        ),
+        F.col("event_type"),
+        F.lit('"}}],"timeUnixNano":"'),
+        ts,
+        F.lit('","asDouble":'),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit(
+            '.5}]}},{"name":"evt_total","sum":{"isMonotonic":true,'
+            '"dataPoints":[{"attributes":[],"timeUnixNano":"'
+        ),
+        ts,
+        F.lit('","asInt":"'),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit('"}]}}]}]}'),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = OtelMetricParser(format="protojson").apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__value__").alias("value"),
+    )
+
+
+QUERIES["otel_pj_trace"] = q_otel_pj_trace
+QUERIES["otel_pj_metric"] = q_otel_pj_metric
+ORACLES["otel_pj_trace"] = oracle_otel_trace()
+ORACLES["otel_pj_metric"] = oracle_otel_metric()
