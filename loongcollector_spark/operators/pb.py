@@ -371,6 +371,7 @@ def encode_span_event(
     tags: dict[str, str] | None = None,
     status: int = 0,
     parent_span_id: str = "",
+    scope_tags: dict[str, str] | None = None,
 ) -> bytes:
     body = _varint_field(1, ts)
     for fno, s in ((2, trace_id), (3, span_id), (5, parent_span_id), (6, name)):
@@ -380,6 +381,7 @@ def encode_span_event(
     body += _varint_field(8, start_ns) + _varint_field(9, end_ns)
     body += _map_field(10, tags or {})
     body += _varint_field(13, status)
+    body += _map_field(14, scope_tags or {})
     return body
 
 

@@ -203,3 +203,108 @@ class TestSparkOperator:
         assert by_msg["y"].ts_sec == 2 and by_msg["y"].ts_ns == 0
         assert all(r.group_tags == {"src": "t"} for r in out)
         assert all(r["__event_type__"] == "log" for r in out)
+
+
+class TestReferenceUnittestGoldens:
+    """Fixture values transcribed from
+    ProcessorParseFromPBNativeUnittest.cpp:269-443 (the HttpServer + NoSQL
+    span pair): field-for-field decode parity incl. Tags, ScopeTags, kind and
+    status enums, and the valid/invalid group matrix."""
+
+    def _http_span(self):
+        return encode_span_event(
+            ts=0,
+            trace_id="cba78930fe0c2626bc60696a3453cc40",
+            span_id="4083239a6a2e704e",
+            parent_span_id="0000000000000000",
+            name="/components/api/v1/http/success",
+            kind=2,  # SERVER
+            start_ns=1748313835253000000,
+            end_ns=1748313840262969241,
+            status=0,  # Unset
+            tags={
+                "http.path": "/components/api/v1/http/success",
+                "endpoint": "mall-user-service:9190",
+                "http.method": "POST",
+                "component.name": "http",
+                "http.status_code": "200",
+                "http.route": "/components/api/v1/http/success",
+            },
+            scope_tags={
+                "otel.scope.version": "1.28.0-alpha",
+                "otel.scope.name": "io.opentelemetry.tomcat-8.0.15",
+            },
+        )
+
+    def _nosql_span(self):
+        return encode_span_event(
+            ts=0,
+            trace_id="cba78930fe0c2626bc60696a3453cc40",
+            span_id="9a2c1a8a371d6798",
+            parent_span_id="4083239a6a2e704e",
+            name="LLEN",
+            kind=3,  # CLIENT
+            start_ns=1748313840259486017,
+            end_ns=1748313840259765375,
+            status=0,
+            tags={
+                "db.system": "redis",
+                "endpoint": "redis:6379",
+                "component.name": "redis",
+                "db.name": "redis:6379",
+                "net.peer.name": "redis:6379",
+                "redis.args": "key<big_key>",
+                "db.statement.id": "2191aada7df3c872",
+            },
+            scope_tags={
+                "otel.scope.version": "1.28.0-alpha",
+                "otel.scope.name": "io.opentelemetry.lettuce-5.1",
+            },
+        )
+
+    def test_valid_span_pair_decodes_field_for_field(self):
+        g = decode_event_group(
+            encode_event_group("trace", [self._http_span(), self._nosql_span()])
+        )
+        assert g is not None and len(g["events"]) == 2
+        http, nosql = g["events"]
+        assert http["trace_id"] == "cba78930fe0c2626bc60696a3453cc40"
+        assert http["span_id"] == "4083239a6a2e704e"
+        assert http["parent_span_id"] == "0000000000000000"
+        assert http["name"] == "/components/api/v1/http/success"
+        assert http["kind"] == 2 and http["status"] == 0
+        assert http["start_ns"] == 1748313835253000000
+        assert http["end_ns"] == 1748313840262969241
+        assert len(http["tags"]) == 6
+        assert http["tags"]["http.status_code"] == "200"
+        assert http["tags"]["endpoint"] == "mall-user-service:9190"
+        assert len(http["scope_tags"]) == 2
+        assert http["scope_tags"]["otel.scope.name"] == "io.opentelemetry.tomcat-8.0.15"
+        assert nosql["span_id"] == "9a2c1a8a371d6798"
+        assert nosql["parent_span_id"] == "4083239a6a2e704e"
+        assert nosql["kind"] == 3 and nosql["name"] == "LLEN"
+        assert len(nosql["tags"]) == 7
+        assert nosql["tags"]["redis.args"] == "key<big_key>"
+        assert nosql["scope_tags"]["otel.scope.name"] == "io.opentelemetry.lettuce-5.1"
+
+    def test_invalid_protobuf_group_discarded(self):
+        # TestProcessInvalidProtobufData: "invalid_protobuf_data" raw content
+        assert decode_event_group(b"invalid_protobuf_data") is None
+
+    def test_partial_invalid_batch_keeps_valid_group(self, spark):
+        # TestProcessPartialInvalidProtobufData: one valid + one invalid
+        # group -> the two valid span rows survive, the bad group vanishes
+        good = encode_event_group(
+            "trace", [self._http_span(), self._nosql_span()]
+        )
+        df = spark.createDataFrame(
+            [("g1", bytearray(good)), ("g2", bytearray(b"invalid_protobuf_data"))],
+            "gid string, payload binary",
+        )
+        out = ParseFromPB("payload", passthrough=["gid"]).apply(df).collect()
+        assert [r.gid for r in out] == ["g1", "g1"]
+        assert sorted(r.span_id for r in out) == [
+            "4083239a6a2e704e",
+            "9a2c1a8a371d6798",
+        ]
+        assert {r.scope_tags["otel.scope.version"] for r in out} == {"1.28.0-alpha"}
