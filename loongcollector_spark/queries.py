@@ -587,6 +587,94 @@ FROM ev JOIN dim ON dim.s = user_id % 3
 WHERE dim.nm <> 'warn'"""
 
 
+def q_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_syslog parse stage (plugins/input/syslog/parser.go:84-201;
+    field mapping syslog.go:410-445), auto mode over a mixed RFC3164 /
+    RFC5424 / malformed stream — failed lines kept with priority -1
+    (IgnoreParseFailure=true, parser.go:42-52)."""
+    from .operators.syslog import SyslogParser
+
+    ev = _events_raw(spark, sf_dir)
+    pri = (F.col("user_id") % 192).cast("string")
+    eid = F.col("event_id").cast("string")
+    line3164 = F.concat(
+        F.lit("<"), pri, F.lit(">Jan 05 10:20:"),
+        F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+        F.lit(" host-"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" app"), (F.col("event_id") % 7).cast("string"),
+        F.lit("["), F.col("user_id").cast("string"), F.lit("]: done "),
+        F.col("event_type"), F.lit(" "), eid,
+    )
+    procid = F.when(
+        F.col("event_id") % 2 == 0, F.col("user_id").cast("string")
+    ).otherwise(F.lit("-"))
+    sd = F.when(F.col("event_id") % 4 == 0, F.lit("-")).otherwise(
+        F.concat(
+            F.lit('[meta seq="'), (F.col("event_id") % 100).cast("string"),
+            F.lit('" svc="s'), (F.col("event_id") % 3).cast("string"), F.lit('"]'),
+        )
+    )
+    line5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 2024-01-05T10:20:30."),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit("Z h5424-"), (F.col("user_id") % 20).cast("string"),
+        F.lit(" svc-"), (F.col("event_id") % 5).cast("string"),
+        F.lit(" "), procid, F.lit(" m"), (F.col("event_id") % 9).cast("string"),
+        F.lit(" "), sd, F.lit(" req "), F.col("event_type"),
+    )
+    line = (
+        F.when(F.col("event_id") % 3 == 0, line3164)
+        .when(F.col("event_id") % 3 == 1, line5424)
+        .otherwise(F.concat(F.lit("noise "), F.col("event_type"), F.lit(" "), eid))
+    )
+    out = SyslogParser(mode="auto", year=2024).apply(
+        to_events(ev.select("doc_id", line.alias("content")))
+    )
+    return out.select(
+        "doc_id",
+        fget("_program_").alias("program"),
+        fget("_priority_").alias("priority"),
+        fget("_facility_").alias("facility"),
+        fget("_severity_").alias("severity"),
+        fget("_unixtimestamp_").alias("unix_ts"),
+        fget("_hostname_").alias("hostname"),
+        fget("_content_").alias("msg"),
+        fget("_process_id_").alias("proc_id"),
+        fget("_message_id_").alias("msg_id"),
+        fget("_structured_data_").alias("structured_data"),
+    )
+
+
+def oracle_parse_syslog() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id,
+         event_id % 3 AS m, user_id % 192 AS pri
+  FROM events
+)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'app' || (event_id % 7)
+       WHEN m = 1 THEN 'svc-' || (event_id % 5) ELSE '' END AS program,
+  CAST(CASE WHEN m = 2 THEN -1 ELSE pri END AS VARCHAR) AS priority,
+  CAST(CASE WHEN m = 2 THEN -1 ELSE pri // 8 END AS VARCHAR) AS facility,
+  CAST(CASE WHEN m = 2 THEN -1 ELSE pri % 8 END AS VARCHAR) AS severity,
+  CAST(CASE WHEN m = 0 THEN (CAST(1704450000 AS BIGINT) + event_id % 60) * 1000000000
+            WHEN m = 1 THEN CAST(1704450030 AS BIGINT) * 1000000000
+                            + (event_id % 1000) * 1000000
+            ELSE 0 END AS VARCHAR) AS unix_ts,
+  CASE WHEN m = 0 THEN 'host-' || (user_id % 50)
+       WHEN m = 1 THEN 'h5424-' || (user_id % 20) ELSE '' END AS hostname,
+  CASE WHEN m = 0 THEN 'done ' || event_type || ' ' || event_id
+       WHEN m = 1 THEN 'req ' || event_type
+       ELSE 'noise ' || event_type || ' ' || event_id END AS msg,
+  CASE WHEN m = 1 AND event_id % 2 = 0 THEN CAST(user_id AS VARCHAR) END AS proc_id,
+  CASE WHEN m = 1 THEN 'm' || (event_id % 9) END AS msg_id,
+  CASE WHEN m = 1 AND event_id % 4 <> 0
+       THEN '{"meta":{"seq":"' || (event_id % 100) || '","svc":"s'
+            || (event_id % 3) || '"}}' END AS structured_data
+FROM ev"""
+
+
 def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_geoip analog: broadcast range join of parsed nginx client
     IPs against an ip-range dim (ip_int BETWEEN lo AND hi). The mmdb decode
@@ -1252,6 +1340,7 @@ QUERIES = {
     "token_roundtrip": q_token_roundtrip,
     "spl_pipeline": q_spl_pipeline,
     "spl_lookup_apsara": q_spl_lookup_apsara,
+    "parse_syslog": q_parse_syslog,
     "geoip_range": q_geoip_range,
     "geoip_fields": q_geoip_fields,
 }
@@ -1299,6 +1388,7 @@ ORACLES = {
     "token_roundtrip": oracles.oracle_token_roundtrip(),
     "spl_pipeline": oracles.oracle_spl_pipeline(),
     "spl_lookup_apsara": oracle_spl_lookup_apsara(),
+    "parse_syslog": oracle_parse_syslog(),
     "geoip_range": oracles.oracle_geoip_range(),
     "geoip_fields": oracle_geoip_fields(),
 }
