@@ -24,6 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
+# Wall-clock budget guard: under heavy co-tenant load every section runs
+# 2-3x slower, and an external timeout (driver-side) killing the process
+# records NOTHING. Degrading gracefully — fewer scaling passes, skipped
+# smoke — always beats a truncated run with no JSON line.
+_BENCH_T0 = time.monotonic()
+_BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "500"))
+
+
+def _budget_left() -> float:
+    return _BENCH_BUDGET_S - (time.monotonic() - _BENCH_T0)
+
 
 def _burn(n: int) -> int:
     """CPU probe kernel (module-level so multiprocessing can pickle it)."""
@@ -247,6 +258,9 @@ def run_bench() -> dict:
     #   load-independent process-tree CPU-seconds-per-row metric at both
     #   levels (ideal scaling = flat CPU/row).
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and cpus >= 8:
+        if _budget_left() < 150:
+            result["scaling"] = {"skipped": "wall-clock budget exhausted"}
+            return result
         result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
         # the sf0.1 headline is Spark-startup-bound (~2s fixed on 100k rows);
         # the CPU-bound per-second rate is the scaling block's widest run
@@ -276,7 +290,10 @@ def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     seq_cache = ensure_sequences_cache(spark, sf_dir, factor)
 
-    run_full_decode = os.environ.get("SPARK_GRAFT_FULL_DECODE_BENCH", "1") == "1"
+    run_full_decode = (
+        os.environ.get("SPARK_GRAFT_FULL_DECODE_BENCH", "1") == "1"
+        and _budget_left() > 180
+    )
     # one-time: materialize the DECODED nginx lines (decode is fixture prep —
     # the agent reads raw strings from the file; parquet is the stand-in)
     content_path = seq_cache.rstrip("/") + "_nginx_content"
@@ -496,7 +513,9 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
         runs = []
         budget_left = quiet_budget
         for _ in range(passes):
-            waited = _wait_quiet(budget_left)
+            if runs and _budget_left() < 60:
+                break  # keep completed passes over getting killed mid-pass
+            waited = _wait_quiet(min(budget_left, max(0.0, _budget_left() - 90)))
             budget_left = max(0.0, budget_left - waited)
             r = {n: _run(workers[n]) for n in levels}
             eff = (r[mid_cpus]["wall"] and r[low_cpus]["wall"] / r[mid_cpus]["wall"]) / (

@@ -675,6 +675,123 @@ SELECT doc_id,
 FROM ev"""
 
 
+def q_influx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influx line-protocol ingestion (service_http_server Format=influxdb,
+    pkg/protocol/decoder/influxdb/decoder.go:159-222): per-field metric-log
+    fan-out with escaped tags, typed values and FieldsExtend columns."""
+    from .operators.influx import InfluxDecoder
+
+    ev = _events_raw(spark, sf_dir)
+    valtok = F.when(
+        F.col("event_id") % 5 == 0, F.col("user_id").cast("string")
+    ).otherwise(F.concat(F.col("user_id").cast("string"), F.lit(".5")))
+    oktok = F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("f"))
+    line = F.concat(
+        F.lit("m"), (F.col("event_id") % 4).cast("string"),
+        F.lit(",host=h"), (F.col("user_id") % 10).cast("string"),
+        F.lit(",zone=z\\ "), (F.col("event_id") % 2).cast("string"),
+        F.lit(" value="), valtok,
+        F.lit(",count="), F.col("event_id").cast("string"), F.lit("i"),
+        F.lit(",ok="), oktok,
+        F.lit(',msg="hi '), F.col("event_type"), F.lit('"'),
+        F.lit(" 1434055562"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit("000000"),
+    )
+    out = InfluxDecoder(fields_extend=True, db="metricsdb").apply(
+        to_events(ev.select("doc_id", line.alias("content")))
+    )
+    return out.select(
+        "doc_id",
+        out["__name__"].alias("name"),
+        out["__time_nano__"].alias("time_nano"),
+        out["__labels__"].alias("labels"),
+        out["__value__"].alias("value"),
+        out["__type__"].alias("vtype"),
+        out["__field__"].alias("field"),
+        out["__tag__:db"].alias("db"),
+    )
+
+
+def oracle_influx_decode() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id,
+         'm' || (event_id % 4) AS meas,
+         'host#$#h' || (user_id % 10) || '|zone#$#z ' || (event_id % 2) AS labels,
+         '1434055562' || lpad(cast(event_id % 1000 AS varchar), 3, '0')
+           || '000000' AS tn
+  FROM events
+)
+SELECT doc_id, meas AS name, tn AS time_nano, labels,
+  CASE WHEN event_id % 5 = 0 THEN CAST(user_id AS VARCHAR)
+       ELSE user_id || '.5' END AS value,
+  'float' AS vtype, 'value' AS field, 'metricsdb' AS db FROM ev
+UNION ALL
+SELECT doc_id, meas || ':count', tn, labels, CAST(event_id AS VARCHAR),
+  'int', 'count', 'metricsdb' FROM ev
+UNION ALL
+SELECT doc_id, meas || ':ok', tn, labels,
+  CASE WHEN event_id % 2 = 0 THEN '1' ELSE '0' END, 'bool', 'ok', 'metricsdb'
+FROM ev
+UNION ALL
+SELECT doc_id, meas || ':msg', tn, labels, 'hi ' || event_type,
+  'string', 'msg', 'metricsdb' FROM ev"""
+
+
+def q_statsd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsD ingestion (service_http_server Format=statsd,
+    pkg/protocol/decoder/statsd/decoder.go:44-64): dogstatsd lines → metric
+    logs; malformed lines skipped."""
+    from .operators.statsd import StatsdDecoder
+
+    ev = _events_raw(spark, sf_dir)
+    m = F.col("event_id") % 4
+    line = (
+        F.when(m == 0, F.concat(
+            F.lit("req.count:"), F.col("user_id").cast("string"),
+            F.lit("|c|#env:prod,run:r"), (F.col("event_id") % 2).cast("string"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("fuel.level:"), F.col("user_id").cast("string"), F.lit(".25|g"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("song.length:"), (F.col("event_id") % 300).cast("string"),
+            F.lit("|ms|@0.5|#host:h"), (F.col("user_id") % 5).cast("string"),
+        ))
+        .otherwise(F.concat(F.lit("malformed "), F.col("event_type")))
+    )
+    out = StatsdDecoder(default_ts_ns=1700000000000000000).apply(
+        to_events(ev.select("doc_id", line.alias("content")))
+    )
+    return out.select(
+        "doc_id",
+        out["__name__"].alias("name"),
+        out["__time_nano__"].alias("time_nano"),
+        out["__labels__"].alias("labels"),
+        out["__value__"].alias("value"),
+    )
+
+
+def oracle_statsd_decode() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, event_type, user_id, event_id % 4 AS m
+  FROM events
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'req.count' WHEN 1 THEN 'fuel.level'
+         ELSE 'song.length' END AS name,
+  '1700000000000000000' AS time_nano,
+  CASE m WHEN 0 THEN 'env#$#prod|run#$#r' || (event_id % 2)
+         WHEN 1 THEN ''
+         ELSE 'host#$#h' || (user_id % 5) END AS labels,
+  CASE m WHEN 0 THEN CAST(user_id AS VARCHAR)
+         WHEN 1 THEN user_id || '.25'
+         ELSE CAST(event_id % 300 AS VARCHAR) END AS value
+FROM ev WHERE m < 3"""
+
+
 def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_geoip analog: broadcast range join of parsed nginx client
     IPs against an ip-range dim (ip_int BETWEEN lo AND hi). The mmdb decode
@@ -1341,6 +1458,8 @@ QUERIES = {
     "spl_pipeline": q_spl_pipeline,
     "spl_lookup_apsara": q_spl_lookup_apsara,
     "parse_syslog": q_parse_syslog,
+    "influx_decode": q_influx_decode,
+    "statsd_decode": q_statsd_decode,
     "geoip_range": q_geoip_range,
     "geoip_fields": q_geoip_fields,
 }
@@ -1389,6 +1508,8 @@ ORACLES = {
     "spl_pipeline": oracles.oracle_spl_pipeline(),
     "spl_lookup_apsara": oracle_spl_lookup_apsara(),
     "parse_syslog": oracle_parse_syslog(),
+    "influx_decode": oracle_influx_decode(),
+    "statsd_decode": oracle_statsd_decode(),
     "geoip_range": oracles.oracle_geoip_range(),
     "geoip_fields": oracle_geoip_fields(),
 }

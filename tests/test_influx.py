@@ -1,0 +1,144 @@
+"""Influx line-protocol decoder goldens ported from
+pkg/protocol/decoder/influxdb/decoder_test.go (TestFieldsExtend / TestNormal /
+TestMySQL row counts)."""
+
+from __future__ import annotations
+
+from loongcollector_spark.operators.base import to_events
+from loongcollector_spark.operators.influx import InfluxDecoder
+
+TXT_WITH_DOT_NAMES = [
+    "cpu.load,host=server01,region=uswest value=1 1434055562000000000",
+    'cpu.load,host.dd=server02,region=uswest tt="xx",value=3 1434055562000010000',
+]
+
+TEXT_FORMAT = """
+# integer value
+cpu value=1i
+
+# float value
+cpu_load value=1
+
+cpu_load value=1.0
+
+cpu_load value=1.2
+
+# boolean value
+error fatal=true
+
+# string value
+event msg="logged out"
+
+# multiple values
+cpu load=10,alert=true,reason="value above maximum threshold"
+
+cpu,host=server01,region=uswest value=1 1434055562000000000
+cpu,host=server02,region=uswest value=3 1434055562000010000
+temperature,machine=unit42,type=assembly internal=32,external=100 1434055562000000035
+temperature,machine=unit143,type=assembly internal=22,external=130 1434055562005000035
+cpu,host=server\\ 01,region=uswest value=1,msg="all systems nominal"
+cpu,host=server\\ 01,region=us\\,west value_int=1i
+"""
+
+MYSQL_FORMAT = """
+cpu,host=server01,region=uswest value=1 1434055562000000000
+
+mysql,host=Vm-Req-170328120400894271-tianchi113855.tc,server=rm-bp1eomqfte2vj91tkjo.mysql.rds.aliyuncs.com:3306 bytes_sent=19815071437i,com_assign_to_keycache=0i,com_alter_event=0i,com_alter_function=0i,com_alter_server=0i,com_alter_table=0i,aborted_clients=7738i,binlog_cache_use=136756i,binlog_stmt_cache_use=136759i,com_alter_procedure=0i,binlog_stmt_cache_disk_use=0i,bytes_received=6811387420i,com_alter_db_upgrade=0i,com_alter_instance=0i,aborted_connects=7139i,binlog_cache_disk_use=0i,com_admin_commands=3478164i,com_alter_db=0i,com_alter_tablespace=0i,com_alter_user=0i 1595818360000000000
+
+mysql,host=Vm-Req-170328120400894271-tianchi113855.tc,server=rm-bp1eomqfte2vj91tkjo.mysql.rds.aliyuncs.com:3306 innodb_buffer_pool_read_ahead_rnd=0i,innodb_data_pending_fsyncs=0i,innodb_buffer_pool_bytes_dirty=4325376i,innodb_buffer_pool_pages_flushed=21810i,innodb_buffer_pool_pages_total=40960i,innodb_buffer_pool_read_ahead_evicted=0i,innodb_buffer_pool_reads=757i,innodb_buffer_pool_load_status="Buffer pool(s) load completed at 200702 21:33:49",innodb_buffer_pool_pages_data=846i,innodb_buffer_pool_read_ahead=0i,innodb_buffer_pool_write_requests=36830857i,innodb_data_fsyncs=344588i,innodb_buffer_pool_dump_status="Dumping of buffer pool not started",innodb_buffer_pool_pages_dirty=264i,innodb_buffer_pool_pages_misc=3i,innodb_buffer_pool_read_requests=45390218i,innodb_buffer_pool_wait_free=0i,innodb_buffer_pool_bytes_data=13860864i,innodb_buffer_pool_pages_free=40111i 1595406780000000000
+"""
+
+
+def _events(spark, lines):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(lines)], ["i", "content"])
+    return to_events(df)
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_fields_extend_goldens(spark):
+    out = InfluxDecoder(fields_extend=True).apply(_events(spark, TXT_WITH_DOT_NAMES))
+    got = sorted(
+        ({k: v for k, v in r.items() if k != "i"} for r in _rows(out)),
+        key=lambda r: (r["__name__"], r["__time_nano__"]),
+    )
+    want = [
+        {"__name__": "cpu.load", "__value__": "1",
+         "__labels__": "host#$#server01|region#$#uswest",
+         "__time_nano__": "1434055562000000000",
+         "__type__": "float", "__field__": "value"},
+        {"__name__": "cpu.load", "__value__": "3",
+         "__labels__": "host.dd#$#server02|region#$#uswest",
+         "__time_nano__": "1434055562000010000",
+         "__type__": "float", "__field__": "value"},
+        {"__name__": "cpu.load:tt", "__value__": "xx",
+         "__labels__": "host.dd#$#server02|region#$#uswest",
+         "__time_nano__": "1434055562000010000",
+         "__type__": "string", "__field__": "tt"},
+    ]
+    assert got == want
+
+
+def test_sls_metrics_format_goldens(spark):
+    # FieldsExtend=false + EnableSlsMetricsFormat: names/keys sanitized,
+    # string fields skipped, no __type__/__field__
+    out = InfluxDecoder(fields_extend=False, sls_metrics_format=True).apply(
+        _events(spark, TXT_WITH_DOT_NAMES)
+    )
+    got = sorted(
+        ({k: v for k, v in r.items() if k != "i"} for r in _rows(out)),
+        key=lambda r: r["__time_nano__"],
+    )
+    want = [
+        {"__name__": "cpu_load", "__value__": "1",
+         "__labels__": "host#$#server01|region#$#uswest",
+         "__time_nano__": "1434055562000000000"},
+        {"__name__": "cpu_load", "__value__": "3",
+         "__labels__": "host_dd#$#server02|region#$#uswest",
+         "__time_nano__": "1434055562000010000"},
+    ]
+    assert got == want
+
+
+def test_normal_row_count(spark):
+    # TestNormal: 15 logs (strings skipped without FieldsExtend)
+    out = InfluxDecoder().apply(_events(spark, TEXT_FORMAT.split("\n")))
+    assert out.count() == 15
+
+
+def test_mysql_row_count(spark):
+    # TestMySQL: 38 logs (two string fields skipped)
+    out = InfluxDecoder().apply(_events(spark, MYSQL_FORMAT.split("\n")))
+    assert out.count() == 38
+
+
+def test_escapes_types_and_g_format(spark):
+    lines = [
+        # escaped space/comma in tags; integral float → "1"; 1.0 → "1"
+        'cpu,host=server\\ 01,region=us\\,west value=1.0,msg="all systems nominal"',
+        # bool variants, uint, negative int, float fraction
+        "m,t=a fatal=T,ok=f,n=-5i,u=7u,load=1.25 1434055562000000000",
+    ]
+    out = InfluxDecoder(fields_extend=True).apply(_events(spark, lines))
+    rows = {r["__name__"]: r for r in _rows(out)}
+    assert rows["cpu"]["__value__"] == "1"
+    assert rows["cpu"]["__labels__"] == "host#$#server 01|region#$#us,west"
+    assert rows["cpu:msg"]["__value__"] == "all systems nominal"
+    assert rows["cpu:msg"]["__type__"] == "string"
+    # no timestamp → default_ts_ns
+    assert rows["cpu"]["__time_nano__"] == "0"
+    assert rows["m:fatal"]["__value__"] == "1" and rows["m:fatal"]["__type__"] == "bool"
+    assert rows["m:ok"]["__value__"] == "0"
+    assert rows["m:n"]["__value__"] == "-5" and rows["m:n"]["__type__"] == "int"
+    assert rows["m:u"]["__value__"] == "7" and rows["m:u"]["__type__"] == "int"
+    assert rows["m:load"]["__value__"] == "1.25" and rows["m:load"]["__type__"] == "float"
+    assert rows["m:load"]["__time_nano__"] == "1434055562000000000"
+
+
+def test_malformed_line_dropped_not_job(spark):
+    lines = ["not a valid line", "cpu value=1i 1434055562000000000"]
+    out = InfluxDecoder().apply(_events(spark, lines))
+    rows = _rows(out)
+    assert len(rows) == 1 and rows[0]["__value__"] == "1"
