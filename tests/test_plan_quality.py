@@ -280,3 +280,35 @@ def test_decontaminate_probe_is_broadcast(spark, sf_dir):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_syslog_parse_is_narrow(spark, sf_dir):
+    """Both syslog protocol matchers are let-bound into ONE narrow
+    projection: no Exchange, no Join, no Python stage, and each anchored
+    regex appears exactly once as a match predicate."""
+    from loongcollector_spark.queries import q_parse_syslog
+
+    plan = _plan(q_parse_syslog(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_influx_decode_single_generate(spark, sf_dir):
+    """Line-protocol decode: scan → let-bound parse → ONE Generate (the
+    per-field explode) → projection. No Exchange, no Python."""
+    from loongcollector_spark.queries import q_influx_decode
+
+    plan = _plan(q_influx_decode(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Generate") <= 2  # one explode node (+header mention)
+
+
+def test_statsd_decode_is_narrow(spark, sf_dir):
+    from loongcollector_spark.queries import q_statsd_decode
+
+    plan = _plan(q_statsd_decode(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -73,6 +73,20 @@ def main() -> None:
             "windows keyed by (source, __pid__) chunks — no single "
             "unbounded per-source sort; tiny offsets frame broadcast back.",
         ),
+        (
+            "parse_syslog — RFC3164/RFC5424 auto mode",
+            QUERIES["parse_syslog"](spark, SF),
+            "one narrow projection tree: both protocol matchers let-bound "
+            "(each anchored regex runs once per row), no Exchange, no Join, "
+            "no Python.",
+        ),
+        (
+            "influx_decode — line protocol → per-field metric logs",
+            QUERIES["influx_decode"](spark, SF),
+            "scan → single let-bound line parse → Generate (explode fields) "
+            "→ projection; the only fan-out is the explode, no Exchange, "
+            "no Python.",
+        ),
     ]
 
     out = [
