@@ -31,6 +31,9 @@ Supported verbs (the documented core set):
   ``lookup <table> on <key> [output a, b]`` — broadcast-join a dimension
                                           table (compile_spl(tables={...}))
                                           into fields; misses untouched
+  ``pack-fields a, b as dest``          — pack listed fields into one JSON
+                                          object string (processor_packjson
+                                          semantics, sources consumed)
 
 Fields live in the event ``fields`` map; ``where``/``extend`` expressions are
 Spark SQL snippets in which bare field names are rewritten to map lookups.
@@ -296,6 +299,19 @@ def compile_spl(script: str, tables: dict[str, DataFrame] | None = None):
                 ).drop("__lk__", *[f"__lv_{c}__" for c in cols])
 
             ops.append(_lookup)
+        elif verb == "pack-fields":
+            # `pack-fields field1, field2 as dest` — pack the listed fields
+            # into one JSON object string under dest and drop the sources
+            # (the SPL surface of processor_packjson,
+            # plugins/processor/packjson/processor_packjson.go:26-104; JSON
+            # member order = the listed order, Keep=false)
+            m = re.match(r"(.+?)\s+as\s+(\w+)$", rest)
+            if not m:
+                raise ValueError(f"bad pack-fields: {stage}")
+            srcs, dest = _parse_as_list(m.group(1)), m.group(2)
+            from .operators.transforms import PackJson
+
+            ops.append(PackJson(srcs, dest, keep=False).apply)
         else:
             raise ValueError(f"unknown SPL verb: {verb}")
 

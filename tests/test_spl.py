@@ -189,3 +189,17 @@ def test_spl_lookup_is_broadcast_join(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_spl_pack_fields_verb(spark):
+    from loongcollector_spark.operators.base import FIELDS, to_events
+    from loongcollector_spark.spl import compile_spl
+
+    ev = to_events(spark.createDataFrame([(0, "x")], ["i", "content"]))
+    script = (
+        "* | extend a = content | extend b = 'y'"
+        " | pack-fields a, b as packed | project-away content"
+    )
+    out = compile_spl(script)(ev)
+    f = dict(out.collect()[0][FIELDS])
+    assert f == {"packed": '{"a":"x","b":"y"}'}
