@@ -28,7 +28,9 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "COMMONMAC": r"(?:(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2})",
     "HOST": r"%{HOSTNAME}",
     "TTY": r"(?:/dev/(pts|tty([pq])?)(\w+)?/?(?:[0-9]+))",
-    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    # segment repetition capped (java regex recurses per group iteration —
+    # an unbounded + lets a backslash-flood line StackOverflow the JVM)
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*){1,255}",
     "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
     "DATE": r"%{DATE_US}|%{DATE_EU}",
     "DATESTAMP": r"%{DATE}[- ]%{TIME}",
@@ -59,7 +61,13 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
-    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*')",
+    # unrolled-loop form (same language as the logstash original
+    # `(?:\\.|[^\\"])*` — that shape recurses per char in java regex and a
+    # 100 KB quoted value would StackOverflow the executor JVM)
+    "QUOTEDSTRING": (
+        r"(?:\"[^\\\"]*(?:\\.[^\\\"]*){0,200}\""
+        r"|'[^\\']*(?:\\.[^\\']*){0,200}')"
+    ),
     "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
     "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4})(?:%[0-9A-Za-z]+)?",
     "IP": r"(?:%{IPV6}|%{IPV4})",

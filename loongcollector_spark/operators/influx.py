@@ -51,19 +51,41 @@ _SEP = "\x01"
 
 # measurement+tags (escaped chars allowed) SP fieldset (quoted strings may
 # hold spaces/commas) [SP timestamp]
+#
+# All repetitions are UNROLLED-LOOP form (`[^x]*(?:\\.[^x]*)*`, never
+# `(?:[^x]|\\.)+`): java.util.regex recurses once per iteration of an
+# alternation-under-quantifier, so the naive form stack-overflows the
+# EXECUTOR JVM on a ~100 KB hostile line (kills the whole job in local
+# mode) — found by tests/test_adversarial.py. Char-class loops are
+# iterative; the unrolled outer loop iterates per ESCAPE/quoted-string
+# occurrence, not per character. Same language, bounded stack.
+# …and the unrolled OUTER loops still recurse once per escape/quoted-string
+# occurrence, so they are capped at {0,200}: a backslash-flood line
+# ("\a"×50k) would otherwise still overflow the stack. >200 escapes in one
+# token is no real producer — such a line fails the match and is dropped.
+_QUOTED = r"\"[^\"\\]*(?:\\.[^\"\\]*){0,200}\""
 _LINE_RX = (
-    r"^((?:[^ \\]|\\.)+) "
-    r"((?:\"(?:[^\"\\]|\\.)*\"|[^ \"])+)"
+    r"^([^ \\]*(?:\\.[^ \\]*){0,200}) "
+    rf"([^ \"]*(?:{_QUOTED}[^ \"]*){{0,200}})"
     r"(?: (-?\d+))?$"
 )
 # one field per match: key (escapes, no bare = , ,) '=' value (quoted string
-# or unquoted token)
-_FIELD_RX = r'(?:^|,)((?:[^=,\\ ]|\\.)+)=("(?:[^"\\]|\\.)*"|(?:[^,\\"]|\\.)*)'
+# or unquoted token); empty keys are filtered at the use site
+_FIELD_RX = (
+    r"(?:^|,)([^=,\\ ]*(?:\\.[^=,\\ ]*){0,200})="
+    rf'({_QUOTED}|[^,\\"]*(?:\\.[^,\\"]*){{0,200}})'
+)
 
 _TRUE_RX = r"^(t|T|true|True|TRUE)$"
 _FALSE_RX = r"^(f|F|false|False|FALSE)$"
 _INT_RX = r"^-?\d+i$"
 _UINT_RX = r"^\d+u$"
+# Go float grammar (the influx scanner's number token) — a bare try_cast
+# would also accept Java-isms the reference rejects ("1d", "0x1p4", "NaN",
+# "Infinity"); overflow (1e999 → +Inf, a strconv ErrRange in Go → point
+# rejected) is caught by the finite check at the use site
+_FLOAT_RX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+_MAX_F64 = 1.7976931348623157e308
 
 
 def _unescape(c: Column) -> Column:
@@ -110,8 +132,12 @@ class InfluxDecoder(Operator):
             raw_tags = F.slice(head, 2, F.greatest(F.size(head) - 1, F.lit(0)))
 
             def tag_struct(t: Column) -> Column:
-                k = _unescape(F.regexp_extract(t, r"^((?:[^=\\]|\\.)+)=", 1))
-                v = _unescape(F.regexp_extract(t, r"^(?:[^=\\]|\\.)+=(.*)$", 1))
+                k = _unescape(
+                    F.regexp_extract(t, r"^([^=\\]*(?:\\.[^=\\]*){0,200})=", 1)
+                )
+                v = _unescape(
+                    F.regexp_extract(t, r"^[^=\\]*(?:\\.[^=\\]*){0,200}=(.*)$", 1)
+                )
                 if self.sls_metrics_format:
                     k = F.regexp_replace(k, "[^a-zA-Z0-9_]", "_")
                     v = F.translate(v, "|", "_")
@@ -160,12 +186,17 @@ class InfluxDecoder(Operator):
         is_true = fv.rlike(_TRUE_RX)
         is_false = fv.rlike(_FALSE_RX)
         as_double = fv.try_cast("double")
+        is_float = (
+            fv.rlike(_FLOAT_RX)
+            & as_double.isNotNull()
+            & (F.abs(as_double) <= F.lit(_MAX_F64))
+        )
 
         vtype = (
             F.when(is_str, "string")
             .when(is_int | is_uint, "int")
             .when(is_true | is_false, "bool")
-            .when(as_double.isNotNull(), "float")
+            .when(is_float, "float")
         )
         value = (
             F.when(is_str, _unescape(F.expr("substring(__f__.v, 2, length(__f__.v) - 2)")))

@@ -446,9 +446,12 @@ class TimestampParser(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
         if self.source_format == "epoch":
-            # reference %s: epoch seconds (ProcessorParseTimestampNative %s path)
-            ts = F.to_timestamp(
-                F.when(src.rlike(r"^\d+$"), src.cast("long")).cast("timestamp")
+            # reference %s: epoch seconds (ProcessorParseTimestampNative %s
+            # path). Length-bounded: timestamp_seconds multiplies by 1e6
+            # internally, so an unbounded digit run would ANSI-overflow the
+            # job instead of failing the line.
+            ts = F.timestamp_seconds(
+                F.when(src.rlike(r"^\d{1,11}$"), src.try_cast("long"))
             )
         elif self.source_format == "epoch_auto":
             # processor_strptime %s: magnitude-dispatched s/ms/µs — the Go
@@ -462,10 +465,12 @@ class TimestampParser(Operator):
             )
         elif self.source_format == "epoch_milli":
             ts = F.timestamp_millis(
-                F.when(src.rlike(r"^\d+$"), src.cast("long"))
+                F.when(src.rlike(r"^\d{1,14}$"), src.try_cast("long"))
             )
         else:
-            ts = F.to_timestamp(src, self.source_format)
+            # try_: a malformed value fails the LINE (strptime error path),
+            # never the job (ANSI CANNOT_PARSE_TIMESTAMP)
+            ts = F.try_to_timestamp(src, F.lit(self.source_format))
         if self.timezone:
             ts = F.to_utc_timestamp(ts, self.timezone)
         success = src.isNotNull() & ts.isNotNull()
@@ -644,8 +649,11 @@ class ApsaraParser(Operator):
     # lines 455-475). The reference's fully-heuristic unordered base-field
     # classification (ParseApsaraBaseFields:434-465 IsFieldLevel/Thread/
     # FileLine bitmap) is a superset we document as out of scope.
+    # fraction bounded to 6 digits (the strptime %f field width): a longer
+    # run is a parse FAILURE for the line, and an unbounded group would feed
+    # to_timestamp text it throws on (ANSI job abort) instead
     _RX = (
-        r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)?)\]\t"
+        r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d{1,6})?)\]\t"
         r"\[(\w+)\]\t\[(\d+)\](?:\t\[([^:\]]+):(\d+)\])?(?:\t(.*))?"
     )
     # flexible fraction: .1 → 100000 µs (golden microtime 1693833350100000)
@@ -654,9 +662,11 @@ class ApsaraParser(Operator):
     def apply(self, df: DataFrame) -> DataFrame:
         src = _src(self.options)
         rx = f"^(?:{self._RX})$"
-        success = src.isNotNull() & src.rlike(rx)
         ts_str = F.regexp_extract(src, rx, 1)
-        ts = F.to_timestamp(ts_str, self._TS_FMT)
+        # try_: an in-grammar but invalid date (month 13, Feb 30) fails the
+        # line like the reference's strptime error, not the job
+        ts = F.try_to_timestamp(ts_str, F.lit(self._TS_FMT))
+        success = src.isNotNull() & src.rlike(rx) & ts.isNotNull()
 
         # single matcher pass emitting all 6 groups, LET-BOUND (six
         # regexp_extract calls would run the regex six times per row)
@@ -683,7 +693,7 @@ class ApsaraParser(Operator):
             base = parsed_map(
                 {
                     "microtime": F.unix_micros(
-                        F.to_timestamp(F.element_at(a, 1), self._TS_FMT)
+                        F.try_to_timestamp(F.element_at(a, 1), F.lit(self._TS_FMT))
                     ).cast("string"),
                     "__LEVEL__": F.element_at(a, 2),
                     "__THREAD__": F.element_at(a, 3),

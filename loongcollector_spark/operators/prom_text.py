@@ -36,9 +36,15 @@ from .common import flet
 
 NAME_RX = r"[a-zA-Z_:][a-zA-Z0-9_:]*"
 LNAME_RX = r"[a-zA-Z_][a-zA-Z0-9_]*"
-QVAL_RX = r'"(?:\\.|[^"\\])*"'
+# UNROLLED-LOOP form (not `(?:\\.|[^"\\])*`): java regex recurses per
+# iteration of an alternation-under-quantifier, so a ~100 KB label value
+# would StackOverflow the executor JVM (see operators/influx.py note /
+# tests/test_adversarial.py). Same language, iterative char-class loops.
+QVAL_RX = r'"[^"\\]*(?:\\.[^"\\]*){0,200}"'
 _PAIR_NC = rf"{LNAME_RX}\s*=\s*{QVAL_RX}"
-LBLOCK_RX = rf"\{{\s*(?:{_PAIR_NC}(?:\s*,\s*{_PAIR_NC})*\s*(?:,\s*)?)?\}}"
+# label-pair repetition capped: `(?:PAIR)*` recurses once per PAIR in java
+# regex — 128 pairs ≈ bounded stack, far beyond any real exposition line
+LBLOCK_RX = rf"\{{\s*(?:{_PAIR_NC}(?:\s*,\s*{_PAIR_NC}){{0,127}}\s*(?:,\s*)?)?\}}"
 # groups: 1 = name, 2 = label block, 3 = value token, 4 = timestamp token
 FULL_RX = (
     rf"^({NAME_RX})[ \t]*({LBLOCK_RX})?[ \t]*([^ \t#]+)"

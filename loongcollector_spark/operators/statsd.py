@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 
 from .base import FIELDS, Operator
 from .common import flet
-from .influx import _fmt_g
+from .influx import _FLOAT_RX, _MAX_F64, _fmt_g
 
 _SEP = "\x01"
 
@@ -61,7 +61,12 @@ class StatsdDecoder(Operator):
             name, valtok, _typ, _rate, tags = (
                 F.element_at(a, i) for i in range(1, 6)
             )
-            val = valtok.try_cast("double")
+            # Go float grammar + finite: strconv.ParseFloat rejects "1d"/hex
+            # floats and errors on overflow (see influx._FLOAT_RX note)
+            val = F.when(
+                valtok.rlike(_FLOAT_RX), valtok.try_cast("double")
+            )
+            val = F.when(F.abs(val) <= F.lit(_MAX_F64), val)
             pairs = F.filter(
                 F.split(tags, ",", -1), lambda t: F.length(t) > 0
             )

@@ -53,8 +53,14 @@ _TS3164_RX = r"([A-Z][a-z]{2}) {1,2}(\d{1,2}) (\d{2}):(\d{2}):(\d{2})"
 # tag up to ':' with optional [pid] stripped from program ("polkitd[457]:" →
 # polkitd, "LOGSTASH[-]:" → LOGSTASH); one space after ':' consumed
 _TAG_RX = r"([^:\[\s]+)(?:\[[^\]]*\])?: ?"
-# <PRI>1 TS HOST APP PROCID MSGID SD [MSG]; '-' = nil
-_RX5424 = _PRI_RX + r"1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\])+)(?: (.*))?"
+# <PRI>1 TS HOST APP PROCID MSGID SD [MSG]; '-' = nil. SD-element
+# repetition capped at 128: java regex recurses once per group iteration,
+# so an unbounded `(?:\[...\])+` would let a []-flood line StackOverflow
+# the executor JVM (tests/test_adversarial.py); RFC lines have a handful.
+_RX5424 = (
+    _PRI_RX
+    + r"1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\]){1,128})(?: (.*))?"
+)
 _TS5424_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSS][.SSS][.SS][.S]XXX"
 
 _FAIL = "__fail__"  # internal marker key, never emitted

@@ -758,10 +758,13 @@ class GoTime(Operator):
         ns_rem = None
         if self.source_format in _GOTIME_EPOCH_FORMATS:
             iv = src.try_cast("long")
+            # magnitude guards: timestamp_seconds/millis scale to µs
+            # internally, so an |iv| past the timestamp range would
+            # ANSI-overflow the job; out-of-range → null → record fails
             if self.source_format == "seconds":
-                ts = F.timestamp_seconds(iv)
+                ts = F.timestamp_seconds(F.when(F.abs(iv) < F.lit(10**11), iv))
             elif self.source_format == "milliseconds":
-                ts = F.timestamp_millis(iv)
+                ts = F.timestamp_millis(F.when(F.abs(iv) < F.lit(10**14), iv))
             elif self.source_format == "microseconds":
                 ts = F.timestamp_micros(iv)
             else:  # nanoseconds — Spark timestamps are µs; keep the ns tail
@@ -769,7 +772,8 @@ class GoTime(Operator):
                 ns_rem = (iv.cast("decimal(25,0)") % 1000000000).cast("long")
         else:
             fmt = go_layout_to_spark(self.source_format)
-            naive = F.to_timestamp(src, fmt)
+            # try_: Go time.Parse errors fail the record, never the job
+            naive = F.try_to_timestamp(src, F.lit(fmt))
             ts = (
                 F.to_utc_timestamp(naive, f"GMT{self.source_location:+03d}:00")
                 if self.source_location
