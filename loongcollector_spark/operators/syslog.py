@@ -63,9 +63,6 @@ _RX5424 = (
 )
 _TS5424_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSS][.SSS][.SS][.S]XXX"
 
-_FAIL = "__fail__"  # internal marker key, never emitted
-
-
 def _sd_json(sd: Column) -> Column:
     """Render RFC5424 STRUCTURED-DATA as the reference's JSON
     (json.Marshal of map[string]map[string]string → keys sorted at both

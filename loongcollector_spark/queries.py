@@ -792,6 +792,96 @@ SELECT doc_id,
 FROM ev WHERE m < 3"""
 
 
+def q_pyroscope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyroscope profile ingestion, Format=groups (pkg/protocol/decoder/
+    pyroscope/decoder.go:48-137 → pkg/helper/profile/pyroscope/raw/
+    profile.go:56-176): collapsed-stack request bodies → per-stack profile
+    logs. Exercises app-key label parse + .cpu strip, config-tag merge,
+    spy→frame-sequence mapping (go=fn / py=pos / dotnet=fn), samples→ns
+    scaling, and the bad-count-token request-kill path."""
+    from .operators.pyroscope import PyroscopeGroupsDecoder
+
+    ev = _events_raw(spark, sf_dir)
+    c1 = (F.col("user_id") % 50 + 1).cast("string")
+    c2 = (F.col("event_id") % 20 + 1).cast("string")
+    good2 = F.concat(F.lit("alpha "), c2)
+    line2 = F.when(F.col("event_id") % 7 == 0, F.lit("alpha 12x")).otherwise(good2)
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("root;mid p:1;leaf q:2 "), c1),
+        line2,
+        F.lit("garbage"),  # no-space line: skipped, never kills the request
+    )
+    req = ev.select(
+        "doc_id",
+        body.alias("content"),
+        F.concat(
+            F.lit("svc"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".cpu{env=e"), (F.col("user_id") % 3).cast("string"), F.lit("}"),
+        ).alias("name_param"),
+        (F.lit(1700000000) + F.col("event_id") % 100).cast("string").alias("from_sec"),
+        (F.lit(1700000010) + F.col("event_id") % 100).cast("string").alias("until_sec"),
+        F.lit("100").alias("sample_rate"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("gospy"))
+        .when(F.col("event_id") % 3 == 1, F.lit("pyspy"))
+        .otherwise(F.lit("dotnetspy"))
+        .alias("spy_name"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("samples"))
+        .otherwise(F.lit("bytes"))
+        .alias("units_param"),
+        F.lit("sum").alias("agg_type"),
+    )
+    out = PyroscopeGroupsDecoder(tags={"cluster": "c1"}).apply(to_events(req))
+    return out.select(
+        "doc_id", "log_time_sec", "name", "stack", "stackID", "language",
+        "type", "units", "valueTypes", "aggTypes", "dataType", "durationNs",
+        "profileID", "labels", "val",
+    )
+
+
+def oracle_pyroscope_decode() -> str:
+    from .operators.xxh import xxh64_hex
+
+    sid1 = xxh64_hex(b"root;mid p:1;leaf q:2", seed=42)
+    sid2 = xxh64_hex(b"alpha", seed=42)
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id, user_id,
+         event_id % 2 AS m2, event_id % 3 AS m3,
+         user_id % 50 + 1 AS c1, event_id % 20 + 1 AS c2,
+         CAST(1700000000 + event_id % 100 AS BIGINT) AS from_s,
+         'svc' || (user_id % 5) || '.cpu{{env=e' || (user_id % 3) || '}}' AS nm,
+         '{{"__name__":"svc' || (user_id % 5)
+           || '","cluster":"c1","env":"e' || (user_id % 3) || '"}}' AS lbl
+  FROM events WHERE event_id % 7 <> 0
+), req AS (
+  SELECT *,
+    CASE m3 WHEN 0 THEN 'go' WHEN 1 THEN 'py' ELSE 'dotnet' END AS lang,
+    CASE m2 WHEN 0 THEN 'nanoseconds' ELSE 'bytes' END AS units,
+    CASE m2 WHEN 0 THEN 'cpu' ELSE 'mem' END AS vt,
+    CASE m2 WHEN 0 THEN 'profile_cpu' ELSE 'profile_unknown' END AS ty,
+    md5(nm || ':' || from_s || ':' || (from_s + 10)) AS h
+  FROM ev
+), pid AS (
+  SELECT *, substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+         || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS profileID
+  FROM req
+), lines AS (
+  SELECT *,
+    CASE WHEN m3 = 1 THEN 'q:2 leaf' ELSE 'leaf q:2' END AS name,
+    CASE WHEN m3 = 1 THEN 'p:1 mid' || chr(10) || 'root'
+         ELSE 'mid p:1' || chr(10) || 'root' END AS stack,
+    '{sid1}' AS stackID, c1 AS cnt FROM pid
+  UNION ALL
+  SELECT *, 'alpha', '', '{sid2}', c2 FROM pid
+)
+SELECT doc_id, from_s AS log_time_sec, name, stack, stackID, lang AS language,
+  ty AS type, units, vt AS valueTypes, 'sum' AS aggTypes,
+  'CallStack' AS dataType, '10000000000' AS durationNs, profileID, lbl AS labels,
+  printf('%.2f', CASE WHEN m2 = 0 THEN cnt * 10000000.0 ELSE cnt * 1.0 END) AS val
+FROM lines"""
+
+
 def q_geoip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_geoip analog: broadcast range join of parsed nginx client
     IPs against an ip-range dim (ip_int BETWEEN lo AND hi). The mmdb decode
@@ -1460,6 +1550,7 @@ QUERIES = {
     "parse_syslog": q_parse_syslog,
     "influx_decode": q_influx_decode,
     "statsd_decode": q_statsd_decode,
+    "pyroscope_decode": q_pyroscope_decode,
     "geoip_range": q_geoip_range,
     "geoip_fields": q_geoip_fields,
 }
@@ -1510,6 +1601,7 @@ ORACLES = {
     "parse_syslog": oracle_parse_syslog(),
     "influx_decode": oracle_influx_decode(),
     "statsd_decode": oracle_statsd_decode(),
+    "pyroscope_decode": oracle_pyroscope_decode(),
     "geoip_range": oracles.oracle_geoip_range(),
     "geoip_fields": oracle_geoip_fields(),
 }

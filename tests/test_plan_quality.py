@@ -312,3 +312,16 @@ def test_statsd_decode_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pyroscope_decode_is_narrow(spark, sf_dir):
+    """Profile decode: scan → let-bound request parse → ONE Generate (the
+    per-stack-line explode) → narrow projection. Default (JVM xxhash64)
+    tier: no Exchange, no Join, no Python stage."""
+    from loongcollector_spark.queries import q_pyroscope_decode
+
+    plan = _plan(q_pyroscope_decode(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Generate") <= 2  # one explode node (+header mention)

@@ -87,6 +87,13 @@ def main() -> None:
             "→ projection; the only fan-out is the explode, no Exchange, "
             "no Python.",
         ),
+        (
+            "pyroscope_decode — collapsed stacks → per-stack profile logs",
+            QUERIES["pyroscope_decode"](spark, SF),
+            "scan → let-bound request parse → Generate (explode stack "
+            "lines) → narrow projection; JVM xxhash64 stack IDs, no "
+            "Exchange, no Join, no Python.",
+        ),
     ]
 
     out = [
