@@ -2086,3 +2086,144 @@ QUERIES["otel_pj_trace"] = q_otel_pj_trace
 QUERIES["otel_pj_metric"] = q_otel_pj_metric
 ORACLES["otel_pj_trace"] = oracle_otel_trace()
 ORACLES["otel_pj_metric"] = oracle_otel_metric()
+
+
+# --- flusher-side protocol converters (pkg/protocol/converter) ---------------
+
+
+def _converter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic event frame for the converter queries: a content map
+    with a ``__tag__:``-prefixed agent tag, a per-row topic and log time."""
+    ev = _events_raw(spark, sf_dir)
+    return ev.select(
+        "doc_id",
+        "event_id",
+        F.create_map(
+            F.lit("method"), F.col("event_type"),
+            F.lit("status"), (F.col("event_id") % 5).cast("string"),
+            F.lit("__tag__:__path__"), F.lit("/var/log/app.log"),
+            F.lit("__tag__:__user_defined_id__"), F.lit("drop-me"),
+        ).alias(FIELDS),
+        F.when(F.col("event_id") % 2 == 0, F.lit("web")).otherwise(F.lit("")).alias(
+            "__topic__"
+        ),
+        (F.lit(1700000000) + F.col("event_id") % 86400).alias("log_time_sec"),
+    )
+
+
+def q_flusher_custom_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``custom_single`` protocol, Encoding=json (custom_single_log.go:32-95):
+    per-log {"time","contents","tags"} JSON with Go-sorted keys, tag-name
+    conversion (__tag__:__path__ → log.file.path → TagKeyRenameMap rename),
+    __user_defined_id__ drop, host.ip injection and per-row log.topic."""
+    from .operators.convert import CustomSingleConverter
+
+    df = _converter_frame(spark, sf_dir)
+    out = CustomSingleConverter(
+        tag_key_rename={"log.file.path": "file.path"},
+        source="10.1.2.3",
+        topic=F.col("__topic__"),
+    ).apply(df)
+    return out.select("doc_id", "serialized")
+
+
+def oracle_flusher_custom_single() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  '{"contents":{"method":"' || event_type || '","status":"'
+    || (event_id % 5) || '"},"tags":{"file.path":"/var/log/app.log",'
+    || '"host.ip":"10.1.2.3"'
+    || CASE WHEN event_id % 2 = 0 THEN ',"log.topic":"web"' ELSE '' END
+    || '},"time":' || (1700000000 + event_id % 86400) || '}' AS serialized
+FROM events"""
+
+
+def q_flusher_jsonline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jsonline`` protocol (jsonline.go:16-42): the custom_single_flatten
+    per-log JSONs of a sink group newline-joined into one payload — one
+    partial-agg shuffle keyed by sink."""
+    from .operators.convert import CustomSingleConverter, jsonline_stream
+
+    df = _converter_frame(spark, sf_dir)
+    out = CustomSingleConverter(
+        flatten=True,
+        tag_key_rename={"log.file.path": "file.path"},
+        source="10.1.2.3",
+        topic=F.col("__topic__"),
+    ).apply(df)
+    out = out.withColumn("sink", F.concat(F.lit("sink-"), (F.col("event_id") % 4).cast("string")))
+    return jsonline_stream(out, ["sink"], "doc_id")
+
+
+def oracle_flusher_jsonline() -> str:
+    return """WITH line AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+    'sink-' || (event_id % 4) AS sink,
+    '{"file.path":"/var/log/app.log","host.ip":"10.1.2.3",'
+      || CASE WHEN event_id % 2 = 0 THEN '"log.topic":"web",' ELSE '' END
+      || '"method":"' || event_type || '","status":"' || (event_id % 5)
+      || '","time":' || (1700000000 + event_id % 86400) || '}' AS js
+  FROM events
+)
+SELECT sink, string_agg(js, chr(10) ORDER BY doc_id) AS stream
+FROM line GROUP BY sink"""
+
+
+def q_flusher_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``influxdb`` flusher protocol (influxdb_metric.go:32-86): metric-shaped
+    logs re-encoded as influx line protocol — readNames field-suffix split,
+    typed values (float/int/bool/string), tag escaping, label-string recovery
+    parse; a log metricReader would reject yields a NULL line (dropped)."""
+    from .operators.convert import InfluxMetricSerializer
+
+    ev = _events_raw(spark, sf_dir)
+    m = F.col("event_id") % 4
+    frame = ev.select(
+        "doc_id",
+        "event_id",
+        F.when(m == 1, F.concat(F.lit("cpu"), (F.col("event_id") % 3).cast("string"), F.lit(":load")))
+        .otherwise(F.concat(F.lit("cpu"), (F.col("event_id") % 3).cast("string"))).alias("__name__"),
+        F.when(
+            F.col("event_id") % 11 == 0, F.lit("dangling-key-no-sep")
+        ).otherwise(
+            F.concat(
+                F.lit("host#$#h"), (F.col("user_id") % 10).cast("string"),
+                F.lit("|zone#$#z "), (F.col("event_id") % 2).cast("string"),
+            )
+        ).alias("__labels__"),
+        F.when(m == 0, F.concat((F.col("user_id") % 1000).cast("string"), F.lit(".5")))
+        .when(m == 1, (F.col("event_id") % 100).cast("string"))
+        .when(m == 2, F.when(F.col("event_id") % 8 == 2, F.lit("true")).otherwise(F.lit("f")))
+        .otherwise(F.concat(F.lit("hi "), F.col("event_type"))).alias("__value__"),
+        F.when(m == 0, F.lit("float")).when(m == 1, F.lit("int"))
+        .when(m == 2, F.lit("bool")).otherwise(F.lit("string")).alias("__type__"),
+        F.when(m == 1, F.lit("load")).otherwise(F.lit("")).alias("__field__"),
+        F.concat(
+            F.lit("1434055562"),
+            F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+            F.lit("000000"),
+        ).alias("__time_nano__"),
+    )
+    out = InfluxMetricSerializer().apply(frame)
+    return out.filter(F.col("line").isNotNull()).select("doc_id", "line")
+
+
+def oracle_flusher_influx_line() -> str:
+    return r"""SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  'cpu' || (event_id % 3)
+  || ',host=h' || (user_id % 10) || ',zone=z\ ' || (event_id % 2) || ' '
+  || CASE event_id % 4
+       WHEN 0 THEN 'value=' || (user_id % 1000) || '.5'
+       WHEN 1 THEN 'load=' || (event_id % 100) || 'i'
+       WHEN 2 THEN 'value=' || (CASE WHEN event_id % 8 = 2 THEN 'true' ELSE 'false' END)
+       ELSE 'value="hi ' || event_type || '"'
+     END
+  || ' 1434055562' || lpad(cast(event_id % 1000 AS varchar), 3, '0') || '000000' AS line
+FROM events WHERE event_id % 11 <> 0"""
+
+
+QUERIES["flusher_custom_single"] = q_flusher_custom_single
+QUERIES["flusher_jsonline"] = q_flusher_jsonline
+QUERIES["flusher_influx_line"] = q_flusher_influx_line
+ORACLES["flusher_custom_single"] = oracle_flusher_custom_single()
+ORACLES["flusher_jsonline"] = oracle_flusher_jsonline()
+ORACLES["flusher_influx_line"] = oracle_flusher_influx_line()

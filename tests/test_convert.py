@@ -1,0 +1,293 @@
+"""Flusher protocol-converter tests.
+
+Goldens from pkg/protocol/converter tests: custom_single_log_test.go:29-120
+(file/host + docker logGroups), converter_single_log_flatten_test.go,
+jsonline_test.go, influxdb_metric_test.go:37-65 and
+converter_sls_metric_test.go:85-135 (readNames — NOTE the stream test's
+"metric:field"→"metric" golden at influxdb_metric_test.go:64 contradicts
+readNames and its own unit test; the code/unit-test behavior is
+implemented), converter_raw_test.go.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from loongcollector_spark.operators.base import to_events
+from loongcollector_spark.operators.convert import (
+    CustomSingleConverter,
+    InfluxMetricSerializer,
+    influx_group_stream,
+    jsonline_stream,
+    parse_sls_labels,
+    raw_group_stream,
+)
+
+GROUP = dict(
+    group_tags={"__hostname__": "alje834hgf", "__pack_id__": "AEDCFGHNJUIOPLMN-1E"},
+    source="172.10.0.56",
+    topic="file",
+)
+
+
+def _file_events(spark):
+    """custom_single_log_test.go:36-61 — file + host environment logGroup."""
+    rows = [
+        (1662434209, "PUT", "200"),
+        (1662434487, "GET", "404"),
+    ]
+    df = spark.createDataFrame(rows, ["log_time_sec", "method", "status"])
+    return df.select(
+        "log_time_sec",
+        F.create_map(
+            F.lit("method"), F.col("method"),
+            F.lit("status"), F.col("status"),
+            F.lit("__tag__:__path__"), F.lit("/root/test/origin/example.log"),
+            F.lit("__log_topic__"), F.lit("file"),
+        ).alias("fields"),
+    )
+
+
+def _docker_events(spark):
+    """custom_single_log_test.go:87-113 — docker-environment contents."""
+    df = spark.createDataFrame([(1662434209, "PUT", "200")], ["log_time_sec", "method", "status"])
+    return df.select(
+        "log_time_sec",
+        F.create_map(
+            F.lit("method"), F.col("method"),
+            F.lit("status"), F.col("status"),
+            F.lit("__tag__:__user_defined_id__"), F.lit("machine"),
+            F.lit("__tag__:__path__"), F.lit("/root/test/origin/example.log"),
+            F.lit("__tag__:_container_name_"), F.lit("container"),
+            F.lit("__tag__:_container_ip_"), F.lit("172.10.0.45"),
+            F.lit("__tag__:_image_name_"), F.lit("image"),
+            F.lit("__log_topic__"), F.lit("file"),
+        ).alias("fields"),
+    )
+
+
+def test_custom_single_file_env(spark):
+    out = CustomSingleConverter(**GROUP).apply(_file_events(spark)).collect()
+    got = json.loads(out[0]["serialized"])
+    assert set(got) == {"time", "contents", "tags"}
+    assert got["time"] == 1662434209
+    assert got["contents"] == {"method": "PUT", "status": "200"}
+    assert got["tags"] == {
+        "log.file.path": "/root/test/origin/example.log",
+        "host.name": "alje834hgf",
+        "host.ip": "172.10.0.56",
+        "log.topic": "file",
+    }
+    # Go json.Marshal renders map keys sorted — assert the exact byte form.
+    assert out[0]["serialized"] == (
+        '{"contents":{"method":"PUT","status":"200"},'
+        '"tags":{"host.ip":"172.10.0.56","host.name":"alje834hgf",'
+        '"log.file.path":"/root/test/origin/example.log","log.topic":"file"},'
+        '"time":1662434209}'
+    )
+    assert json.loads(out[1]["serialized"])["time"] == 1662434487
+
+
+def test_custom_single_docker_env_and_k8s(spark):
+    got = json.loads(
+        CustomSingleConverter(**GROUP).apply(_docker_events(spark)).collect()[0]["serialized"]
+    )
+    # __tag__:__user_defined_id__ dropped; container tags get docker names.
+    assert got["tags"]["container.name"] == "container"
+    assert got["tags"]["container.ip"] == "172.10.0.45"
+    assert got["tags"]["container.image.name"] == "image"
+    assert "machine" not in json.dumps(got)
+
+    got = json.loads(
+        CustomSingleConverter(k8s=True, **GROUP)
+        .apply(_docker_events(spark))
+        .collect()[0]["serialized"]
+    )
+    assert got["tags"]["k8s.container.name"] == "container"
+    assert got["tags"]["k8s.container.ip"] == "172.10.0.45"
+    assert got["tags"]["k8s.container.image.name"] == "image"
+
+
+def test_tag_key_rename_and_drop(spark):
+    conv = CustomSingleConverter(
+        tag_key_rename={"host.name": "hostname", "log.file.path": ""}, **GROUP
+    )
+    got = json.loads(conv.apply(_file_events(spark)).collect()[0]["serialized"])
+    assert got["tags"]["hostname"] == "alje834hgf"
+    assert "host.name" not in got["tags"]
+    # rename-to-empty drops the tag (converter.go:309-315 addTagIfRequired)
+    assert "log.file.path" not in got["tags"]
+
+
+def test_protocol_key_rename(spark):
+    conv = CustomSingleConverter(protocol_key_rename={"time": "@timestamp"}, **GROUP)
+    s = conv.apply(_file_events(spark)).collect()[0]["serialized"]
+    got = json.loads(s)
+    assert set(got) == {"@timestamp", "contents", "tags"}
+    # "@" sorts before letters — envelope keys re-sorted after rename
+    assert s.startswith('{"@timestamp":1662434209,')
+
+
+def test_flatten_and_only_contents(spark):
+    got = json.loads(
+        CustomSingleConverter(flatten=True, **GROUP)
+        .apply(_file_events(spark))
+        .collect()[0]["serialized"]
+    )
+    assert got == {
+        "method": "PUT",
+        "status": "200",
+        "log.file.path": "/root/test/origin/example.log",
+        "host.name": "alje834hgf",
+        "host.ip": "172.10.0.56",
+        "log.topic": "file",
+        "time": 1662434209,
+    }
+    got = json.loads(
+        CustomSingleConverter(flatten=True, only_contents=True, **GROUP)
+        .apply(_file_events(spark))
+        .collect()[0]["serialized"]
+    )
+    assert got == {"method": "PUT", "status": "200", "time": 1662434209}
+
+
+def test_flatten_time_key_overwrites_content(spark):
+    df = spark.createDataFrame([(7, "x")], ["log_time_sec", "v"]).select(
+        "log_time_sec", F.create_map(F.lit("time"), F.col("v")).alias("fields")
+    )
+    got = json.loads(
+        CustomSingleConverter(flatten=True, source="s").apply(df).collect()[0]["serialized"]
+    )
+    assert got["time"] == 7  # the envelope time wins over a "time" content
+
+
+def test_json_escaping_matches_go(spark):
+    df = spark.createDataFrame([(1, 'a"b\\c\nd<&>')], ["log_time_sec", "v"]).select(
+        "log_time_sec", F.create_map(F.lit("k"), F.col("v")).alias("fields")
+    )
+    s = CustomSingleConverter(source="s").apply(df).collect()[0]["serialized"]
+    # Go marshals with SetEscapeHTML(false): <, &, > stay literal
+    assert '"k":"a\\"b\\\\c\\nd<&>"' in s
+    assert json.loads(s)["contents"]["k"] == 'a"b\\c\nd<&>'
+
+
+def test_jsonline_stream(spark):
+    df = to_events(
+        spark.createDataFrame(
+            [(1, 0, "a"), (1, 1, "b"), (2, 0, "c")], ["g", "seq", "content"]
+        )
+    ).withColumn("log_time_sec", F.lit(1))
+    lined = CustomSingleConverter(flatten=True, only_contents=True).apply(df)
+    rows = {r["g"]: r["stream"] for r in jsonline_stream(lined, ["g"], "seq").collect()}
+    assert rows[1] == '{"content":"a","time":1}\n{"content":"b","time":1}'
+    assert rows[2] == '{"content":"c","time":1}'
+
+
+# ---------------------------------------------------------------------------
+# influxdb serializer
+# ---------------------------------------------------------------------------
+
+_MSCHEMA = (
+    "i int, `__name__` string, `__labels__` string, `__value__` string, "
+    "`__time_nano__` string, `__type__` string, `__field__` string"
+)
+
+
+def _metric_df(spark, rows):
+    return spark.createDataFrame(rows, _MSCHEMA)
+
+
+def test_influx_stream_golden(spark):
+    """influxdb_metric_test.go:37-65 structure (the __field__-less names keep
+    the ':' per readNames' own unit test)."""
+    rows = [
+        (0, "metric", "", "1", None, None, None),
+        (1, "metric", "aa#$#bb", "1", None, None, None),
+        (2, "metric", None, "1", "1667615389000000000", None, None),
+    ]
+    out = InfluxMetricSerializer().apply(_metric_df(spark, rows))
+    lines = [r["line"] for r in out.orderBy("i").collect()]
+    assert lines == [
+        "metric value=1",
+        "metric,aa=bb value=1",
+        "metric value=1 1667615389000000000",
+    ]
+    stream = influx_group_stream(out.withColumn("g", F.lit(1)), ["g"], "i").collect()
+    assert stream[0]["stream"] == (
+        "metric value=1\nmetric,aa=bb value=1\nmetric value=1 1667615389000000000\n"
+    )
+
+
+def test_influx_read_names(spark):
+    """converter_sls_metric_test.go:85-135 readNames matrix."""
+    rows = [
+        (0, "aa", "", "1", None, None, None),
+        (1, "aa:bb", "", "1", None, None, None),
+        (2, "aa:bb", "", "1", None, None, "bb"),
+        (3, ":", "", "1", None, None, None),
+        (4, "aa:value", "", "1", None, None, "value"),
+    ]
+    lines = [
+        r["line"]
+        for r in InfluxMetricSerializer().apply(_metric_df(spark, rows)).orderBy("i").collect()
+    ]
+    assert lines == [
+        "aa value=1",
+        "aa:bb value=1",
+        "aa bb=1",
+        ": value=1",
+        "aa:value value=1",
+    ]
+
+
+def test_influx_value_types_and_escaping(spark):
+    rows = [
+        (0, "m", "k 1#$#v 1|k,2#$#v=2", "0.5", None, "float", None),
+        (1, "m", "", "42", None, "int", None),
+        (2, "m", "", "true", None, "bool", None),
+        (3, "m", "", 'say "hi"\\', None, "string", None),
+        (4, "me tric,x", "", "1", None, None, None),
+        (5, "m", "", "nope", None, "int", None),      # bad int -> NULL
+        (6, "m", "", "1e999", None, None, None),       # ParseFloat ErrRange
+        (7, "", "", "1", None, None, None),            # missing name
+        (8, "m", "dangling", "1", None, None, None),   # label key w/o value
+        (9, "m", "", "", None, "string", None),        # empty string value OK
+    ]
+    lines = [
+        r["line"]
+        for r in InfluxMetricSerializer().apply(_metric_df(spark, rows)).orderBy("i").collect()
+    ]
+    assert lines[0] == "m,k\\ 1=v\\ 1,k\\,2=v\\=2 value=0.5"
+    assert lines[1] == "m value=42i"
+    assert lines[2] == "m value=true"
+    assert lines[3] == 'm value="say \\"hi\\"\\\\"'
+    assert lines[4] == "me\\ tric\\,x value=1"
+    assert lines[5] is None
+    assert lines[6] is None
+    assert lines[7] is None
+    assert lines[8] is None
+    assert lines[9] == 'm value=""'
+
+
+def test_parse_sls_labels_recovery(spark):
+    """converter_sls_metric.go:101-162 — '|' inside a label VALUE merges into
+    the previous label; sorted output."""
+    df = spark.createDataFrame(
+        [(0, "b#$#2|a#$#x|y|z"), (1, "k#$#v"), (2, "")], ["i", "lbl"]
+    ).select("i", parse_sls_labels(F.col("lbl")).alias("p"))
+    rows = {r["i"]: r["p"] for r in df.collect()}
+    assert [(e["k"], e["v"]) for e in rows[0]] == [("a", "x|y|z"), ("b", "2")]
+    assert [(e["k"], e["v"]) for e in rows[1]] == [("k", "v")]
+    assert rows[2] == []
+
+
+def test_raw_group_stream(spark):
+    """converter_raw_test.go — ByteArray events joined with the separator."""
+    df = spark.createDataFrame(
+        [(1, 0, "ev1"), (1, 1, "ev2"), (2, 0, "solo")], ["g", "seq", "content"]
+    )
+    rows = {r["g"]: r["stream"] for r in raw_group_stream(df, ["g"], "seq", sep="\n").collect()}
+    assert rows[1] == "ev1\nev2"
+    assert rows[2] == "solo"
