@@ -957,3 +957,105 @@ DATAOPS_ORACLES = {
     "fingerprint": oracle_fingerprint(),
     "multimodal_features": oracle_multimodal_features(),
 }
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher page-quality rules (Rae et al. 2021 table A1 — public method):
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stop-word hits → keep flag. Stop set
+    swapped for corpus-appropriate words (the synthetic vocab lacks most of
+    Gopher's English stop set)."""
+    return text.gopher_quality(
+        _docs(spark, sf_dir),
+        stopwords=("the", "a", "data", "row", "join", "key", "scan", "value"),
+    )
+
+
+def oracle_gopher_quality() -> str:
+    return r"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w,
+  string_split(text, chr(10)) AS lines FROM documents),
+m AS (SELECT doc_id,
+  len(w) AS n_words,
+  round(CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)/greatest(len(w),1), 4) AS mean_word_len,
+  round(CAST(coalesce(list_sum(list_transform(w, x -> length(x) - length(regexp_replace(x, '(#|\.\.\.)', '', 'g')))), 0) AS DOUBLE)/greatest(len(w),1), 4) AS symbol_ratio,
+  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^(•|- )'))) AS DOUBLE)/greatest(len(lines),1), 4) AS bullet_line_frac,
+  round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)/greatest(len(lines),1), 4) AS ellipsis_line_frac,
+  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/greatest(len(w),1), 4) AS alpha_word_frac,
+  len(list_filter(['the','a','data','row','join','key','scan','value'], s -> list_contains(w, s))) AS stopword_hits
+ FROM d)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, stopword_hits,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS quality_ok
+FROM m"""
+
+
+def _c4_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line-structured pages from the flat documents text:
+    7-word lines, terminal '.' on 2 of 3 lines, plus injected javascript /
+    curly-brace / lorem-ipsum lines on fixed doc_id residues (the dual-
+    dialect construction the oracle mirrors byte-for-byte)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    nch = F.greatest(F.ceil(F.size(w) / F.lit(7.0)).cast("int"), F.lit(1))
+    base = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * 7 + 1, 7), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    pre = F.when(F.col("doc_id") % 19 == 0, F.array(F.lit("Lorem ipsum dolor sit amet."))).otherwise(empty)
+    js = F.when(F.col("doc_id") % 11 == 0, F.array(F.lit("this page uses javascript heavily."))).otherwise(empty)
+    br = F.when(F.col("doc_id") % 17 == 0, F.array(F.lit("config = { debug: true }"))).otherwise(empty)
+    return d.select(
+        "doc_id",
+        F.array_join(F.concat(pre, js, base, br), "\n").alias("text"),
+    )
+
+
+C4_PAGES_SQL = r"""(SELECT doc_id, array_to_string(
+  (CASE WHEN doc_id % 19 = 0 THEN ['Lorem ipsum dolor sit amet.'] ELSE [] END)
+  || (CASE WHEN doc_id % 11 = 0 THEN ['this page uses javascript heavily.'] ELSE [] END)
+  || list_transform(range(0, greatest(CAST(ceil(len(w)/7.0) AS INT), 1)),
+       i -> array_to_string(w[i*7+1:i*7+7], ' ')
+            || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+  || (CASE WHEN doc_id % 17 = 0 THEN ['config = { debug: true }'] ELSE [] END),
+  chr(10)) AS text
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2 — public method): line-level
+    terminal-punctuation / min-words / javascript filters, page-level curly
+    brace / lorem-ipsum / min-sentence drops, over deterministic synthetic
+    pages."""
+    return text.c4_clean(_c4_pages(spark, sf_dir))
+
+
+def oracle_c4_clean() -> str:
+    return (
+        r"""WITH pages AS """ + C4_PAGES_SQL + r""",
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages),
+k AS (SELECT doc_id, text, len(lines) AS n_lines,
+  list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+    AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= 3
+    AND NOT contains(lower(x), 'javascript')) AS kept
+ FROM l),
+c AS (SELECT doc_id, text, n_lines, len(kept) AS kept_lines,
+  array_to_string(kept, chr(10)) AS cleaned_text FROM k)
+SELECT doc_id, n_lines, kept_lines,
+  len(regexp_extract_all(cleaned_text, '[.!?]')) AS n_sentences,
+  cleaned_text,
+  CAST(CASE WHEN NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+    AND len(regexp_extract_all(cleaned_text, '[.!?]')) >= 5 THEN 1 ELSE 0 END AS INT) AS page_kept
+FROM c"""
+    )
+
+
+DATAOPS_QUERIES["gopher_quality"] = q_gopher_quality
+DATAOPS_QUERIES["c4_clean"] = q_c4_clean
+DATAOPS_ORACLES["gopher_quality"] = oracle_gopher_quality()
+DATAOPS_ORACLES["c4_clean"] = oracle_c4_clean()

@@ -814,3 +814,138 @@ def decontaminate(
         )
         .withColumn("contaminated", (F.col("overlap_grams") > 0).cast("int"))
     )
+
+
+# Gopher quality-rule stop set (Rae et al. 2021 table A1): "contains at
+# least 2 of the following stop words: the, be, to, of, and, that, have,
+# with" — configurable so small synthetic vocabularies stay non-degenerate.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style page-quality filters (Rae et al. 2021, table A1 —
+    public method; complements ``gopher_repetition``): word-count bounds,
+    mean word length in [3,10], symbol-to-word ratio ('#'/'...') ≤ 0.1,
+    ≤90%% of lines bullet-led, ≤30%% ellipsis-terminated, ≥80%% of words
+    containing an alphabetic char, ≥2 stop-word hits. Per-row array folds,
+    ZERO shuffle — embarrassingly parallel at any scale."""
+    t = F.col(text_col)
+
+    def build(w: Column) -> Column:
+        n_words = F.size(w)
+        denom = F.greatest(n_words, F.lit(1))
+        mean_wlen = F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / denom, 4
+        )
+        symbols = F.aggregate(
+            w,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.length(x)
+            - F.length(F.regexp_replace(x, r"(#|\.\.\.)", "")),
+        )
+        symbol_ratio = F.round(symbols / denom, 4)
+        alpha_frac = F.round(
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / denom, 4
+        )
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        sw_hits = F.size(F.array_intersect(F.array_distinct(w), sw))
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wlen.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_word_frac"),
+            sw_hits.alias("stopword_hits"),
+        )
+
+    def lines_metrics(lines: Column) -> Column:
+        n_lines = F.greatest(F.size(lines), F.lit(1))
+        bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^(•|- )")))
+        ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+        return F.struct(
+            F.round(bullet / n_lines, 4).alias("bullet_line_frac"),
+            F.round(ellipsis / n_lines, 4).alias("ellipsis_line_frac"),
+        )
+
+    out = df.select(
+        F.col(id_col),
+        _let(words(t), build).alias("m"),
+        _let(F.split(t, "\n"), lines_metrics).alias("lm"),
+    )
+    m, lm = F.col("m"), F.col("lm")
+    ok = (
+        m.getField("n_words").between(min_words, max_words)
+        & m.getField("mean_word_len").between(3.0, 10.0)
+        & (m.getField("symbol_ratio") <= 0.1)
+        & (lm.getField("bullet_line_frac") <= 0.9)
+        & (lm.getField("ellipsis_line_frac") <= 0.3)
+        & (m.getField("alpha_word_frac") >= 0.8)
+        & (m.getField("stopword_hits") >= 2)
+    )
+    return out.select(
+        F.col(id_col),
+        m.getField("n_words").alias("n_words"),
+        m.getField("mean_word_len").alias("mean_word_len"),
+        m.getField("symbol_ratio").alias("symbol_ratio"),
+        lm.getField("bullet_line_frac").alias("bullet_line_frac"),
+        lm.getField("ellipsis_line_frac").alias("ellipsis_line_frac"),
+        m.getField("alpha_word_frac").alias("alpha_word_frac"),
+        m.getField("stopword_hits").alias("stopword_hits"),
+        ok.cast("int").alias("quality_ok"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2 — public method).
+    Line level: keep lines that end in a terminal punctuation mark
+    (. ! ? \"), have ≥ ``min_line_words`` space-words, and don't mention
+    'javascript'. Page level: drop pages with a curly bracket, the phrase
+    'lorem ipsum', or fewer than ``min_sentences`` sentences after line
+    cleaning. Returns per-doc cleaned text + rule counters + keep flag.
+    Pure per-row folds — zero shuffle at any scale."""
+    t = F.col(text_col)
+
+    def build(lines: Column) -> Column:
+        kept = F.filter(
+            lines,
+            lambda l: l.rlike('[.!?"]$')
+            & (F.size(F.filter(F.split(l, " "), lambda x: x != "")) >= min_line_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+        cleaned = F.array_join(kept, "\n")
+        n_sentences = F.size(F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0))
+        return F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("kept_lines"),
+            cleaned.alias("cleaned_text"),
+            n_sentences.alias("n_sentences"),
+        )
+
+    out = df.select(F.col(id_col), t.alias("__t__"), _let(F.split(t, "\n"), build).alias("m"))
+    m = F.col("m")
+    keep = (
+        ~F.col("__t__").contains("{")
+        & ~F.lower(F.col("__t__")).contains("lorem ipsum")
+        & (m.getField("n_sentences") >= min_sentences)
+    )
+    return out.select(
+        F.col(id_col),
+        m.getField("n_lines").alias("n_lines"),
+        m.getField("kept_lines").alias("kept_lines"),
+        m.getField("n_sentences").alias("n_sentences"),
+        m.getField("cleaned_text").alias("cleaned_text"),
+        keep.cast("int").alias("page_kept"),
+    )
