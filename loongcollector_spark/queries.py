@@ -2227,3 +2227,121 @@ QUERIES["flusher_influx_line"] = q_flusher_influx_line
 ORACLES["flusher_custom_single"] = oracle_flusher_custom_single()
 ORACLES["flusher_jsonline"] = oracle_flusher_jsonline()
 ORACLES["flusher_influx_line"] = oracle_flusher_influx_line()
+
+
+def q_kafka_dynamic_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_kafka_v2 dynamic-topic routing (flusher_kafka_v2.go:232-245,
+    317-356 + pkg/fmtstr): per-event topic from a ``%{content.x}/%{tag.y}``
+    pattern (missing key → literal key text), sarama hash-partitioner key
+    from HashKeys, then the per-topic batch counts a partitioned write
+    would produce — one partial-agg shuffle keyed by (topic, key)."""
+    from .operators.fmtstr import kafka_hash_key, kafka_topic
+
+    ev = _events_raw(spark, sf_dir)
+    # every 7th event lacks the 'app' content key → topic embeds the
+    # literal field text, the FormatTopic fallback
+    contents = F.when(
+        F.col("event_id") % 7 == 0,
+        F.create_map(F.lit("other"), F.lit("x")),
+    ).otherwise(F.create_map(F.lit("app"), F.col("event_type")))
+    tags = F.create_map(F.lit("host.name"), F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")))
+    pattern = "logs_%{content.app}_%{tag.host.name}"
+    frame = ev.select(
+        "doc_id",
+        kafka_topic(pattern, contents, tags).alias("topic"),
+        kafka_hash_key(pattern, ["content.app"], contents, tags, "logstore-1").alias(
+            "partition_key"
+        ),
+    )
+    return frame.groupBy("topic", "partition_key").agg(
+        F.count("*").cast("long").alias("events"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def oracle_kafka_dynamic_topic() -> str:
+    return """WITH f AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+    'logs_' || CASE WHEN event_id % 7 = 0 THEN 'content.app' ELSE event_type END
+      || '_h' || (user_id % 3) AS topic,
+    CASE WHEN event_id % 7 = 0 THEN 'logstore-1' ELSE event_type END AS partition_key
+  FROM events
+)
+SELECT topic, partition_key, count(*) AS events, min(doc_id) AS first_doc
+FROM f GROUP BY topic, partition_key"""
+
+
+QUERIES["kafka_dynamic_topic"] = q_kafka_dynamic_topic
+ORACLES["kafka_dynamic_topic"] = oracle_kafka_dynamic_topic()
+
+
+def q_prom_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write ingestion (decoder.go:120-152 + NewMetricLog,
+    log_helper.go:258-290): snappy(prompb.WriteRequest) payloads → metric
+    logs. One request per 16-event batch; per-series labels sorted k#$#v;
+    ms timestamps normalized to 19-digit __time_nano__; a StaleNaN sample
+    renders __STALE_NAN__."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from .operators.prom_rw import (
+        STALE_NAN_BITS,
+        PromRemoteWriteDecoder,
+        encode_write_request,
+        snappy_compress,
+    )
+
+    ev = _events_raw(spark, sf_dir).withColumn(
+        "req_no", (F.col("event_id") % 16).cast("int")
+    )
+    stale = _struct.unpack("<d", _struct.pack("<Q", STALE_NAN_BITS))[0]
+
+    out_schema = StructType(
+        [StructField("req_no", IntegerType()), StructField("payload", BinaryType())]
+    )
+
+    def packer(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = []
+        for r in pdf.itertuples(index=False):
+            eid, uid = int(r.event_id), int(r.user_id)
+            val = stale if eid % 97 == 0 else eid + 0.25
+            series.append(
+                {
+                    "labels": [
+                        ("__name__", f"m{eid % 5}"),
+                        ("zone", f"z{eid % 3}"),
+                        ("host", f"h{uid % 10}"),
+                    ],
+                    "samples": [(val, 1434055562000 + eid % 1000)],
+                }
+            )
+        payload = snappy_compress(encode_write_request(series))
+        return pd.DataFrame({"req_no": [pdf["req_no"].iloc[0]], "payload": [payload]})
+
+    reqs = ev.groupBy("req_no").applyInPandas(packer, schema=out_schema)
+    out = PromRemoteWriteDecoder("payload", passthrough=["req_no"]).apply(reqs)
+    return out.select(
+        F.col("req_no").cast("int").alias("req_no"),
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__time_nano__").alias("time_nano"),
+        F.col("__value__").alias("value"),
+        "ts_sec",
+    )
+
+
+def oracle_prom_remote_write() -> str:
+    return """SELECT CAST(event_id % 16 AS INT) AS req_no,
+  'm' || (event_id % 5) AS name,
+  'host#$#h' || (user_id % 10) || '|zone#$#z' || (event_id % 3) AS labels,
+  CAST(1434055562000 + event_id % 1000 AS VARCHAR) || '000000' AS time_nano,
+  CASE WHEN event_id % 97 = 0 THEN '__STALE_NAN__'
+       ELSE event_id || '.25' END AS value,
+  (1434055562000 + event_id % 1000) // 1000 AS ts_sec
+FROM events"""
+
+
+QUERIES["prom_remote_write"] = q_prom_remote_write
+ORACLES["prom_remote_write"] = oracle_prom_remote_write()
