@@ -777,3 +777,103 @@ class OtelMetricParser(Operator):
             F.lit("__value__"), go_float_g(F.col("__row__.v")),
         )
         return rows.select(*keep, fields_map.alias(FIELDS))
+
+
+# --- logs (service_otlp / service_http_server Format=otlp logs) --------------
+
+_BODY = (
+    "struct<stringValue:string,intValue:string,doubleValue:double,"
+    "boolValue:boolean>"
+)
+_LOG_RECORD = (
+    "struct<timeUnixNano:string,severityNumber:string,severityText:string,"
+    f"body:{_BODY},attributes:{_ATTR}>"
+)
+OTLP_LOG_SCHEMA = (
+    "struct<resourceLogs:array<struct<"
+    f"resource:struct<attributes:{_ATTR}>,"
+    "scopeLogs:array<struct<scope:struct<name:string,version:string>,"
+    f"logRecords:array<{_LOG_RECORD}>>>>>>"
+)
+
+# plog SeverityNumber enum (logs.proto): TRACE=1..FATAL4=24; OTLP/JSON may
+# carry either the int or the name.
+_SEV_NAMES = {}
+for _base, _num in (("TRACE", 1), ("DEBUG", 5), ("INFO", 9), ("WARN", 13), ("ERROR", 17), ("FATAL", 21)):
+    _SEV_NAMES[f"SEVERITY_NUMBER_{_base}"] = _num
+    for _k in (2, 3, 4):
+        _SEV_NAMES[f"SEVERITY_NUMBER_{_base}{_k}"] = _num + _k - 1
+_SEV_NAMES["SEVERITY_NUMBER_UNSPECIFIED"] = 0
+
+
+@dataclass
+class OtelLogParser(Operator):
+    """OTLP logs → SLS log rows, the ConvertOtlpLogV1 shape
+    (pkg/protocol/decoder/opentelemetry/otlpDataToSLSProto.go:280-338):
+    per LogRecord a fields map with ``time_unix_nano`` (FormatInt of the ns
+    timestamp), ``severity_number`` (int text), ``severity_text``,
+    ``content`` (Body().AsString()), plus ``attributes`` / ``resources`` —
+    Go-marshalled JSON with sorted keys — ONLY when the respective attribute
+    map is non-empty. Event time = (ns/1e9, ns%1e9) like SetLogTimeWithNano.
+    format="json" is an ExportLogsServiceRequest / LogsData JSON;
+    format="protojson" is a single ResourceLogs object (wrapped like the
+    trace/metric parsers). Undecodable payloads are dropped."""
+
+    source_key: str = "content"
+    format: str = "json"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = F.element_at(F.col(FIELDS), F.lit(self.source_key))
+        if self.format == "protojson":
+            src = F.concat(F.lit('{"resourceLogs":['), src, F.lit("]}"))
+        parsed = F.from_json(src, OTLP_LOG_SCHEMA)
+        keep = [c for c in df.columns if c != FIELDS]
+        rl = (
+            df.withColumn("__rl__", parsed.getField("resourceLogs"))
+            .filter(F.col("__rl__").isNotNull())
+            .select(*keep, F.explode("__rl__").alias("__r__"))
+        )
+        sl = rl.select(
+            *keep,
+            F.col("__r__.resource.attributes").alias("__rattrs__"),
+            F.explode("__r__.scopeLogs").alias("__s__"),
+        )
+        recs = sl.select(
+            *keep, "__rattrs__", F.explode("__s__.logRecords").alias("__lr__")
+        )
+        lr = F.col("__lr__")
+        ts = F.coalesce(lr.getField("timeUnixNano").try_cast("long"), F.lit(0))
+        sev_raw = lr.getField("severityNumber")
+        sev_map = F.create_map(
+            *[x for k, v in _SEV_NAMES.items() for x in (F.lit(k), F.lit(v))]
+        )
+        sev = F.coalesce(
+            sev_raw.try_cast("int"), F.element_at(sev_map, sev_raw), F.lit(0)
+        )
+        body = lr.getField("body")
+        content = F.when(body.isNull(), F.lit("")).otherwise(_attr_value_text(body))
+        empty_map = F.expr("map()").cast("map<string,string>")
+        attrs = lr.getField("attributes")
+        base = F.create_map(
+            F.lit("time_unix_nano"), ts.cast("string"),
+            F.lit("severity_number"), sev.cast("string"),
+            F.lit("severity_text"), F.coalesce(lr.getField("severityText"), F.lit("")),
+            F.lit("content"), content,
+        )
+        with_attrs = F.when(
+            F.size(F.coalesce(attrs, F.expr(f"CAST(array() AS {_ATTR})"))) > 0,
+            F.create_map(F.lit("attributes"), attrs_to_json(attrs)),
+        ).otherwise(empty_map)
+        with_res = F.when(
+            F.size(F.coalesce(F.col("__rattrs__"), F.expr(f"CAST(array() AS {_ATTR})"))) > 0,
+            F.create_map(F.lit("resources"), attrs_to_json(F.col("__rattrs__"))),
+        ).otherwise(empty_map)
+        # exact int64 split: ns first, then (ts-ns)/1e9 (double-exact since
+        # the numerator is a multiple of 1e9 and the quotient < 2^53)
+        ns = ts % F.lit(1_000_000_000)
+        return recs.select(
+            *keep,
+            F.map_concat(base, with_attrs, with_res).alias(FIELDS),
+            ((ts - ns) / F.lit(1_000_000_000)).cast("long").alias("ts_sec"),
+            ns.cast("long").alias("ts_ns"),
+        )

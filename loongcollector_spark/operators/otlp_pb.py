@@ -460,8 +460,8 @@ class OtelPbToJson:
         source_key: str = "content",
         binary_encoding: str = "hex",
     ):
-        if signal not in ("trace", "metric"):
-            raise ValueError("signal must be trace|metric")
+        if signal not in ("trace", "metric", "log"):
+            raise ValueError("signal must be trace|metric|log")
         self.signal = signal
         self.source_key = source_key
         self.binary_encoding = binary_encoding
@@ -471,7 +471,11 @@ class OtelPbToJson:
 
         import pandas as pd
 
-        decode = decode_traces if self.signal == "trace" else decode_metrics
+        decode = {
+            "trace": decode_traces,
+            "metric": decode_metrics,
+            "log": decode_logs,
+        }[self.signal]
         src_key, enc = self.source_key, self.binary_encoding
         schema = df.schema
 
@@ -614,3 +618,94 @@ def encode_gauge_metric(name: str, dps: list[bytes]) -> bytes:
 def encode_sum_metric(name: str, dps: list[bytes], is_monotonic: bool) -> bytes:
     body = b"".join(_ld(1, d) for d in dps) + _vi(3, int(is_monotonic))
     return _ld(1, name.encode()) + _ld(7, body)
+
+
+# --- logs.proto --------------------------------------------------------------
+
+
+def _log_record(buf: bytes) -> dict:
+    """LogRecord (logs.proto): time_unix_nano=1 fixed64, severity_number=2
+    varint, severity_text=3, body=5 AnyValue, attributes=6."""
+    lr: dict = {
+        "timeUnixNano": "0",
+        "severityNumber": 0,
+        "severityText": "",
+        "body": {},
+        "attributes": [],
+    }
+    for fno, wt, v in _fields(buf):
+        if fno == 1 and wt == _WT_I64:
+            lr["timeUnixNano"] = str(_sfixed64(v) & ((1 << 64) - 1))
+        elif fno == 2 and wt == _WT_VARINT:
+            lr["severityNumber"] = int(v)
+        elif fno == 3 and wt == _WT_LEN:
+            lr["severityText"] = _s(v)
+        elif fno == 5 and wt == _WT_LEN:
+            lr["body"] = _any_value(v)
+        elif fno == 6 and wt == _WT_LEN:
+            lr["attributes"].extend(_attrs_of(_ld(1, bytes(v)), 1))
+    return lr
+
+
+def decode_logs(payload: bytes) -> dict | None:
+    """LogsData / ExportLogsServiceRequest wire bytes → the OTLP/JSON dict;
+    None on malformed input (the decoder fails the request —
+    pkg/protocol/decoder/opentelemetry/decoder.go:49-56)."""
+    try:
+        rls = []
+        for fno, wt, v in _fields(payload):
+            if fno == 1 and wt == _WT_LEN:
+                rl: dict = {"resource": {"attributes": []}, "scopeLogs": []}
+                for f2, w2, v2 in _fields(v):
+                    if f2 == 1 and w2 == _WT_LEN:
+                        rl["resource"] = {"attributes": _attrs_of(v2, 1)}
+                    elif f2 == 2 and w2 == _WT_LEN:
+                        sl: dict = {"scope": {}, "logRecords": []}
+                        for f3, w3, v3 in _fields(v2):
+                            if f3 == 1 and w3 == _WT_LEN:
+                                sl["scope"] = _scope(v3)
+                            elif f3 == 2 and w3 == _WT_LEN:
+                                sl["logRecords"].append(_log_record(v3))
+                        rl["scopeLogs"].append(sl)
+                rls.append(rl)
+        if not rls:
+            return None
+        return {"resourceLogs": rls}
+    except PBError:
+        return None
+
+
+def encode_log_record_pb(
+    ts_ns: int,
+    severity_number: int = 0,
+    severity_text: str = "",
+    body: str | int | float | bool | None = None,
+    attrs: list[bytes] = (),
+) -> bytes:
+    out = _f64(1, ts_ns) + _vi(2, severity_number)
+    if severity_text:
+        out += _ld(3, severity_text.encode())
+    if body is not None:
+        if isinstance(body, str):
+            av = _ld(1, body.encode())
+        elif isinstance(body, bool):
+            av = _k(2, 0) + bytes([int(body)])
+        elif isinstance(body, int):
+            from .pb import write_varint
+
+            av = _k(3, 0) + write_varint(body & ((1 << 64) - 1))
+        else:
+            av = _dbl(4, float(body))
+        out += _ld(5, av)
+    for a in attrs:
+        out += _ld(6, a)
+    return out
+
+
+def encode_logs_data(records: list[bytes], resource_attrs: list[bytes] = ()) -> bytes:
+    scope_logs = b"".join(_ld(2, r) for r in records)
+    rl = b""
+    if resource_attrs:
+        rl += _ld(1, b"".join(_ld(1, a) for a in resource_attrs))
+    rl += _ld(2, scope_logs)
+    return _ld(1, rl)

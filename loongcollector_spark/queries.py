@@ -2345,3 +2345,106 @@ FROM events"""
 
 QUERIES["prom_remote_write"] = q_prom_remote_write
 ORACLES["prom_remote_write"] = oracle_prom_remote_write()
+
+
+# --- OTLP logs ----------------------------------------------------------------
+
+_OTEL_LOG_TS_BASE = 1663904182000000000
+
+
+def _otel_log_cols(out: DataFrame) -> DataFrame:
+    return out.select(
+        "doc_id",
+        fget("time_unix_nano").alias("time_unix_nano"),
+        fget("severity_number").alias("severity_number"),
+        fget("severity_text").alias("severity_text"),
+        fget("content").alias("content"),
+        fget("attributes").alias("attributes"),
+        fget("resources").alias("resources"),
+        "ts_sec",
+    )
+
+
+def q_otel_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP logs ingestion (ConvertOtlpLogV1, otlpDataToSLSProto.go:280-338):
+    per LogRecord → time_unix_nano / severity / content + Go-marshalled
+    attributes/resources JSON (sorted keys, bare ints/bools)."""
+    from .operators.otel import OtelLogParser
+
+    ev = _events_raw(spark, sf_dir)
+    ts = (F.lit(_OTEL_LOG_TS_BASE) + F.col("event_id") * 1000).cast("string")
+    payload = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":"serviceName",'
+              '"value":{"stringValue":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeLogs":[{"logRecords":[{"timeUnixNano":"'),
+        ts,
+        F.lit('","severityNumber":'),
+        (F.col("event_id") % 25).cast("string"),
+        F.lit(',"severityText":"'),
+        F.col("event_type"),
+        F.lit('","body":{"stringValue":"msg-'),
+        F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"attr1","value":{"intValue":"'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('"}},{"key":"attr2","value":{"boolValue":'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit('}}]}]}]}]}'),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    return _otel_log_cols(OtelLogParser().apply(df))
+
+
+def oracle_otel_log() -> str:
+    return f"""SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  CAST({_OTEL_LOG_TS_BASE} + event_id * 1000 AS VARCHAR) AS time_unix_nano,
+  CAST(event_id % 25 AS VARCHAR) AS severity_number,
+  event_type AS severity_text,
+  'msg-' || event_type AS content,
+  '{{"attr1":' || (event_id % 100) || ',"attr2":'
+    || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END || '}}' AS attributes,
+  '{{"serviceName":"svc-' || (user_id % 5) || '"}}' AS resources,
+  ({_OTEL_LOG_TS_BASE} + event_id * 1000) // 1000000000 AS ts_sec
+FROM events"""
+
+
+def q_otel_pb_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixture over the LogsData WIRE bytes (logs.proto) through
+    OtelPbToJson('log') — the Format=protobuf path; shares oracle_otel_log."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators import otlp_pb as W
+    from .operators.otel import OtelLogParser
+
+    @pandas_udf("string")
+    def build(doc_id, event_id, event_type, user_id):
+        out = []
+        for _d, e, t, u in zip(doc_id, event_id, event_type, user_id):
+            e, u = int(e), int(u)
+            rec = W.encode_log_record_pb(
+                _OTEL_LOG_TS_BASE + e * 1000,
+                severity_number=e % 25,
+                severity_text=t,
+                body=f"msg-{t}",
+                attrs=[W.encode_attr("attr1", e % 100), W.encode_attr("attr2", e % 2 == 0)],
+            )
+            payload = W.encode_logs_data(
+                [rec], resource_attrs=[W.encode_attr("serviceName", f"svc-{u % 5}")]
+            )
+            out.append(payload.hex())
+        return pd.Series(out)
+
+    ev = _events_raw(spark, sf_dir)
+    df = to_events(
+        ev.select("doc_id", build("doc_id", "event_id", "event_type", "user_id").alias("content"))
+    )
+    from .operators.otlp_pb import OtelPbToJson
+
+    return _otel_log_cols(OtelLogParser().apply(OtelPbToJson("log").apply(df)))
+
+
+QUERIES["otel_log"] = q_otel_log
+QUERIES["otel_pb_log"] = q_otel_pb_log
+ORACLES["otel_log"] = oracle_otel_log()
+ORACLES["otel_pb_log"] = oracle_otel_log()
