@@ -479,3 +479,55 @@ def raw_group_stream(
             sep,
         ).alias("stream")
     )
+
+
+def loki_sink_frame(
+    df: DataFrame,
+    dynamic_labels: list[str],
+    static_labels: Mapping[str, str] | None = None,
+    conv: "CustomSingleConverter | None" = None,
+    time_col: str = "log_time_sec",
+) -> DataFrame:
+    """flusher_loki (plugins/flusher/loki/flusher_loki.go:152-227): each log
+    serializes through the converter (default custom_single/json) and ships
+    with a label set — DynamicLabels resolved per findTargetValues
+    (``content.``/``tag.`` prefixes, misses omitted), prefixes trimmed
+    (buildLokiLabels, Loki label names reject '.'), merged over StaticLabels
+    (the client's external labels: applied only when the instance label is
+    absent). Output columns: ``labels`` map, ``ts`` (seconds), ``line``.
+
+    At scale the loki push batches by label set — ``repartition(labels)``
+    before the sink write is the one shuffle."""
+    from .fmtstr import _target_value
+
+    conv = conv or CustomSingleConverter(time_col=time_col)
+    out = conv.apply(df)
+    lg = LogGroupMaps(
+        tag_key_rename=conv.tag_key_rename,
+        group_tags=conv.group_tags,
+        source=conv.source,
+        topic=conv.topic,
+        k8s=conv.k8s,
+    )
+    contents, tags = lg.maps(F.col(FIELDS))
+    entries: list[Column] = []
+    for f in dynamic_labels:
+        name = f.split(".", 1)[1] if f.startswith(("content.", "tag.")) else f
+        entries.append(
+            F.struct(
+                F.lit(name).alias("key"),
+                _target_value(f, contents, tags, dict(conv.tag_key_rename)).alias("value"),
+            )
+        )
+    dyn = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e.getField("value").isNotNull())
+    ) if entries else F.expr("map()").cast("map<string,string>")
+    static = _lit_map(dict(static_labels or {}))
+    # external labels fill only the keys the instance set lacks
+    missing_static = F.map_filter(static, lambda k, _v: F.element_at(dyn, k).isNull())
+    labels = F.map_concat(dyn, missing_static)
+    return out.select(
+        labels.alias("labels"),
+        F.col(time_col).cast("long").alias("ts"),
+        F.col(conv.out_col).alias("line"),
+    )

@@ -301,3 +301,85 @@ class PromRemoteWriteDecoder:
 
         cols = [c for c in ([payload_col] + passthrough) if c in df.columns]
         return df.select(*cols).mapInPandas(mapper, schema)
+
+
+# ---------------------------------------------------------------------------
+# flusher_prometheus: the ENCODE direction
+# ---------------------------------------------------------------------------
+
+
+def metrics_to_write_requests(
+    events: list[tuple[str, dict, float, int]], series_limit: int = 1000
+) -> list[bytes]:
+    """pkg/protocol/encoder/prometheus (encoder_prometheus.go:63-103,
+    utils.go:44-100): each metric event becomes one TimeSeries whose labels
+    are the tag map plus ``__name__``, lexicographically sorted, EMPTY names/
+    values dropped (remote-write spec); the sample timestamp converts ns→ms;
+    series batch into WriteRequests capped at ``series_limit``. Returns the
+    snappy-compressed marshaled payloads (the HTTP flusher adds headers)."""
+    out: list[bytes] = []
+    batch: list[dict] = []
+    for name, tags, value, ts_ns in events:
+        labels = [(k, v) for k, v in tags.items() if k != "" and v != ""]
+        labels.append(("__name__", name))
+        labels.sort(key=lambda kv: kv[0])
+        batch.append(
+            {"labels": labels, "samples": [(value, ts_ns // 1_000_000)]}
+        )
+        if len(batch) >= series_limit:
+            out.append(snappy_compress(encode_write_request(batch)))
+            batch = []
+    if batch:
+        out.append(snappy_compress(encode_write_request(batch)))
+    return out
+
+
+class PromRemoteWriteEncoder:
+    """flusher_prometheus sink stage: a metric frame → one row per emitted
+    remote-write payload, grouped by ``group_cols`` (the per-sink batch key
+    — at scale this is the ONE shuffle of the sink write, and SeriesLimit
+    chunking happens inside each group partition-locally)."""
+
+    def __init__(
+        self,
+        group_cols: list[str],
+        name_col: str = "metric_name",
+        tags_col: str = "tags",
+        value_col: str = "value",
+        ts_ns_col: str = "ts_ns",
+        order_col: str | None = None,
+        series_limit: int = 1000,
+    ):
+        self.group_cols = group_cols
+        self.name_col, self.tags_col = name_col, tags_col
+        self.value_col, self.ts_ns_col = value_col, ts_ns_col
+        self.order_col = order_col
+        self.series_limit = series_limit
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.types import BinaryType, IntegerType
+
+        gcols = list(self.group_cols)
+        ncol, tcol = self.name_col, self.tags_col
+        vcol, tscol, ocol = self.value_col, self.ts_ns_col, self.order_col
+        limit = self.series_limit
+        schema = StructType(
+            [df.schema[c] for c in gcols]
+            + [StructField("batch_no", IntegerType()), StructField("payload", BinaryType())]
+        )
+
+        def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if ocol:
+                pdf = pdf.sort_values(ocol)
+            evs = [
+                (r[ncol], dict(r[tcol] or {}), float(r[vcol]), int(r[tscol]))
+                for _, r in pdf.iterrows()
+            ]
+            payloads = metrics_to_write_requests(evs, limit)
+            keys = {c: [pdf[c].iloc[0]] * len(payloads) for c in gcols}
+            return pd.DataFrame(
+                {**keys, "batch_no": range(len(payloads)), "payload": payloads}
+            )
+
+        return df.groupBy(*gcols).applyInPandas(packer, schema=schema)

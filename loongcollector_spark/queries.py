@@ -2448,3 +2448,130 @@ QUERIES["otel_log"] = q_otel_log
 QUERIES["otel_pb_log"] = q_otel_pb_log
 ORACLES["otel_log"] = oracle_otel_log()
 ORACLES["otel_pb_log"] = oracle_otel_log()
+
+
+def q_spl_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL expand-values verb: JSON-array field → one event per element
+    (public SLS SPL verb surface; engine explode, no Python)."""
+    from .spl import compile_spl
+
+    ev = _events_raw(spark, sf_dir)
+    content = F.concat(
+        F.lit('{"id":"'), F.col("doc_id"),
+        F.lit('","tags":"[\\"t'), (F.col("event_id") % 3).cast("string"),
+        F.lit('\\",\\"u'), (F.col("user_id") % 5).cast("string"),
+        F.lit('\\"]"}'),
+    )
+    df = to_events(ev.select("doc_id", content.alias("content")))
+    run = compile_spl(
+        "* | parse-json content | expand-values tags as tag | project id, tag"
+    )
+    out = run(df)
+    return out.select(
+        fget("id").alias("doc_id"), fget("tag").alias("tag")
+    )
+
+
+def oracle_spl_expand() -> str:
+    return """WITH e AS (SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  't' || (event_id % 3) AS t1, 'u' || (user_id % 5) AS t2 FROM events)
+SELECT doc_id, t1 AS tag FROM e
+UNION ALL
+SELECT doc_id, t2 AS tag FROM e"""
+
+
+QUERIES["spl_expand"] = q_spl_expand
+ORACLES["spl_expand"] = oracle_spl_expand()
+
+
+def q_prom_rw_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_prometheus encode (pkg/protocol/encoder/prometheus) →
+    service-side decode roundtrip: metric frame → SeriesLimit-chunked
+    snappy(WriteRequest) payloads per sink → decoded metric logs. Proves the
+    encode direction byte-compatibly against the decode path; the oracle
+    pins the end-to-end mapping (ns→ms→19-digit normalization, sorted
+    labels, empty-label drop)."""
+    from .operators.prom_rw import PromRemoteWriteDecoder, PromRemoteWriteEncoder
+
+    ev = _events_raw(spark, sf_dir)
+    frame = ev.select(
+        "doc_id",
+        "event_id",
+        F.concat(F.lit("sink-"), (F.col("event_id") % 4).cast("string")).alias("sink"),
+        F.concat(F.lit("met_"), (F.col("event_id") % 7).cast("string")).alias("metric_name"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            F.lit("zone"), F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("z"), (F.col("event_id") % 3).cast("string"))
+            ),
+        ).alias("tags"),
+        ((F.col("event_id") % 89).cast("double") + 0.5).alias("value"),
+        (F.lit(1434055562000000000) + F.col("event_id") * 1_000_000).alias("ts_ns"),
+    )
+    enc = PromRemoteWriteEncoder(
+        ["sink"], order_col="event_id", series_limit=100
+    ).apply(frame)
+    out = PromRemoteWriteDecoder("payload", passthrough=["sink"]).apply(enc)
+    return out.select(
+        "sink",
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__time_nano__").alias("time_nano"),
+        F.col("__value__").alias("value"),
+    )
+
+
+def oracle_prom_rw_encode() -> str:
+    # encode drops the empty zone label; ns→ms floors to the millisecond,
+    # decode re-normalizes 13 digits → 19 by appending six zeros
+    return """SELECT 'sink-' || (event_id % 4) AS sink,
+  'met_' || (event_id % 7) AS name,
+  'host#$#h' || (user_id % 10)
+    || CASE WHEN event_id % 5 = 0 THEN '' ELSE '|zone#$#z' || (event_id % 3) END AS labels,
+  CAST((1434055562000000000 + event_id * 1000000) // 1000000 AS VARCHAR)
+    || '000000' AS time_nano,
+  (event_id % 89) || '.5' AS value
+FROM events"""
+
+
+QUERIES["prom_rw_encode"] = q_prom_rw_encode
+ORACLES["prom_rw_encode"] = oracle_prom_rw_encode()
+
+
+def q_flusher_loki(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_loki (flusher_loki.go:152-227): custom_single line + label
+    set per event — DynamicLabels resolved content./tag. with prefix trim,
+    misses omitted, StaticLabels filling only absent keys."""
+    from .operators.convert import CustomSingleConverter, loki_sink_frame
+
+    df = _converter_frame(spark, sf_dir)
+    out = loki_sink_frame(
+        df.withColumn("doc_id2", F.col("doc_id")),
+        dynamic_labels=["content.method", "tag.log.file.path", "content.gone"],
+        static_labels={"job": "loong", "method": "static-loses"},
+        conv=CustomSingleConverter(source="10.1.2.3", topic=F.col("__topic__")),
+    )
+    lbl = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("labels"))),
+            lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+        ),
+        ",",
+    )
+    return out.select(lbl.alias("label_str"), "ts", "line")
+
+
+def oracle_flusher_loki() -> str:
+    return """SELECT
+  'job=loong,log.file.path=/var/log/app.log,method=' || event_type AS label_str,
+  1700000000 + event_id % 86400 AS ts,
+  '{"contents":{"method":"' || event_type || '","status":"'
+    || (event_id % 5) || '"},"tags":{"host.ip":"10.1.2.3",'
+    || '"log.file.path":"/var/log/app.log"'
+    || CASE WHEN event_id % 2 = 0 THEN ',"log.topic":"web"' ELSE '' END
+    || '},"time":' || (1700000000 + event_id % 86400) || '}' AS line
+FROM events"""
+
+
+QUERIES["flusher_loki"] = q_flusher_loki
+ORACLES["flusher_loki"] = oracle_flusher_loki()

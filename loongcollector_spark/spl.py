@@ -312,6 +312,45 @@ def compile_spl(script: str, tables: dict[str, DataFrame] | None = None):
             from .operators.transforms import PackJson
 
             ops.append(PackJson(srcs, dest, keep=False).apply)
+        elif verb == "expand-values":
+            # `expand-values field [as dest]` — fan one event out per element
+            # of a JSON value (public SLS SPL verb surface): a JSON array
+            # yields one event per element (scalars as their text), a JSON
+            # object one event per member rendered as a single-pair object;
+            # a non-JSON value passes through unchanged, a missing field
+            # leaves the event untouched, an empty array drops the event.
+            m = re.match(r"(\w+)(?:\s+as\s+(\w+))?$", rest)
+            if not m:
+                raise ValueError(f"bad expand-values: {stage}")
+            src, dest = m.group(1), m.group(2) or m.group(1)
+
+            def _expand(df, s=src, d=dest):
+                val = fget(s)
+                arr = F.from_json(val, "array<string>")
+                obj = F.from_json(val, "map<string,string>")
+                outs = (
+                    F.when(val.startswith("[") & arr.isNotNull(), arr)
+                    .when(
+                        val.startswith("{") & obj.isNotNull(),
+                        F.transform(
+                            F.map_entries(obj),
+                            lambda e: F.to_json(
+                                F.create_map(e.getField("key"), e.getField("value"))
+                            ),
+                        ),
+                    )
+                    .otherwise(F.array(val))
+                )
+                exploded = df.withColumn("__xv__", F.explode(outs))
+                add = F.map_filter(
+                    F.create_map(F.lit(d), F.col("__xv__")),
+                    lambda _k, v: v.isNotNull(),
+                )
+                return exploded.withColumn(
+                    FIELDS, F.map_concat(F.map_filter(F.col(FIELDS), lambda k, _v: k != d), add)
+                ).drop("__xv__")
+
+            ops.append(_expand)
         else:
             raise ValueError(f"unknown SPL verb: {verb}")
 

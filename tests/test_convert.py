@@ -15,7 +15,7 @@ import json
 
 import pyspark.sql.functions as F
 
-from loongcollector_spark.operators.base import to_events
+from loongcollector_spark.operators.base import FIELDS, to_events
 from loongcollector_spark.operators.convert import (
     CustomSingleConverter,
     InfluxMetricSerializer,
@@ -291,3 +291,34 @@ def test_raw_group_stream(spark):
     rows = {r["g"]: r["stream"] for r in raw_group_stream(df, ["g"], "seq", sep="\n").collect()}
     assert rows[1] == "ev1\nev2"
     assert rows[2] == "solo"
+
+
+def test_loki_sink_frame(spark):
+    from loongcollector_spark.operators.convert import CustomSingleConverter, loki_sink_frame
+
+    df = spark.createDataFrame(
+        [("warn", 1434055562)],
+        "lvl string, log_time_sec long",
+    ).select(
+        F.create_map(
+            F.lit("level"), F.col("lvl"),
+            F.lit("msg"), F.lit("hello"),
+            F.lit("__tag__:__path__"), F.lit("/var/a.log"),
+        ).alias(FIELDS),
+        "log_time_sec",
+    )
+    out = loki_sink_frame(
+        df,
+        dynamic_labels=["content.level", "tag.log.file.path", "content.gone"],
+        static_labels={"job": "loong", "level": "static-loses"},
+        conv=CustomSingleConverter(source="1.2.3.4"),
+    ).collect()[0]
+    # dynamic labels trim their prefix; misses are omitted (content.gone);
+    # static fills only absent keys (level stays dynamic)
+    assert dict(out.labels) == {
+        "level": "warn",
+        "log.file.path": "/var/a.log",
+        "job": "loong",
+    }
+    assert out.ts == 1434055562
+    assert out.line.startswith('{"contents":{"level":"warn","msg":"hello"}')

@@ -136,3 +136,51 @@ def test_decoder_spark(spark):
         ("r1", "test_metric", "1434055563000000000", "2.34", 1434055563),
     ]
     assert math.isfinite(1.0)  # keep math import honest
+
+
+# --- flusher_prometheus encode direction ----------------------------------------
+
+
+def test_metrics_to_write_requests_batching_and_sorting():
+    from loongcollector_spark.operators.prom_rw import metrics_to_write_requests
+
+    evs = [
+        ("m1", {"z": "1", "a": "2", "empty": "", "": "x"}, 1.5, 1434055562123456789),
+        ("m2", {}, 2.0, 1434055563000000000),
+        ("m3", {"b": "3"}, 3.0, 1434055564000000000),
+    ]
+    payloads = metrics_to_write_requests(evs, series_limit=2)
+    assert len(payloads) == 2  # 2 + 1 with the limit
+    got = decode_write_request(snappy_decompress(payloads[0]))
+    # labels lexicographically sorted incl. __name__; empty name/value dropped
+    assert got[0]["labels"] == [("__name__", "m1"), ("a", "2"), ("z", "1")]
+    # ns → ms (encoder_prometheus utils.go:57)
+    assert got[0]["samples"] == [(1.5, 1434055562123)]
+    assert got[1]["labels"] == [("__name__", "m2")]
+    got2 = decode_write_request(snappy_decompress(payloads[1]))
+    assert got2[0]["labels"] == [("__name__", "m3"), ("b", "3")]
+
+
+def test_prom_rw_encoder_spark_roundtrip(spark):
+    from loongcollector_spark.operators.prom_rw import PromRemoteWriteEncoder
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "m_a", {"h": "1"}, 1.5, 1434055562123000000, 1),
+            ("s1", "m_b", {"h": "2"}, 2.5, 1434055563456000000, 2),
+            ("s2", "m_c", {}, 3.5, 1434055564789000000, 1),
+        ],
+        "sink string, metric_name string, tags map<string,string>, value double, ts_ns long, ord int",
+    )
+    enc = PromRemoteWriteEncoder(["sink"], order_col="ord").apply(df)
+    out = PromRemoteWriteDecoder("payload", passthrough=["sink"]).apply(enc)
+    rows = sorted(
+        (r.sink, r["__name__"], r["__labels__"], r["__time_nano__"], r["__value__"])
+        for r in out.collect()
+    )
+    # decode normalizes the 13-digit ms timestamp back to 19 digits
+    assert rows == [
+        ("s1", "m_a", "h#$#1", "1434055562123000000", "1.5"),
+        ("s1", "m_b", "h#$#2", "1434055563456000000", "2.5"),
+        ("s2", "m_c", "", "1434055564789000000", "3.5"),
+    ]

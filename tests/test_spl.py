@@ -203,3 +203,25 @@ def test_spl_pack_fields_verb(spark):
     out = compile_spl(script)(ev)
     f = dict(out.collect()[0][FIELDS])
     assert f == {"packed": '{"a":"x","b":"y"}'}
+
+
+def test_spl_expand_values_array(spark):
+    script = "* | parse-json content | expand-values tags as tag | project-away content"
+    out = compile_spl(script)(
+        _events(spark, ['{"id":"1","tags":"[\\"a\\",\\"b\\"]"}', '{"id":"2","tags":"[]"}'])
+    )
+    rows = sorted(sorted(dict(r[FIELDS]).items()) for r in out.collect())
+    # id=1 fans out per element; id=2's empty array drops the event
+    assert rows == [
+        sorted({"id": "1", "tags": '["a","b"]', "tag": "a"}.items()),
+        sorted({"id": "1", "tags": '["a","b"]', "tag": "b"}.items()),
+    ]
+
+
+def test_spl_expand_values_object_and_passthrough(spark):
+    script = "* | parse-json content | expand-values v"
+    out = compile_spl(script)(
+        _events(spark, ['{"v":"{\\"k1\\":\\"x\\",\\"k2\\":\\"y\\"}"}', '{"v":"plain"}', '{"w":"none"}'])
+    )
+    vals = sorted(r[FIELDS].get("v", "<missing>") for r in out.collect())
+    assert vals == ['<missing>', "plain", '{"k1":"x"}', '{"k2":"y"}']
