@@ -1059,3 +1059,57 @@ DATAOPS_QUERIES["gopher_quality"] = q_gopher_quality
 DATAOPS_QUERIES["c4_clean"] = q_c4_clean
 DATAOPS_ORACLES["gopher_quality"] = oracle_gopher_quality()
 DATAOPS_ORACLES["c4_clean"] = oracle_c4_clean()
+
+
+_BOILER = [
+    "Alpha boilerplate sentence one.",
+    "Beta boilerplate sentence two.",
+    "Gamma boilerplate sentence three.",
+    "Delta boilerplate sentence four.",
+]
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cross-corpus three-sentence-span dedup (Raffel et al. 2020 §2.2):
+    every doc_id%4==0 page carries the same 4-sentence boilerplate block;
+    the corpus-global first occurrence (doc 0) keeps it, every other copy
+    loses the span-covered sentences. Per-doc sentences are made unique by
+    an embedded doc/line token so only the injected spans duplicate — the
+    oracle derives the exact expected rebuild."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    nch = F.greatest(F.ceil(F.size(w) / F.lit(7.0)).cast("int"), F.lit(1))
+    base_lines = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * 7 + 1, 7), " "),
+            F.lit(" d"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string"), F.lit("."),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    boiler = F.when(
+        F.col("doc_id") % 4 == 0, F.array(*[F.lit(s) for s in _BOILER])
+    ).otherwise(empty)
+    pages = d.select(
+        "doc_id", F.array_join(F.concat(boiler, base_lines), " ").alias("text")
+    )
+    return text.c4_span_dedup(pages)
+
+
+def oracle_c4_span_dedup() -> str:
+    boiler_txt = " ".join(_BOILER)
+    return rf"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (SELECT doc_id,
+  list_transform(range(0, greatest(CAST(ceil(len(w)/7.0) AS INT), 1)),
+    i -> array_to_string(w[i*7+1:i*7+7], ' ') || ' d' || doc_id || 'x' || i || '.') AS lines
+ FROM d)
+SELECT doc_id,
+  CAST(len(lines) + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END AS BIGINT) AS n_sentences,
+  CAST(len(lines) + CASE WHEN doc_id = 0 THEN 4 ELSE 0 END AS BIGINT) AS kept_sentences,
+  CASE WHEN doc_id = 0 THEN '{boiler_txt} ' || array_to_string(lines, ' ')
+       ELSE array_to_string(lines, ' ') END AS deduped_text
+FROM b"""
+
+
+DATAOPS_QUERIES["c4_span_dedup"] = q_c4_span_dedup
+DATAOPS_ORACLES["c4_span_dedup"] = oracle_c4_span_dedup()

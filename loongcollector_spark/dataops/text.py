@@ -949,3 +949,92 @@ def c4_clean(
         m.getField("cleaned_text").alias("cleaned_text"),
         keep.cast("int").alias("page_kept"),
     )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """C4 cross-corpus span dedup (Raffel et al. 2020 §2.2 — public method:
+    "we discarded all but one of any three-sentence span occurring more than
+    once in the data set"). Sentences split on terminal punctuation; every
+    ``span``-sentence window hashes (md5) and the corpus-global FIRST
+    occurrence (min doc_id, then min start index) keeps it; every sentence
+    covered by a duplicated, non-kept window is removed and the doc is
+    rebuilt from the surviving sentences.
+
+    Scale shape: explode to one row per window (linear), ONE shuffle — a
+    window partial-agg on the span hash to elect owners — then a second
+    partial agg back to doc granularity. No all-pairs joins; hot spans
+    (boilerplate repeated millions of times) stay one aggregation key whose
+    min() combines map-side."""
+    t = F.col(text_col)
+    # sentence split: terminal-punct boundaries, trimmed, empties dropped
+    sentences = F.filter(
+        F.transform(F.split(t, r"(?<=[.!?])\s+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    # the sentence frame feeds three consumers (window hashing, the doc
+    # rebuild, the totals) — persist so the scan+split runs ONCE, not 3x
+    # (the dedup_minhash lesson: an uncached shared subtree dominates at
+    # 100 TB)
+    base = df.select(F.col(id_col), sentences.alias("__sents__")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = F.size("__sents__")
+    idx = F.sequence(F.lit(0), F.greatest(n - span, F.lit(0)))
+    wins = base.select(
+        id_col,
+        "__sents__",
+        n.alias("__n__"),
+        F.explode(
+            F.when(n >= span, idx).otherwise(F.array().cast("array<int>"))
+        ).alias("start"),
+    ).select(
+        id_col,
+        "__sents__",
+        "__n__",
+        "start",
+        F.md5(F.array_join(F.slice("__sents__", F.col("start") + 1, span), "\x01")).alias(
+            "span_hash"
+        ),
+    )
+    w = Window.partitionBy("span_hash")
+    owned = wins.withColumn(
+        "__min_key__", F.min(F.struct(F.col(id_col), F.col("start"))).over(w)
+    ).withColumn("__dup__", F.count(F.lit(1)).over(w) > 1)
+    losing = owned.filter(
+        F.col("__dup__")
+        & ~(
+            (F.col("__min_key__").getField(id_col) == F.col(id_col))
+            & (F.col("__min_key__").getField("start") == F.col("start"))
+        )
+    )
+    # sentences covered by losing windows
+    removed = losing.select(
+        id_col, F.explode(F.sequence("start", F.col("start") + span - 1)).alias("si")
+    ).distinct()
+    kept = (
+        base.select(id_col, F.posexplode("__sents__").alias("si", "sent"))
+        .join(removed, [id_col, "si"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("si", "sent"))),
+                    lambda s: s.getField("sent"),
+                ),
+                " ",
+            ).alias("deduped_text"),
+            F.count(F.lit(1)).cast("long").alias("kept_sentences"),
+        )
+    )
+    totals = base.select(F.col(id_col), F.size("__sents__").cast("long").alias("n_sentences"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_sentences",
+        F.coalesce("kept_sentences", F.lit(0)).alias("kept_sentences"),
+        F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+    )

@@ -563,3 +563,156 @@ def encode_groups_df(
         )
 
     return df.groupBy(group_col).applyInPandas(packer, schema=schema)
+
+
+# --- sls_logs.proto (service_http_server Format=sls) -------------------------
+#
+# pkg/protocol/decoder/sls/decoder.go:30-36 — the HTTP body is ONE serialized
+# ``protocol.LogGroup`` (pkg/protocol/proto/sls_logs.proto): proto2 with
+# REQUIRED fields, so a Log missing Time or a Content missing Key/Value fails
+# Unmarshal and the whole request is rejected (here: the row yields None).
+# Log { required uint32 Time=1; Contents=2 { required Key=1; required
+# Value=2 }; fixed32 Time_ns=4 }; LogGroup { Logs=1, Category=2, Topic=3,
+# Source=4, MachineUUID=5, LogTags=6 {Key=1,Value=2} }.
+
+
+def decode_sls_log_group(payload: bytes) -> dict | None:
+    try:
+        group: dict = {
+            "logs": [],
+            "category": "",
+            "topic": "",
+            "source": "",
+            "machine_uuid": "",
+            "tags": {},
+        }
+        seen_any = False
+        for fno, wt, v in _fields(payload):
+            seen_any = True
+            if fno == 1 and wt == 2:
+                log: dict = {"time": None, "time_ns": None, "contents": {}}
+                for f2, w2, v2 in _fields(bytes(v)):
+                    if f2 == 1 and w2 == 0:
+                        log["time"] = int(v2)
+                    elif f2 == 2 and w2 == 2:
+                        k = val = None
+                        for f3, w3, v3 in _fields(bytes(v2)):
+                            if f3 == 1 and w3 == 2:
+                                k = _s(v3)
+                            elif f3 == 2 and w3 == 2:
+                                val = _s(v3)
+                        if k is None or val is None:
+                            return None  # required Key/Value missing
+                        log["contents"][k] = val
+                    elif f2 == 4 and w2 == 5:
+                        log["time_ns"] = int.from_bytes(v2, "little")
+                if log["time"] is None:
+                    return None  # required Time missing
+                group["logs"].append(log)
+            elif fno == 2 and wt == 2:
+                group["category"] = _s(v)
+            elif fno == 3 and wt == 2:
+                group["topic"] = _s(v)
+            elif fno == 4 and wt == 2:
+                group["source"] = _s(v)
+            elif fno == 5 and wt == 2:
+                group["machine_uuid"] = _s(v)
+            elif fno == 6 and wt == 2:
+                k = val = None
+                for f3, w3, v3 in _fields(bytes(v)):
+                    if f3 == 1 and w3 == 2:
+                        k = _s(v3)
+                    elif f3 == 2 and w3 == 2:
+                        val = _s(v3)
+                if k is None or val is None:
+                    return None
+                group["tags"][k] = val
+        if not seen_any:
+            return None
+        return group
+    except PBError:
+        return None
+
+
+def encode_sls_log(time_sec: int, contents: dict[str, str], time_ns: int | None = None) -> bytes:
+    out = write_varint(1 << 3) + write_varint(time_sec)
+    for k, v in contents.items():
+        c = _len_field(1, k.encode()) + _len_field(2, v.encode())
+        out += _len_field(2, c)
+    if time_ns is not None:
+        out += write_varint((4 << 3) | 5) + time_ns.to_bytes(4, "little")
+    return out
+
+
+def encode_sls_log_group(
+    logs: list[bytes],
+    category: str = "",
+    topic: str = "",
+    source: str = "",
+    tags: dict[str, str] | None = None,
+) -> bytes:
+    out = b"".join(_len_field(1, lg) for lg in logs)
+    if category:
+        out += _len_field(2, category.encode())
+    if topic:
+        out += _len_field(3, topic.encode())
+    if source:
+        out += _len_field(4, source.encode())
+    for k, v in (tags or {}).items():
+        out += _len_field(6, _len_field(1, k.encode()) + _len_field(2, v.encode()))
+    return out
+
+
+class ParseSlsLogGroup:
+    """Explode a binary LogGroup payload column into log rows (time, time_ns,
+    contents map + group topic/source/category/tags). A payload failing
+    Unmarshal yields no rows (the decoder rejects the request)."""
+
+    def __init__(self, payload_col: str = "payload", passthrough: list[str] | None = None):
+        self.payload_col = payload_col
+        self.passthrough = passthrough or []
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        payload_col, passthrough = self.payload_col, list(self.passthrough)
+        base = [df.schema[c] for c in passthrough]
+        schema = StructType(
+            base
+            + [
+                StructField("time", LongType()),
+                StructField("time_ns", LongType()),
+                StructField("contents", _TAGMAP),
+                StructField("category", StringType()),
+                StructField("topic", StringType()),
+                StructField("source", StringType()),
+                StructField("group_tags", _TAGMAP),
+            ]
+        )
+        names = [f.name for f in schema.fields]
+
+        def mapper(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    g = decode_sls_log_group(bytes(r[payload_col]))
+                    if g is None:
+                        continue
+                    keep = tuple(r[c] for c in passthrough)
+                    for log in g["logs"]:
+                        rows.append(
+                            keep
+                            + (
+                                log["time"],
+                                log["time_ns"],
+                                log["contents"],
+                                g["category"],
+                                g["topic"],
+                                g["source"],
+                                g["tags"],
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=names)
+
+        cols = [c for c in ([payload_col] + passthrough) if c in df.columns]
+        return df.select(*cols).mapInPandas(mapper, schema)

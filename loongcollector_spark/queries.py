@@ -2575,3 +2575,67 @@ FROM events"""
 
 QUERIES["flusher_loki"] = q_flusher_loki
 ORACLES["flusher_loki"] = oracle_flusher_loki()
+
+
+def q_sls_group_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format=sls HTTP ingestion (pkg/protocol/decoder/sls/decoder.go:30-36):
+    one serialized sls_logs.proto LogGroup per request → log rows with group
+    topic/source/tags inherited; proto2 required-field failures reject the
+    whole request."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from .operators.pb import ParseSlsLogGroup, encode_sls_log, encode_sls_log_group
+
+    ev = _events_raw(spark, sf_dir).withColumn(
+        "req_no", (F.col("event_id") % 16).cast("int")
+    )
+    out_schema = StructType(
+        [StructField("req_no", IntegerType()), StructField("payload", BinaryType())]
+    )
+
+    def packer(pdf: pd.DataFrame) -> pd.DataFrame:
+        logs = []
+        for r in pdf.sort_values("event_id").itertuples(index=False):
+            eid, uid = int(r.event_id), int(r.user_id)
+            logs.append(
+                encode_sls_log(
+                    1434055562 + eid % 86400,
+                    {"etype": r.event_type, "uid": str(uid)},
+                    time_ns=(eid % 1000) * 1_000_000,
+                )
+            )
+        req = int(pdf["req_no"].iloc[0])
+        payload = encode_sls_log_group(
+            logs, topic=f"top{req % 3}", source="10.9.8.7", tags={"env": f"e{req % 2}"}
+        )
+        return pd.DataFrame({"req_no": [req], "payload": [payload]})
+
+    reqs = ev.groupBy("req_no").applyInPandas(packer, schema=out_schema)
+    out = ParseSlsLogGroup("payload", passthrough=["req_no"]).apply(reqs)
+    return out.select(
+        F.col("req_no").cast("int").alias("req_no"),
+        "time",
+        "time_ns",
+        F.element_at("contents", "etype").alias("etype"),
+        F.element_at("contents", "uid").alias("uid"),
+        "topic",
+        "source",
+        F.element_at("group_tags", "env").alias("env"),
+    )
+
+
+def oracle_sls_group_decode() -> str:
+    return """SELECT CAST(event_id % 16 AS INT) AS req_no,
+  1434055562 + event_id % 86400 AS time,
+  (event_id % 1000) * 1000000 AS time_ns,
+  event_type AS etype,
+  CAST(user_id AS VARCHAR) AS uid,
+  'top' || ((event_id % 16) % 3) AS topic,
+  '10.9.8.7' AS source,
+  'e' || ((event_id % 16) % 2) AS env
+FROM events"""
+
+
+QUERIES["sls_group_decode"] = q_sls_group_decode
+ORACLES["sls_group_decode"] = oracle_sls_group_decode()

@@ -63,3 +63,44 @@ def test_c4_clean_page_rules(spark):
     assert rows[1].page_kept == 0  # curly bracket
     assert rows[2].page_kept == 0  # lorem ipsum
     assert rows[3].page_kept == 0  # < 5 sentences
+
+
+def test_c4_span_dedup_semantics(spark):
+    from loongcollector_spark.dataops.text import c4_span_dedup
+
+    # doc 1 and doc 2 share the three-sentence span (S1,S2,S3); doc 1 is the
+    # corpus-first occurrence and keeps it; doc 2 loses those sentences but
+    # keeps its unique tail. doc 3 shares nothing.
+    s123 = "Shared one. Shared two. Shared three."
+    df = spark.createDataFrame(
+        [
+            (1, s123 + " Doc one tail."),
+            (2, s123 + " Doc two different tail. And more."),
+            (3, "Totally unique alpha. Totally unique beta. Totally unique gamma."),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+    assert rows[1].n_sentences == 4 and rows[1].kept_sentences == 4
+    assert rows[1].deduped_text.startswith("Shared one.")
+    # doc 2: windows (0,1,2) duplicates doc 1's -> sentences 0-2 removed
+    assert rows[2].n_sentences == 5 and rows[2].kept_sentences == 2
+    assert rows[2].deduped_text == "Doc two different tail. And more."
+    assert rows[3].kept_sentences == 3
+
+
+def test_c4_span_dedup_intra_doc_and_short(spark):
+    from loongcollector_spark.dataops.text import c4_span_dedup
+
+    # the same span twice INSIDE one doc: first occurrence wins, the repeat
+    # is removed; a doc shorter than the span is untouched
+    rep = "R one. R two. R three."
+    df = spark.createDataFrame(
+        [(1, rep + " Bridge sentence here. " + rep), (2, "Only two. Sentences here.")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+    assert rows[1].n_sentences == 7
+    assert rows[1].kept_sentences == 4
+    assert rows[1].deduped_text == "R one. R two. R three. Bridge sentence here."
+    assert rows[2].kept_sentences == 2 and rows[2].n_sentences == 2

@@ -308,3 +308,65 @@ class TestReferenceUnittestGoldens:
             "9a2c1a8a371d6798",
         ]
         assert {r.scope_tags["otel.scope.version"] for r in out} == {"1.28.0-alpha"}
+
+
+# --- sls_logs.proto LogGroup (Format=sls HTTP body) ---------------------------
+
+
+def test_sls_log_group_roundtrip_and_required():
+    from loongcollector_spark.operators.pb import (
+        decode_sls_log_group,
+        encode_sls_log,
+        encode_sls_log_group,
+        write_varint,
+        _len_field,
+    )
+
+    data = encode_sls_log_group(
+        [encode_sls_log(1434055562, {"a": "1", "b": "2"}, 777)],
+        category="cat", topic="top", source="10.0.0.1", tags={"g": "x"},
+    )
+    g = decode_sls_log_group(data)
+    assert g["logs"] == [
+        {"time": 1434055562, "time_ns": 777, "contents": {"a": "1", "b": "2"}}
+    ]
+    assert (g["category"], g["topic"], g["source"]) == ("cat", "top", "10.0.0.1")
+    assert g["tags"] == {"g": "x"}
+    # proto2 required: a Log without Time fails the whole group
+    no_time = _len_field(1, _len_field(2, _len_field(1, b"k") + _len_field(2, b"v")))
+    assert decode_sls_log_group(no_time) is None
+    # a Content missing Value fails too
+    bad_content = _len_field(
+        1, write_varint(1 << 3) + write_varint(1) + _len_field(2, _len_field(1, b"k"))
+    )
+    assert decode_sls_log_group(bad_content) is None
+    assert decode_sls_log_group(b"") is None
+    assert decode_sls_log_group(b"\xff\xff\xff") is None
+
+
+def test_parse_sls_log_group_spark(spark):
+    from loongcollector_spark.operators.pb import (
+        ParseSlsLogGroup,
+        encode_sls_log,
+        encode_sls_log_group,
+    )
+
+    good = encode_sls_log_group(
+        [
+            encode_sls_log(100, {"m": "one"}),
+            encode_sls_log(200, {"m": "two"}, 5),
+        ],
+        topic="t1", source="s1", tags={"env": "prod"},
+    )
+    df = spark.createDataFrame(
+        [("r1", bytearray(good)), ("r2", bytearray(b"\x00bad"))],
+        "req string, payload binary",
+    )
+    rows = sorted(
+        (r.req, r.time, r.time_ns, dict(r.contents), r.topic, r.source, dict(r.group_tags))
+        for r in ParseSlsLogGroup("payload", ["req"]).apply(df).collect()
+    )
+    assert rows == [
+        ("r1", 100, None, {"m": "one"}, "t1", "s1", {"env": "prod"}),
+        ("r1", 200, 5, {"m": "two"}, "t1", "s1", {"env": "prod"}),
+    ]

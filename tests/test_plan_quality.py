@@ -325,3 +325,27 @@ def test_pyroscope_decode_is_narrow(spark, sf_dir):
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Generate") <= 2  # one explode node (+header mention)
+
+
+def test_span_dedup_sentence_frame_built_once(spark):
+    """c4_span_dedup feeds three consumers from the sentence frame; the
+    scan+split must materialize once (InMemoryRelation) with every consumer
+    reading InMemoryTableScan — not three parquet re-scans."""
+    from loongcollector_spark.dataops import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "A one. B two. C three. D four.") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    try:
+        plan = _plan(T.c4_span_dedup(docs))
+        lines = _tree_lines(plan)
+        assert any("InMemoryRelation" in l for l in lines), "sentence frame not cached"
+        n_imts = sum("InMemoryTableScan" in l for l in lines)
+        assert n_imts >= 3, f"expected >=3 cached reads, got {n_imts}"
+        # no consumer may re-run the sentence split outside the cached build
+        for i, l in enumerate(lines):
+            if "split(" in l and not _has_imr_ancestor(lines, i):
+                raise AssertionError("sentence split outside the cached build:\n" + l)
+    finally:
+        spark.catalog.clearCache()
