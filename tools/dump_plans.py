@@ -94,6 +94,27 @@ def main() -> None:
             "lines) → narrow projection; JVM xxhash64 stack IDs, no "
             "Exchange, no Join, no Python.",
         ),
+        (
+            "c4_span_dedup — cross-corpus 3-sentence-span dedup",
+            QUERIES["c4_span_dedup"](spark, SF),
+            "sentence frame persisted (InMemoryRelation) — the scan+split "
+            "runs once for all three consumers; ONE span-hash Exchange "
+            "elects corpus-global first occurrences; doc rebuild via "
+            "partial-agg pairs; no all-pairs join.",
+        ),
+        (
+            "flusher_custom_single — Go-sorted-key JSON serializer",
+            QUERIES["flusher_custom_single"](spark, SF),
+            "one narrow projection tree (array_sort(map_entries) JSON "
+            "render): no Exchange, no Join, no Python.",
+        ),
+        (
+            "kafka_dynamic_topic — %{content.x} topic + hash key routing",
+            QUERIES["kafka_dynamic_topic"](spark, SF),
+            "pattern compiled at plan time into concat+map lookups; "
+            "partial HashAggregate pair around one (topic,key) Exchange — "
+            "the per-topic batch shuffle a partitioned Kafka write needs.",
+        ),
     ]
 
     out = [
