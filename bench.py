@@ -430,12 +430,20 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     # a local[32] run can use only 24 cores -- a structural 0.75 efficiency
     # cap, which is exactly what round-1's scaling numbers hit)
     split_bytes = max(1 << 20, cache_bytes // (cpus * 4))
-    heap = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    # Measurement workers get a SMALL fixed heap (6g, not the session
+    # default 16g): the timed job streams a cached scan and never needs
+    # multi-GB heaps, while 3 workers x 16g faulted-in Xms heaps (a) made
+    # every full collection sweep 16 GB and (b) put the box under enough
+    # page pressure that an idle worker's heap got reclaimed between runs —
+    # both showed up as 2-2.3x CPU-seconds on a level's FIRST timed run
+    # even after the double-warm fix.
+    heap = os.environ.get("SPARK_GRAFT_SCALE_HEAP", "6g")
     scan_conf = {
         "spark.sql.files.maxPartitionBytes": str(split_bytes),
         "spark.sql.files.openCostInBytes": "131072",
+        "spark.driver.memory": heap,
         # ParallelGC + fixed heap for the MEASUREMENT workers only: default
-        # G1 on a growable 16g heap injected concurrent-GC bursts into ~1 in
+        # G1 on a growable heap injected concurrent-GC bursts into ~1 in
         # 3 timed runs (1.5-2.6x CPU-seconds with zero external load — the
         # outlier the clean-pass guard exists for); with ParallelGC+Xms the
         # per-level CPU spread dropped to <15%.

@@ -180,3 +180,48 @@ def test_gotime_survives(nasty_events):
             ),
             len(NASTY),
         )
+
+
+def test_otel_log_parser_survives(nasty_events, spark):
+    from loongcollector_spark.operators.otel import OtelLogParser
+
+    _survives(OtelLogParser().apply(nasty_events))
+    # overflowing / negative / enum-garbage record fields must not abort
+    import json as _json
+
+    hostile = [
+        {"timeUnixNano": "9" * 30, "severityNumber": "NOT_AN_ENUM",
+         "body": {"stringValue": "x"}},
+        {"timeUnixNano": "-5", "severityNumber": "99999999999999999999",
+         "body": {"intValue": "9" * 40}},
+        {"severityNumber": 13},  # no body, no time
+    ]
+    payload = _json.dumps({"resourceLogs": [{"scopeLogs": [{"logRecords": hostile}]}]})
+    df = to_events(spark.createDataFrame([(0, payload)], "i long, content string"))
+    rows = OtelLogParser().apply(df).collect()
+    assert len(rows) == 3  # every record survives as a row, none kill the job
+
+
+def test_prom_rw_decoder_survives_garbage_bytes(spark):
+    from loongcollector_spark.operators.prom_rw import PromRemoteWriteDecoder
+
+    garbage = [
+        b"", b"\x00", b"\xff" * 64, bytes(range(256)),
+        b"\x80\x80\x80\x80\x80\x80\x80\x80\x80\x80\x01",  # 70-bit varint preamble
+        b"\x05\xfc" + b"x" * 3,  # copy before any output
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(g)) for i, g in enumerate(garbage)], "i long, payload binary"
+    )
+    out = PromRemoteWriteDecoder("payload", ["i"]).apply(df)
+    assert out.count() == 0  # every payload rejected, no exception
+
+
+def test_sls_group_decoder_survives_garbage_bytes(spark):
+    from loongcollector_spark.operators.pb import ParseSlsLogGroup
+
+    garbage = [b"", b"\x0a", b"\xff\xff\xff\xff", b"\x0a\x02\x08"]
+    df = spark.createDataFrame(
+        [(i, bytearray(g)) for i, g in enumerate(garbage)], "i long, payload binary"
+    )
+    assert ParseSlsLogGroup("payload", ["i"]).apply(df).count() == 0

@@ -305,3 +305,45 @@ def test_prom_text_relabel_windowed_rollup_streaming(spark, tmp_path):
     assert sum(r["n"] for r in out) == 80
     assert all(r["metric_name"] == "http_requests_total" for r in out)
     assert [r["n"] for r in out] == [26, 40, 14]
+
+
+def test_prom_remote_write_ingestion_streaming(spark, tmp_path):
+    """HTTP-ingestion shape for remote write as a STREAM: binary payload
+    parquet files tailed by readStream → snappy+prompb decode in Arrow
+    mapInPandas → per-metric counts in a complete-mode memory sink."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.prom_rw import (
+        PromRemoteWriteDecoder,
+        encode_write_request,
+        snappy_compress,
+    )
+
+    inp = str(tmp_path / "rw_in")
+    payloads = []
+    for b in range(4):
+        series = [
+            {
+                "labels": [("__name__", f"m{(b + i) % 2}"), ("h", f"h{i}")],
+                "samples": [(float(i), 1434055562000 + b)],
+            }
+            for i in range(3)
+        ]
+        payloads.append((b, bytearray(snappy_compress(encode_write_request(series)))))
+    spark.createDataFrame(payloads, "req long, payload binary").write.parquet(inp)
+
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    decoded = PromRemoteWriteDecoder("payload", ["req"]).apply(stream)
+    agg = decoded.groupBy("__name__").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rw_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["__name__"]: r.n for r in spark.sql("select * from rw_counts").collect()}
+    assert rows == {"m0": 6, "m1": 6}

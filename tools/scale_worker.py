@@ -98,7 +98,11 @@ def main() -> None:
     # 16-core run even after a single warm+gc). warm → gc → warm re-faults
     # the steady-state working set so the first timed run starts hot — the
     # same effect the post-run System.gc() below maintains between runs.
-    for _ in range(2):
+    # wider levels stabilize slower (GC ergonomics + JIT re-profiling across
+    # more threads: measured 368 → 215 → 185 CPU-seconds over the first
+    # three 16-core executions) — give them one more untimed execution;
+    # each costs only ~10-20 s at those widths.
+    for _ in range(3 if args.cpus >= 16 else 2):
         flagship.pipeline_aggregates_from(spark, spark.read.parquet(args.cache)).collect()
         try:
             spark.sparkContext._jvm.System.gc()
