@@ -1113,3 +1113,39 @@ FROM b"""
 
 DATAOPS_QUERIES["c4_span_dedup"] = q_c4_span_dedup
 DATAOPS_ORACLES["c4_span_dedup"] = oracle_c4_span_dedup()
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining mixture sampling: per-source weights
+    (down-sample src0-4 to 0.3, keep src5-9, up-sample src10-14 to 2.5
+    epochs) with a content-addressed hash threshold and an epoch index."""
+    weights = {f"src{i}": 0.3 for i in range(5)}
+    weights.update({f"src{i}": 2.5 for i in range(10, 15)})
+    out = text.mixture_sample(_docs(spark, sf_dir), weights)
+    return out.groupBy("source", "epoch").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+def oracle_mixture_sample() -> str:
+    hexv = "strpos('123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), {i}, 1))"
+    val = " + ".join(f"{hexv.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    return f"""WITH d AS (
+  SELECT doc_id, source, ({val}) / 65536.0 AS u,
+    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.3
+         WHEN source IN ('src10','src11','src12','src13','src14') THEN 2.5
+         ELSE 1.0 END AS w
+  FROM documents
+),
+n AS (SELECT doc_id, source,
+  CAST(floor(w) AS INT) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS copies
+  FROM d),
+x AS (SELECT doc_id, source, CAST(e AS INT) AS epoch
+  FROM n, unnest(range(0, copies)) AS t(e) WHERE copies >= 1)
+SELECT source, epoch, count(*) AS docs, min(doc_id) AS first_doc
+FROM x GROUP BY source, epoch"""
+
+
+DATAOPS_QUERIES["mixture_sample"] = q_mixture_sample
+DATAOPS_ORACLES["mixture_sample"] = oracle_mixture_sample()

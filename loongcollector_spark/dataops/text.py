@@ -1038,3 +1038,38 @@ def c4_span_dedup(
         F.coalesce("kept_sentences", F.lit(0)).alias("kept_sentences"),
         F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-mixture sampling for pretraining data mixing
+    (the per-source up/down-weighting step of public recipes — e.g. The
+    Pile / LLaMA mixture tables): weight w<1 keeps a w-fraction of the
+    source (content-addressed hash threshold, like ``sample_by_hash``),
+    w>1 emits floor(w) full epochs plus a (w-floor(w))-fraction extra
+    epoch. Adds an ``epoch`` column (0-based copy index). No RNG state, no
+    shuffle, stable under repartitioning — reproducible at 100 TB; the
+    explode is the only fan-out."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    u = h / F.lit(65536.0)
+    args: list[Column] = []
+    for k, v in weights.items():
+        args += [F.lit(k), F.lit(float(v))]
+    wmap = F.create_map(*args) if args else F.expr("map()").cast("map<string,double>")
+    w = F.coalesce(F.element_at(wmap, F.col(source_col)), F.lit(float(default_weight)))
+    full = F.floor(w).cast("int")
+    n = full + F.when(u < (w - full), F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(copies))

@@ -346,3 +346,23 @@ def test_star_contraction_chain_converges_log_rounds(spark):
         ).collect()
     }
     assert lp == st
+
+
+def test_mixture_sample_weights_and_epochs(spark):
+    from loongcollector_spark.dataops.text import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(2000)], "doc_id long, source string"
+    )
+    out = mixture_sample(df, {"s0": 0.25, "s1": 2.5}).groupBy("source").agg(
+        F.count("*").alias("n"), F.max("epoch").alias("max_epoch")
+    )
+    rows = {r.source: r for r in out.collect()}
+    # s0: ~25% of 1000 kept, epoch always 0
+    assert 180 <= rows["s0"].n <= 320 and rows["s0"].max_epoch == 0
+    # s1: 2 full epochs + ~50% third epoch of 1000 docs
+    assert 2300 <= rows["s1"].n <= 2700 and rows["s1"].max_epoch == 2
+    # determinism: same input -> identical output
+    a = mixture_sample(df, {"s0": 0.25, "s1": 2.5}).collect()
+    b = mixture_sample(df, {"s0": 0.25, "s1": 2.5}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
