@@ -87,8 +87,13 @@ def _tree_cpu_s() -> float:
                 parts = fh.read().rsplit(")", 1)[1].split()
         except (OSError, IndexError):
             continue
-        # after the comm field: parts[1]=ppid, parts[11]=utime, parts[12]=stime
-        procs[int(p)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        # after the comm field: parts[1]=ppid, parts[11]=utime, parts[12]=stime,
+        # parts[13]=cutime, parts[14]=cstime (reaped children — pyspark
+        # workers recycle mid-run; live-only counting undercuts the window)
+        procs[int(p)] = (
+            int(parts[1]),
+            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14]),
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         children.setdefault(ppid, []).append(pid)
@@ -576,7 +581,18 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
         for r in runs
         if r[f"cpu_s_{low_cpus}c"] <= 1.3 * cpu_lo_min
         and r[f"cpu_s_{mid_cpus}c"] <= 1.3 * cpu_mid_min
-    ] or runs
+    ]
+    if not clean:
+        # every pass was noisy at some level: keep only the LEAST-noisy pass
+        # (lowest combined CPU inflation) rather than laundering all of them
+        # as clean — an all-noisy fallback once medianed three corrupt ratios
+        clean = [
+            min(
+                runs,
+                key=lambda r: r[f"cpu_s_{low_cpus}c"] / cpu_lo_min
+                + r[f"cpu_s_{mid_cpus}c"] / cpu_mid_min,
+            )
+        ]
     for r in runs:
         r["clean"] = r in clean
     best = max(clean, key=lambda r: r["efficiency"])

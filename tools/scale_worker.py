@@ -43,7 +43,14 @@ def _tree_cpu_s() -> float:
                 parts = fh.read().rsplit(")", 1)[1].split()
         except (OSError, IndexError):
             continue
-        procs[int(p)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        # utime+stime of the process itself PLUS cutime+cstime (CPU of its
+        # already-REAPED children — pyspark workers recycle mid-run; counting
+        # only live procs undercounted a 16-core run by ~2x when the daemon
+        # reaped its workers between the before/after snapshots)
+        procs[int(p)] = (
+            int(parts[1]),
+            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14]),
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         children.setdefault(ppid, []).append(pid)
