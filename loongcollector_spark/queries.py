@@ -2639,3 +2639,49 @@ FROM events"""
 
 QUERIES["sls_group_decode"] = q_sls_group_decode
 ORACLES["sls_group_decode"] = oracle_sls_group_decode()
+
+
+def q_otel_pj_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP logs Format=protojson: the payload is one ResourceLogs object
+    (wrapped like the trace/metric protojson paths) with an enum-NAME
+    severity — same output contract, shares oracle_otel_log."""
+    from .operators.otel import OtelLogParser
+
+    sev_names = [
+        "SEVERITY_NUMBER_UNSPECIFIED", "SEVERITY_NUMBER_TRACE", "SEVERITY_NUMBER_TRACE2",
+        "SEVERITY_NUMBER_TRACE3", "SEVERITY_NUMBER_TRACE4", "SEVERITY_NUMBER_DEBUG",
+        "SEVERITY_NUMBER_DEBUG2", "SEVERITY_NUMBER_DEBUG3", "SEVERITY_NUMBER_DEBUG4",
+        "SEVERITY_NUMBER_INFO", "SEVERITY_NUMBER_INFO2", "SEVERITY_NUMBER_INFO3",
+        "SEVERITY_NUMBER_INFO4", "SEVERITY_NUMBER_WARN", "SEVERITY_NUMBER_WARN2",
+        "SEVERITY_NUMBER_WARN3", "SEVERITY_NUMBER_WARN4", "SEVERITY_NUMBER_ERROR",
+        "SEVERITY_NUMBER_ERROR2", "SEVERITY_NUMBER_ERROR3", "SEVERITY_NUMBER_ERROR4",
+        "SEVERITY_NUMBER_FATAL", "SEVERITY_NUMBER_FATAL2", "SEVERITY_NUMBER_FATAL3",
+        "SEVERITY_NUMBER_FATAL4",
+    ]
+    ev = _events_raw(spark, sf_dir)
+    ts = (F.lit(_OTEL_LOG_TS_BASE) + F.col("event_id") * 1000).cast("string")
+    sev_arr = F.array(*[F.lit(s) for s in sev_names])
+    payload = F.concat(
+        F.lit('{"resource":{"attributes":[{"key":"serviceName",'
+              '"value":{"stringValue":"svc-'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeLogs":[{"logRecords":[{"timeUnixNano":"'),
+        ts,
+        F.lit('","severityNumber":"'),
+        F.element_at(sev_arr, (F.col("event_id") % 25).cast("int") + 1),
+        F.lit('","severityText":"'),
+        F.col("event_type"),
+        F.lit('","body":{"stringValue":"msg-'),
+        F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"attr1","value":{"intValue":"'),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit('"}},{"key":"attr2","value":{"boolValue":'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit('}}]}]}]}'),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    return _otel_log_cols(OtelLogParser(format="protojson").apply(df))
+
+
+QUERIES["otel_pj_log"] = q_otel_pj_log
+ORACLES["otel_pj_log"] = oracle_otel_log()
