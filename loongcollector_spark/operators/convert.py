@@ -368,7 +368,7 @@ class InfluxMetricSerializer(Operator):
     93-99): ``__field__`` empty/"value" → field "value"; else the ``:field``
     suffix is stripped from the metric name. Value typing per readValue
     (:172-183): __type__ int → ``NNi``, bool → true/false, string → quoted,
-    default float (strconv 'g' rendering — non-exponent subset, as the
+    default float (exact strconv 'g' rendering — gofmt.go_g, as the
     decoder). A log the reader would reject (missing name/value, bad number,
     dangling label key) yields line=NULL — the reference fails the whole
     group there; per-line NULL is the engine's finer-grained analog."""

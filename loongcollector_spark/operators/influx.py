@@ -32,9 +32,12 @@ Divergences (documented):
   per-line dropping is the table-input analog of a 400 response.
 - a line without a timestamp gets ``default_ts_ns`` (0); the reference stamps
   time.Now().UTC() at receive time.
-- float rendering matches Go %g for non-exponent magnitudes (|v| < 1e15);
-  exponent-form output (1e+20 etc.) is out of scope for the fixture space.
 - comment (#) and blank lines are skipped, as in the reference parser.
+
+Float rendering is exact Go %g (gofmt.go_g, shortest digits with the
+exponent-form switch at decimal exponent < -4 or >= 6); ``__time_nano__``
+goes through NewMetricLogStringVal's digit-count normalization
+(normalize_time_nano_col) like every reference metric log.
 """
 
 from __future__ import annotations
@@ -93,11 +96,30 @@ def _unescape(c: Column) -> Column:
 
 
 def _fmt_g(d: Column) -> Column:
-    """Go strconv.FormatFloat(v,'g',-1,64) for the non-exponent range:
-    integral floats drop the fraction (1.0 → "1")."""
-    integral = (d == F.floor(d)) & (F.abs(d) < F.lit(1e15))
-    return F.when(integral, d.cast("bigint").cast("string")).otherwise(
-        d.cast("string")
+    """Exact Go strconv.FormatFloat(v,'g',-1,64) — see gofmt.go_g."""
+    from .gofmt import go_g
+
+    return go_g(d)
+
+
+def normalize_time_nano_col(ts: Column) -> Column:
+    """NewMetricLogStringVal digit-count normalization (log_helper.go:270-283),
+    Column tier: 13-digit (ms) timestamps append '000000', 19-digit pass
+    verbatim, anything else scales by 10^(19-len) through float64 exactly as
+    Go does (``int64(float64(t) * math.Pow10(19-len))``). ``ts`` is the raw
+    decimal string (possibly signed — Go counts the '-' in the length, so we
+    use the string length verbatim)."""
+    slen = F.length(ts)
+    # try_cast: Go's float64→int64 conversion is implementation-defined on
+    # overflow (e.g. an 18-digit value ×10 passing int64 max); fall back to
+    # the verbatim string rather than pick a hardware-specific saturation
+    scaled = (
+        ts.try_cast("double") * F.pow(F.lit(10.0), (F.lit(19) - slen).cast("double"))
+    ).try_cast("long")
+    return (
+        F.when(slen == 13, F.concat(ts, F.lit("000000")))
+        .when(slen == 19, ts)
+        .otherwise(F.coalesce(scaled.cast("string"), ts))
     )
 
 
@@ -160,12 +182,20 @@ class InfluxDecoder(Operator):
                 ),
                 lambda p: F.length(p.getField("k")) > 0,  # decoder.go:124
             )
-            ts_nano = F.when(ts == "", F.lit(str(self.default_ts_ns))).otherwise(ts)
-            return F.struct(
-                measurement.alias("measurement"),
-                labels.alias("labels"),
-                ts_nano.alias("ts"),
-                fields_arr.alias("fields"),
+            ts_nano = normalize_time_nano_col(
+                F.when(ts == "", F.lit(str(self.default_ts_ns))).otherwise(ts)
+            )
+            # strconv.ParseInt ErrRange (models.ParsePoints): a timestamp
+            # outside int64 rejects the point before NewMetricLogStringVal
+            ts_ok = (ts == "") | ts.try_cast("bigint").isNotNull()
+            return F.when(
+                ts_ok,
+                F.struct(
+                    measurement.alias("measurement"),
+                    labels.alias("labels"),
+                    ts_nano.alias("ts"),
+                    fields_arr.alias("fields"),
+                ),
             )
 
         parsed = F.when(matched, flet(parts, build))

@@ -489,8 +489,9 @@ class ParseFromPB:
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
-                    g = decode_event_group(bytes(r[payload_col]))
-                    if g is None:
+                    raw = r[payload_col]
+                    g = decode_event_group(bytes(raw)) if raw is not None else None
+                    if g is None:  # NULL/garbage payload: drop the line
                         continue
                     keep = tuple(r[c] for c in passthrough)
                     for ev in g["events"]:
@@ -695,8 +696,9 @@ class ParseSlsLogGroup:
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
-                    g = decode_sls_log_group(bytes(r[payload_col]))
-                    if g is None:
+                    raw = r[payload_col]
+                    g = decode_sls_log_group(bytes(raw)) if raw is not None else None
+                    if g is None:  # NULL/garbage payload: drop the line
                         continue
                     keep = tuple(r[c] for c in passthrough)
                     for log in g["logs"]:

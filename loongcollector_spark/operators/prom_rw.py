@@ -44,6 +44,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .gofmt import fmt_go_g  # exact strconv.FormatFloat(v,'g',-1,64)
 from .pb import PBError, _fields, read_varint, write_varint
 
 STALE_NAN_BITS = 0x7FF0000000000002
@@ -212,18 +213,6 @@ def encode_write_request(series: list[dict]) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def fmt_go_g(v: float) -> str:
-    """strconv.FormatFloat(v,'g',-1,64) for the practical (non-exponent)
-    range; special values match Go's spellings."""
-    if math.isnan(v):
-        return "NaN"
-    if math.isinf(v):
-        return "+Inf" if v > 0 else "-Inf"
-    if v == int(v) and abs(v) < 1e15:
-        return str(int(v))
-    return repr(v)
-
-
 def normalize_time_nano(ts: int) -> tuple[str, int, int]:
     """NewMetricLogStringVal (log_helper.go:270-283): digit-count-based
     normalization → (__time_nano__ text, sec, ns)."""
@@ -289,9 +278,12 @@ class PromRemoteWriteDecoder:
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
+                    raw = r[payload_col]
+                    if raw is None:  # NULL payload: fail the line, not the job
+                        continue
                     try:
-                        evs = remote_write_to_rows(bytes(r[payload_col]))
-                    except (SnappyError, PBError, ValueError):
+                        evs = remote_write_to_rows(bytes(raw))
+                    except (SnappyError, PBError, ValueError, TypeError):
                         continue
                     keep = tuple(r[c] for c in passthrough)
                     for name, lbl, tn, val in evs:

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from .base import FIELDS, Operator
 from .common import flet
 from .influx import _FLOAT_RX, _MAX_F64, _fmt_g
+from .prom_rw import normalize_time_nano
 
 _SEP = "\x01"
 
@@ -100,7 +101,10 @@ class StatsdDecoder(Operator):
             .select(
                 *keep,
                 F.col("__m__.name").alias("__name__"),
-                F.lit(str(self.default_ts_ns)).alias("__time_nano__"),
+                # helper.NewMetricLog(now.UnixNano()) → digit-count normalize
+                F.lit(normalize_time_nano(self.default_ts_ns)[0]).alias(
+                    "__time_nano__"
+                ),
                 F.col("__m__.labels").alias("__labels__"),
                 F.col("__m__.value").alias("__value__"),
             )

@@ -694,6 +694,10 @@ def q_influx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(",count="), F.col("event_id").cast("string"), F.lit("i"),
         F.lit(",ok="), oktok,
         F.lit(',msg="hi '), F.col("event_type"), F.lit('"'),
+        # Go %g exponent-form boundary pins: 2000000→"2e+06", 0.0001→"0.0001",
+        # 0.00001→"1e-05" (gofmt.go_g; decimal exponent <-4 or >=6 switches)
+        F.lit(",big="), ((F.col("event_id") % 3 + 2) * 1000000).cast("string"),
+        F.lit(",tiny=0.0001,micro=0.00001"),
         F.lit(" 1434055562"),
         F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
         F.lit("000000"),
@@ -736,7 +740,16 @@ SELECT doc_id, meas || ':ok', tn, labels,
 FROM ev
 UNION ALL
 SELECT doc_id, meas || ':msg', tn, labels, 'hi ' || event_type,
-  'string', 'msg', 'metricsdb' FROM ev"""
+  'string', 'msg', 'metricsdb' FROM ev
+UNION ALL
+SELECT doc_id, meas || ':big', tn, labels,
+  (event_id % 3 + 2) || 'e+06', 'float', 'big', 'metricsdb' FROM ev
+UNION ALL
+SELECT doc_id, meas || ':tiny', tn, labels, '0.0001', 'float', 'tiny',
+  'metricsdb' FROM ev
+UNION ALL
+SELECT doc_id, meas || ':micro', tn, labels, '1e-05', 'float', 'micro',
+  'metricsdb' FROM ev"""
 
 
 def q_statsd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

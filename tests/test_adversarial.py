@@ -209,9 +209,11 @@ def test_prom_rw_decoder_survives_garbage_bytes(spark):
         b"", b"\x00", b"\xff" * 64, bytes(range(256)),
         b"\x80\x80\x80\x80\x80\x80\x80\x80\x80\x80\x01",  # 70-bit varint preamble
         b"\x05\xfc" + b"x" * 3,  # copy before any output
+        None,  # NULL payload column (ADVICE r3: fail the line, never the job)
     ]
     df = spark.createDataFrame(
-        [(i, bytearray(g)) for i, g in enumerate(garbage)], "i long, payload binary"
+        [(i, bytearray(g) if g is not None else None) for i, g in enumerate(garbage)],
+        "i long, payload binary",
     )
     out = PromRemoteWriteDecoder("payload", ["i"]).apply(df)
     assert out.count() == 0  # every payload rejected, no exception
@@ -220,8 +222,9 @@ def test_prom_rw_decoder_survives_garbage_bytes(spark):
 def test_sls_group_decoder_survives_garbage_bytes(spark):
     from loongcollector_spark.operators.pb import ParseSlsLogGroup
 
-    garbage = [b"", b"\x0a", b"\xff\xff\xff\xff", b"\x0a\x02\x08"]
+    garbage = [b"", b"\x0a", b"\xff\xff\xff\xff", b"\x0a\x02\x08", None]
     df = spark.createDataFrame(
-        [(i, bytearray(g)) for i, g in enumerate(garbage)], "i long, payload binary"
+        [(i, bytearray(g) if g is not None else None) for i, g in enumerate(garbage)],
+        "i long, payload binary",
     )
     assert ParseSlsLogGroup("payload", ["i"]).apply(df).count() == 0

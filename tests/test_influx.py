@@ -137,6 +137,34 @@ def test_escapes_types_and_g_format(spark):
     assert rows["m:load"]["__time_nano__"] == "1434055562000000000"
 
 
+def test_time_nano_digit_normalization(spark):
+    # NewMetricLogStringVal (log_helper.go:270-283): 13-digit ms appends
+    # '000000'; 19-digit verbatim; other lengths scale by 10^(19-len) via
+    # float64 (10-digit epoch seconds → ns)
+    lines = [
+        "a v=1 1434055562000",  # 13 digits (ms)
+        "b v=1 1434055562000000000",  # 19 digits (ns)
+        "c v=1 1434055562",  # 10 digits (s) → ×10^9
+    ]
+    out = InfluxDecoder().apply(_events(spark, lines))
+    rows = {r["__name__"]: r["__time_nano__"] for r in _rows(out)}
+    assert rows["a:v"] == "1434055562000000000"
+    assert rows["b:v"] == "1434055562000000000"
+    assert rows["c:v"] == "1434055562000000000"
+
+
+def test_g_format_exponent_boundary(spark):
+    # gofmt.go_g: decimal exponent >= 6 or < -4 switches to %e (Go 'g')
+    lines = ["m v=2000000,w=1234567.5,x=0.0001,y=0.00001,z=999999.5 1434055562000000000"]
+    out = InfluxDecoder().apply(_events(spark, lines))
+    rows = {r["__name__"]: r["__value__"] for r in _rows(out)}
+    assert rows["m:v"] == "2e+06"
+    assert rows["m:w"] == "1.2345675e+06"
+    assert rows["m:x"] == "0.0001"
+    assert rows["m:y"] == "1e-05"
+    assert rows["m:z"] == "999999.5"
+
+
 def test_malformed_line_dropped_not_job(spark):
     lines = ["not a valid line", "cpu value=1i 1434055562000000000"]
     out = InfluxDecoder().apply(_events(spark, lines))
