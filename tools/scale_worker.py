@@ -107,9 +107,11 @@ def main() -> None:
     # same effect the post-run System.gc() below maintains between runs.
     # wider levels stabilize slower (GC ergonomics + JIT re-profiling across
     # more threads: measured 368 → 215 → 185 CPU-seconds over the first
-    # three 16-core executions) — give them one more untimed execution;
-    # each costs only ~10-20 s at those widths.
-    for _ in range(3 if args.cpus >= 16 else 2):
+    # three 16-core executions, and at 32-wide the first TIMED run after a
+    # triple warm still burned 345-610 CPU-s vs the ~180-205 steady state,
+    # improving monotonically run over run) — give wider levels more untimed
+    # executions; each costs only ~10-20 s at those widths.
+    for _ in range(5 if args.cpus >= 32 else 3 if args.cpus >= 16 else 2):
         flagship.pipeline_aggregates_from(spark, spark.read.parquet(args.cache)).collect()
         try:
             spark.sparkContext._jvm.System.gc()
