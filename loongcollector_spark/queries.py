@@ -2698,3 +2698,340 @@ def q_otel_pj_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["otel_pj_log"] = q_otel_pj_log
 ORACLES["otel_pj_log"] = oracle_otel_log()
+
+
+# --- SkyWalking v3 (plugins/input/skywalkingv3) -------------------------------
+
+
+def q_skywalking_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v3 trace-segment conversion (segment_analyze.go ParseSegment
+    + ot_trace.go ToLog): SegmentObject protojson → one span row with the
+    OtSpan key set; resource properties broadcast-joined (the reference's
+    ResourcePropertiesCache)."""
+    from .operators.skywalking import SkywalkingSegmentParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    st = F.lit(1663904182000) + eid
+    en = st + (eid % 100 + 1)
+    stype = F.element_at(
+        F.array(F.lit("Entry"), F.lit("Exit"), F.lit("Local")), (eid % 3).cast("int") + 1
+    )
+    slayer = F.element_at(
+        F.array(*[F.lit(x) for x in ("Unknown", "Database", "MQ", "Http")]),
+        (eid % 4).cast("int") + 1,
+    )
+    db_tag = F.when(
+        eid % 4 == 1, F.lit(',{"key":"db.type","value":"MySQL"}')
+    ).otherwise(F.lit(""))
+    mq_tag = F.when(
+        eid % 4 == 2,
+        F.concat(F.lit(',{"key":"mq.topic","value":"t-'), ut, F.lit('"}')),
+    ).otherwise(F.lit(""))
+    ek = F.when(eid % 3 == 0, F.lit("OpError")).otherwise(F.lit(""))
+    refs = F.when(
+        eid % 4 == 0,
+        F.concat(
+            F.lit(',"refs":[{"traceId":"t-up-'), eid.cast("string"),
+            F.lit('","parentTraceSegmentId":"pseg-'), eid.cast("string"),
+            F.lit('","parentSpanId":7}]'),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"traceId":"'), F.md5(F.col("doc_id")),
+        F.lit('","traceSegmentId":"seg-'), eid.cast("string"),
+        F.lit('","service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut,
+        F.lit('","spans":[{"spanId":'), (eid % 100 + 1).cast("string"),
+        F.lit(',"parentSpanId":'),
+        F.when(eid % 5 == 0, F.lit("-1")).otherwise(F.lit("3")),
+        F.lit(',"startTime":'), st.cast("string"),
+        F.lit(',"endTime":'), en.cast("string"),
+        F.lit(',"operationName":"op-'), et,
+        F.lit('","peer":"10.0.0.'), ut,
+        F.lit(':3306","spanType":"'), stype,
+        F.lit('","spanLayer":"'), slayer,
+        F.lit('","isError":'),
+        F.when(eid % 3 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"tags":[{"key":"url","value":"/api/'), et,
+        F.lit('"},{"key":"key-a","value":"v-'), ut, F.lit('"}'),
+        db_tag, mq_tag,
+        F.lit('],"logs":[{"time":'), (st + 1).cast("string"),
+        F.lit(',"data":[{"key":"event","value":"ex"},'
+              '{"key":"error.kind","value":"'), ek,
+        F.lit('"}]}]'), refs, F.lit("}]}"),
+    )
+    res = (
+        ev.select(et.alias("service"), (F.col("user_id") % 5).alias("__ut__"))
+        .distinct()
+        .where(F.col("__ut__") % 2 == 0)
+        .select(
+            "service",
+            F.concat(F.lit("inst-"), F.col("__ut__").cast("string")).alias(
+                "serviceInstance"
+            ),
+            F.array(
+                F.struct(
+                    F.lit("hostname").alias("key"),
+                    F.concat(F.lit("h-"), F.col("__ut__").cast("string")).alias("value"),
+                ),
+                F.struct(F.lit("language").alias("key"), F.lit("java").alias("value")),
+            ).alias("properties"),
+        )
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingSegmentParser().apply(df, resources=res)
+    keys = [
+        "links", "host", "service", "resource", "name", "kind", "traceID",
+        "spanID", "parentSpanID", "logs", "traceState", "start", "end",
+        "duration", "attribute", "statusCode", "statusMessage",
+    ]
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k) for k in keys],
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_segment() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, event_type AS et,
+         cast(user_id % 5 AS varchar) AS ut, user_id % 5 AS utn,
+         1663904182000 + event_id AS st,
+         1663904182000 + event_id + event_id % 100 + 1 AS en
+  FROM events
+)
+SELECT doc_id,
+  CASE WHEN eid % 4 = 0 THEN
+    '[{"traceID":"t-up-' || eid || '","spanID":"pseg-' || eid ||
+    '.7","traceState":"","attributes":null}]'
+  ELSE '[]' END AS links,
+  CASE WHEN utn % 2 = 0 THEN 'h-' || ut ELSE '' END AS host,
+  et AS service,
+  CASE WHEN utn % 2 = 0 THEN
+    '{"host.name":"h-' || ut || '","telemetry.sdk.language":"java"}'
+  ELSE '{}' END AS resource,
+  'op-' || et AS name,
+  CASE WHEN eid % 4 = 2 THEN
+    CASE eid % 3 WHEN 0 THEN 'consumer' WHEN 1 THEN 'producer' ELSE '' END
+  ELSE
+    CASE eid % 3 WHEN 0 THEN 'server' WHEN 1 THEN 'client' ELSE 'internal' END
+  END AS kind,
+  md5(doc_id) AS traceID,
+  'seg-' || eid || '.' || (eid % 100 + 1) AS spanID,
+  CASE WHEN eid % 4 = 0 THEN 'pseg-' || eid || '.7'
+       WHEN eid % 5 = 0 THEN ''
+       ELSE 'seg-' || eid || '.3' END AS parentSpanID,
+  '[{"error.kind":"' || (CASE WHEN eid % 3 = 0 THEN 'OpError' ELSE '' END) ||
+    '","event":"ex","time":"' || (st + 1) || '"}]' AS logs,
+  '' AS traceState,
+  cast(st * 1000 AS varchar) AS "start",
+  cast(en * 1000 AS varchar) AS "end",
+  cast((eid % 100 + 1) * 1000 AS varchar) AS duration,
+  CASE
+    WHEN eid % 4 = 1 THEN
+      '{' || (CASE WHEN eid % 3 = 1
+              THEN '"db.connection_string":"mysql://10.0.0.' || ut || ':3306",'
+              ELSE '' END) ||
+      '"db.system":"MySQL","http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+    WHEN eid % 4 = 2 THEN
+      '{"http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","messaging.destination":"t-' || ut ||
+      '","messaging.destination_kind":"topic",' ||
+      '"messaging.system":"MessagingSystem","mq.topic":"t-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+    ELSE
+      '{"http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+  END AS attribute,
+  CASE WHEN eid % 3 = 0 THEN 'ERROR' ELSE 'OK' END AS statusCode,
+  CASE WHEN eid % 3 = 0 THEN 'OpError' ELSE '' END AS statusMessage,
+  cast(en // 1000 AS varchar) AS ts_sec
+FROM ev"""
+
+
+_JVM_POOLS = (
+    "CODE_CACHE_USAGE", "NEWGEN_USAGE", "OLDGEN_USAGE",
+    "SURVIVOR_USAGE", "PERMGEN_USAGE", "METASPACE_USAGE",
+)
+
+
+def q_skywalking_jvm_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v3 JVM metrics (jvm_metric_handle.go toMetricStoreFormat):
+    JVMMetricCollection protojson → 14 skywalking_jvm_* metric logs per
+    payload (cpu, 4 memory, 4 pool, 2 gc, 3 thread)."""
+    from .operators.skywalking import SkywalkingJvmMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    t = F.lit(1663904182000) + eid
+    pool = F.element_at(
+        F.array(*[F.lit(p) for p in _JVM_POOLS]), (eid % 6).cast("int") + 1
+    )
+    payload = F.concat(
+        F.lit('{"service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut,
+        F.lit('","metrics":[{"time":'), t.cast("string"),
+        F.lit(',"cpu":{"usagePercent":'), (eid % 100).cast("string"),
+        F.lit('},"memory":[{"isHeap":'),
+        F.when(eid % 2 == 1, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"init":'), (eid % 7).cast("string"),
+        F.lit(',"max":'), (eid % 11).cast("string"),
+        F.lit(',"used":'), (eid % 13).cast("string"),
+        F.lit(',"committed":'), (eid % 17).cast("string"),
+        F.lit('}],"memoryPool":[{"type":"'), pool,
+        F.lit('","init":'), (eid % 7 + 1).cast("string"),
+        F.lit(',"max":'), (eid % 11 + 1).cast("string"),
+        F.lit(',"used":'), (eid % 13 + 1).cast("string"),
+        F.lit(',"committed":'), (eid % 17 + 1).cast("string"),
+        F.lit('}],"gc":[{"phrase":"'),
+        F.when(eid % 2 == 0, F.lit("NEW")).otherwise(F.lit("OLD")),
+        F.lit('","count":'), (eid % 19).cast("string"),
+        F.lit(',"time":'), (eid % 23).cast("string"),
+        F.lit('}],"thread":{"liveCount":'), (eid % 29).cast("string"),
+        F.lit(',"daemonCount":'), (eid % 31).cast("string"),
+        F.lit(',"peakCount":'), (eid % 37).cast("string"),
+        F.lit("}}]}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingJvmMetricParser().apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_jvm_metric() -> str:
+    pools = ", ".join(f"'{p}'" for p in _JVM_POOLS)
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid,
+         'service#$#' || event_type || '|serviceInstance#$#inst-' ||
+           (user_id % 5) AS base,
+         cast(1663904182000 + event_id AS varchar) || '000000' AS tn,
+         cast((1663904182000 + event_id) // 1000 AS varchar) AS ts_sec,
+         CASE WHEN event_id % 2 = 1 THEN 'heap' ELSE 'nonheap' END AS mtype,
+         (ARRAY[{pools}])[cast(event_id % 6 AS int) + 1] AS ptype,
+         CASE WHEN event_id % 2 = 0 THEN 'NEW' ELSE 'OLD' END AS phrase
+  FROM events
+), rows AS (
+  SELECT doc_id, 'skywalking_jvm_cpu_usage' AS name, tn AS time_nano,
+         base AS labels, cast(eid % 100 AS varchar) AS value, ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_committed', tn,
+    base || '|type#$#' || mtype, cast(eid % 17 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_init', tn,
+    base || '|type#$#' || mtype, cast(eid % 7 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_max', tn,
+    base || '|type#$#' || mtype, cast(eid % 11 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_used', tn,
+    base || '|type#$#' || mtype, cast(eid % 13 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_committed', tn,
+    base || '|type#$#' || ptype, cast(eid % 17 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_init', tn,
+    base || '|type#$#' || ptype, cast(eid % 7 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_max', tn,
+    base || '|type#$#' || ptype, cast(eid % 11 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_used', tn,
+    base || '|type#$#' || ptype, cast(eid % 13 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_gc_time', tn,
+    'phrase#$#' || phrase || '|' || base, cast(eid % 23 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_gc_count', tn,
+    'phrase#$#' || phrase || '|' || base, cast(eid % 19 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_threads_live', tn, base,
+    cast(eid % 29 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_threads_daemon', tn, base,
+    cast(eid % 31 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_threads_peak', tn, base,
+    cast(eid % 37 AS varchar), ts_sec FROM ev
+)
+SELECT doc_id, name, time_nano, labels, value, ts_sec FROM rows"""
+
+
+def q_skywalking_clr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v3 CLR metrics (clr_metric_handle.go toMetricStoreFormat):
+    CLRMetricCollection protojson → 9 skywalking_clr_* metric logs per
+    payload (cpu, 3 gc gens, heap, 4 thread gauges)."""
+    from .operators.skywalking import SkywalkingClrMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    t = F.lit(1663904182000) + eid
+    payload = F.concat(
+        F.lit('{"service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut,
+        F.lit('","metrics":[{"time":'), t.cast("string"),
+        F.lit(',"cpu":{"usagePercent":'), (eid % 100).cast("string"),
+        F.lit('},"gc":{"gen0CollectCount":'), (eid % 5).cast("string"),
+        F.lit(',"gen1CollectCount":'), (eid % 7).cast("string"),
+        F.lit(',"gen2CollectCount":'), (eid % 9).cast("string"),
+        F.lit(',"heapMemory":'), ((eid % 1000) * 1000).cast("string"),
+        F.lit('},"thread":{"availableCompletionPortThreads":'),
+        (eid % 11).cast("string"),
+        F.lit(',"availableWorkerThreads":'), (eid % 13).cast("string"),
+        F.lit(',"maxCompletionPortThreads":'), (eid % 15).cast("string"),
+        F.lit(',"maxWorkerThreads":'), (eid % 17).cast("string"),
+        F.lit("}}]}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingClrMetricParser().apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_clr_metric() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid,
+         'service#$#' || event_type || '|serviceInstance#$#inst-' ||
+           (user_id % 5) AS base,
+         cast(1663904182000 + event_id AS varchar) || '000000' AS tn,
+         cast((1663904182000 + event_id) // 1000 AS varchar) AS ts_sec
+  FROM events
+), rows AS (
+  SELECT doc_id, 'skywalking_clr_cpu_usage' AS name, tn AS time_nano,
+         base AS labels, cast(eid % 100 AS varchar) AS value, ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_gc_count', tn, 'gen#$#gen0|' || base,
+    cast(eid % 5 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_gc_count', tn, 'gen#$#gen1|' || base,
+    cast(eid % 7 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_gc_count', tn, 'gen#$#gen2|' || base,
+    cast(eid % 9 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_heap_memory', tn, base,
+    cast((eid % 1000) * 1000 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_threads', tn,
+    base || '|type#$#availableCompletionPortThreads',
+    cast(eid % 11 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_threads', tn,
+    base || '|type#$#availableWorkerThreads',
+    cast(eid % 13 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_threads', tn,
+    base || '|type#$#maxCompletionPortThreads',
+    cast(eid % 15 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_clr_threads', tn,
+    base || '|type#$#maxWorkerThreads',
+    cast(eid % 17 AS varchar), ts_sec FROM ev
+)
+SELECT doc_id, name, time_nano, labels, value, ts_sec FROM rows"""
+
+
+QUERIES["skywalking_segment"] = q_skywalking_segment
+QUERIES["skywalking_jvm_metric"] = q_skywalking_jvm_metric
+QUERIES["skywalking_clr_metric"] = q_skywalking_clr_metric
+ORACLES["skywalking_segment"] = oracle_skywalking_segment()
+ORACLES["skywalking_jvm_metric"] = oracle_skywalking_jvm_metric()
+ORACLES["skywalking_clr_metric"] = oracle_skywalking_clr_metric()
