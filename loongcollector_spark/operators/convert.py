@@ -531,3 +531,108 @@ def loki_sink_frame(
         F.col(time_col).cast("long").alias("ts"),
         F.col(conv.out_col).alias("line"),
     )
+
+
+def otlp_logs_sink_frames(
+    df: DataFrame,
+    group_cols: list[str],
+    source: Column | str = "",
+    topic: Column | str = "",
+    machine_uuid: Column | str = "",
+    group_tags: Mapping[str, Column | str] | None = None,
+    tag_key_rename: Mapping[str, str] | None = None,
+    ts_sec_col: str = "ts_sec",
+    order_col: str | None = None,
+    k8s: bool = False,
+) -> DataFrame:
+    """flusher_otlp Version=v1, LogGroup path
+    (plugins/flusher/opentelemetry/flusher_otlp.go:217-230
+    convertLogGroupToRequest → pkg/protocol/converter/otlp.go:43-103
+    ConvertToOtlpResourseLogs): one sink group → ONE ResourceLogs wire
+    payload (LogsData bytes with a single ScopeLogs). Resource attributes =
+    non-empty source/topic/machine_uuid plus the raw LogTags; per record:
+    attributes = contents minus content/level overlaid with the
+    convertLogToMap tags, timestamp = log.Time·1e9, body =
+    contents['content'], severityText = contents['level'] (the reference's
+    ``tags[level]`` fallback at otlp.go:96 looks up the empty-string key —
+    dead code, reproduced by omission).
+
+    Spark shape: contents/tags split stays Column-tier (LogGroupMaps);
+    groupBy(sink).applyInPandas packs wire bytes with the otlp_pb encoders —
+    one shuffle on the sink key, the same treatment as
+    PromRemoteWriteEncoder / loki_sink_frame. Roundtrip-pinned against
+    otlp_pb.decode_logs (flusher_otlp query). Divergences: ObservedTimestamp
+    (wall-clock in the reference, nondeterministic there) is omitted;
+    attribute wire order is sorted-by-key here vs Go's random map iteration
+    (both collapse to the same sorted view on decode)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from . import otlp_pb as W
+
+    lg = LogGroupMaps(
+        tag_key_rename=dict(tag_key_rename or {}),
+        group_tags=dict(group_tags or {}),
+        source=source,
+        topic=topic,
+        k8s=k8s,
+    )
+    contents, tags = lg.maps(F.col(FIELDS))
+    gt_entries = [
+        F.struct(
+            F.lit(k).alias("key"),
+            (v if isinstance(v, Column) else F.lit(v)).cast("string").alias("value"),
+        )
+        for k, v in (group_tags or {}).items()
+    ]
+    aux = df.select(
+        *group_cols,
+        *([F.col(order_col).alias("__ord__")] if order_col else []),
+        contents.alias("__contents__"),
+        tags.alias("__tags__"),
+        (source if isinstance(source, Column) else F.lit(source)).cast("string").alias("__src__"),
+        (topic if isinstance(topic, Column) else F.lit(topic)).cast("string").alias("__topic__"),
+        (machine_uuid if isinstance(machine_uuid, Column) else F.lit(machine_uuid))
+        .cast("string")
+        .alias("__uuid__"),
+        (
+            F.array(*gt_entries)
+            if gt_entries
+            else F.expr("CAST(array() AS array<struct<key:string,value:string>>)")
+        ).alias("__gtags__"),
+        F.col(ts_sec_col).cast("long").alias("__ts__"),
+    )
+    schema = StructType(
+        [df.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
+    )
+
+    def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if order_col:
+            pdf = pdf.sort_values("__ord__")
+        r0 = pdf.iloc[0]
+        res_attrs = []
+        for key, val in (("source", r0["__src__"]), ("topic", r0["__topic__"]),
+                         ("machine_uuid", r0["__uuid__"])):
+            if val:  # the != "" gates at otlp.go:47-57
+                res_attrs.append(W.encode_attr(key, val))
+        for t in r0["__gtags__"] or []:
+            res_attrs.append(W.encode_attr(t["key"], t["value"]))
+        records = []
+        for _, r in pdf.iterrows():
+            cont = dict(r["__contents__"] or {})
+            merged = {k: v for k, v in cont.items() if k not in ("content", "level")}
+            merged.update(dict(r["__tags__"] or {}))
+            records.append(
+                W.encode_log_record_pb(
+                    int(r["__ts__"]) * 1_000_000_000,
+                    severity_text=cont.get("level", ""),
+                    body=cont["content"] if "content" in cont else None,
+                    attrs=[W.encode_attr(k, merged[k]) for k in sorted(merged)],
+                )
+            )
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        return pd.DataFrame(
+            {**keys, "payload": [W.encode_logs_data(records, resource_attrs=res_attrs)]}
+        )
+
+    return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)

@@ -3035,3 +3035,308 @@ QUERIES["skywalking_clr_metric"] = q_skywalking_clr_metric
 ORACLES["skywalking_segment"] = oracle_skywalking_segment()
 ORACLES["skywalking_jvm_metric"] = oracle_skywalking_jvm_metric()
 ORACLES["skywalking_clr_metric"] = oracle_skywalking_clr_metric()
+
+
+def q_flusher_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_otlp v1 (plugins/flusher/opentelemetry): per-sink-group OTLP
+    LogsData payloads packed from event frames, roundtrip-pinned through the
+    otlp_pb decode path + OtelLogParser — encode and decode must agree on
+    resource gating (empty source/topic/machine_uuid dropped), contents→
+    attributes minus content/level, tag overlay, and ts·1e9."""
+    from .operators.convert import otlp_logs_sink_frames
+    from .operators.otel import OtelLogParser
+    from .operators.otlp_pb import OtelPbToJson
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    ut = (F.col("user_id") % 5).cast("string")
+    sk = (eid % 3).cast("string")
+    lvl = F.element_at(
+        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR"), F.lit("DEBUG")),
+        (eid % 4).cast("int") + 1,
+    )
+    frame = ev.select(
+        "event_id",
+        F.concat(F.lit("sink-"), sk).alias("sink"),
+        F.concat(F.lit("src-"), sk).alias("__src_v__"),
+        F.when(eid % 3 == 0, F.lit("")).otherwise(F.concat(F.lit("t-"), sk)).alias(
+            "__topic_v__"
+        ),
+        F.when(eid % 3 == 1, F.lit("")).otherwise(F.concat(F.lit("m-"), sk)).alias(
+            "__uuid_v__"
+        ),
+        F.concat(F.lit("env-"), sk).alias("__env_v__"),
+        (F.lit(1663904182) + eid % 86400).alias("ts_sec"),
+        F.create_map(
+            F.lit("content"), F.concat(F.lit("msg-"), F.col("event_type")),
+            F.lit("level"), lvl,
+            F.lit("k1"), (eid % 100).cast("string"),
+            F.lit("__tag__:pod"), F.concat(F.lit("p-"), ut),
+        ).alias(FIELDS),
+    )
+    enc = otlp_logs_sink_frames(
+        frame,
+        ["sink"],
+        source=F.col("__src_v__"),
+        topic=F.col("__topic_v__"),
+        machine_uuid=F.col("__uuid_v__"),
+        group_tags={"env": F.col("__env_v__")},
+        order_col="event_id",
+    )
+    dec_in = to_events(
+        enc.select("sink", F.lower(F.hex("payload")).alias("content"))
+    )
+    out = OtelLogParser().apply(OtelPbToJson("log").apply(dec_in))
+    return out.select(
+        "sink",
+        fget("time_unix_nano").alias("time_unix_nano"),
+        fget("severity_number").alias("severity_number"),
+        fget("severity_text").alias("severity_text"),
+        fget("content").alias("content"),
+        fget("attributes").alias("attributes"),
+        fget("resources").alias("resources"),
+        "ts_sec",
+    )
+
+
+def oracle_flusher_otlp() -> str:
+    return """WITH ev AS (
+  SELECT event_id AS eid, event_type AS et, user_id % 5 AS ut,
+         event_id % 3 AS sk, 1663904182 + event_id % 86400 AS ts
+  FROM events
+)
+SELECT 'sink-' || sk AS sink,
+  cast(ts * 1000000000 AS varchar) AS time_unix_nano,
+  '0' AS severity_number,
+  (ARRAY['INFO','WARN','ERROR','DEBUG'])[cast(eid % 4 AS int) + 1]
+    AS severity_text,
+  'msg-' || et AS content,
+  '{"env":"env-' || sk || '","host.ip":"src-' || sk || '","k1":"' ||
+    (eid % 100) || '",' ||
+    CASE WHEN sk <> 0 THEN '"log.topic":"t-' || sk || '",' ELSE '' END ||
+    '"pod":"p-' || ut || '"}' AS attributes,
+  '{"env":"env-' || sk || '",' ||
+    CASE WHEN sk <> 1 THEN '"machine_uuid":"m-' || sk || '",' ELSE '' END ||
+    '"source":"src-' || sk || '"' ||
+    CASE WHEN sk <> 0 THEN ',"topic":"t-' || sk || '"' ELSE '' END ||
+    '}' AS resources,
+  cast(ts AS bigint) AS ts_sec
+FROM ev"""
+
+
+QUERIES["flusher_otlp"] = q_flusher_otlp
+ORACLES["flusher_otlp"] = oracle_flusher_otlp()
+
+
+# --- service_canal (plugins/input/canal) ---------------------------------------
+
+
+def _canal_payload() -> F.Column:
+    """Row-event JSON fixture: action cycles insert/update/delete by
+    event_id%3; enum/set columns; an unknown 5th column every 10th event;
+    update events carry one (old, new) pair."""
+    eid = F.col("event_id")
+    ut = (F.col("user_id") % 5).cast("string")
+    action = F.element_at(
+        F.array(F.lit("insert"), F.lit("update"), F.lit("delete")),
+        (eid % 3).cast("int") + 1,
+    )
+    extra = F.when(eid % 10 == 0, F.lit(',{"s":"x"}')).otherwise(F.lit(""))
+    new_img = F.concat(
+        F.lit('[{"i":'), eid.cast("string"),
+        F.lit('},{"s":"n-'), ut,
+        F.lit('"},{"i":'), (eid % 4).cast("string"),
+        F.lit('},{"i":'), (eid % 8).cast("string"),
+        F.lit("}"), extra, F.lit("]"),
+    )
+    old_img = F.concat(
+        F.lit('[{"i":'), (eid + 1000).cast("string"),
+        F.lit('},{"s":"o-'), ut,
+        F.lit('"},{"i":'), ((eid + 1) % 4).cast("string"),
+        F.lit('},{"i":'), ((eid + 1) % 8).cast("string"),
+        F.lit("}]"),
+    )
+    rows = F.when(eid % 3 == 1, F.concat(old_img, F.lit(","), new_img)).otherwise(
+        new_img
+    )
+    return F.concat(
+        F.lit('{"action":"'), action,
+        F.lit('","db":"db-'), ut,
+        F.lit('","table":"orders","gtid":"g:'), eid.cast("string"),
+        F.lit('","filename":"mysql-bin.000001","header":{"timestamp":'),
+        (F.lit(1663904182) + eid % 1000).cast("string"),
+        F.lit(',"logPos":'), (eid * 100 + 4).cast("string"),
+        F.lit(',"eventSize":'), (F.lit(120) + eid % 10).cast("string"),
+        F.lit(',"serverId":1},"columns":['
+              '{"name":"id","type":"long"},{"name":"name","type":"string"},'
+              '{"name":"status","type":"enum","enumValues":["active","idle","gone"]},'
+              '{"name":"flags","type":"set","setValues":["a","b","c"]}],'
+              '"rows":['),
+        rows, F.lit("]}"),
+    )
+
+
+_CANAL_ENUM_SQL = "CASE {v} WHEN 1 THEN 'active' WHEN 2 THEN 'idle' WHEN 3 THEN 'gone' ELSE cast({v} AS varchar) END"
+_CANAL_SET_SQL = (
+    "(ARRAY['[]','[a]','[b]','[a b]','[c]','[a c]','[b c]','[a b c]'])"
+    "[cast({v} AS int) + 1]"
+)
+
+
+def q_canal_row_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_canal OnRow (input_canal.go:346-460): row-event JSON → one
+    event per row change with meta fields, enum/set value conversion,
+    update old/new pairing and unknow_col index overflow."""
+    from .operators.canal import CanalRowEvents
+
+    ev = _events_raw(spark, sf_dir)
+    df = to_events(ev.select("doc_id", "event_id", _canal_payload().alias("content")))
+    out = CanalRowEvents(host="10.1.1.1:3306", enable_event_meta=True).apply(df)
+    keys = [
+        "_host_", "_db_", "_table_", "_event_", "_id_", "_gtid_", "_filename_",
+        "_offset_", "_event_time_", "_event_log_postion_", "_event_size_",
+        "_event_server_id_", "id", "name", "status", "flags",
+        "_old_id", "_old_name", "_old_status", "_old_flags", "unknow_col_4",
+    ]
+    return out.select(
+        "doc_id", "ts_sec", *[fget(k).alias(k.lstrip("_")) for k in keys]
+    )
+
+
+def oracle_canal_row_events() -> str:
+    enum_new = _CANAL_ENUM_SQL.format(v="eid % 4")
+    enum_old = _CANAL_ENUM_SQL.format(v="(eid + 1) % 4")
+    set_new = _CANAL_SET_SQL.format(v="eid % 8")
+    set_old = _CANAL_SET_SQL.format(v="(eid + 1) % 8")
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, cast(user_id % 5 AS varchar) AS ut
+  FROM events
+)
+SELECT doc_id,
+  cast(1663904182 + eid % 1000 AS bigint) AS ts_sec,
+  '10.1.1.1:3306' AS host_,
+  'db-' || ut AS db_,
+  'orders' AS table_,
+  'row_' || (ARRAY['insert','update','delete'])[cast(eid % 3 AS int) + 1]
+    AS event_,
+  cast(eid AS varchar) AS id_,
+  'g:' || eid AS gtid_,
+  'mysql-bin.000001' AS filename_,
+  cast(eid * 100 + 4 AS varchar) AS offset_,
+  cast(1663904182 + eid % 1000 AS varchar) AS event_time_,
+  cast(eid * 100 + 4 AS varchar) AS event_log_postion_,
+  cast(120 + eid % 10 AS varchar) AS event_size_,
+  '1' AS event_server_id_,
+  cast(eid AS varchar) AS id,
+  'n-' || ut AS name,
+  {enum_new} AS status,
+  {set_new} AS flags,
+  CASE WHEN eid % 3 = 1 THEN cast(eid + 1000 AS varchar) END AS old_id,
+  CASE WHEN eid % 3 = 1 THEN 'o-' || ut END AS old_name,
+  CASE WHEN eid % 3 = 1 THEN {enum_old} END AS old_status,
+  CASE WHEN eid % 3 = 1 THEN {set_old} END AS old_flags,
+  CASE WHEN eid % 10 = 0 THEN 'x' END AS unknow_col_4
+FROM ev"""
+
+
+def q_canal_pack_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_canal PackValues=true (addData, input_canal.go:217-264): meta
+    fields flat, _old_* marshalled into old_data, the rest into data —
+    Go-marshal sorted-key JSON, empty map → ''."""
+    from .operators.canal import CanalRowEvents
+
+    ev = _events_raw(spark, sf_dir)
+    df = to_events(ev.select("doc_id", "event_id", _canal_payload().alias("content")))
+    out = CanalRowEvents(host="10.1.1.1:3306", pack_values=True).apply(df)
+    keys = ["_event_", "_db_", "_id_", "_offset_", "old_data", "data"]
+    return out.select(
+        "doc_id", "ts_sec", *[fget(k).alias(k.lstrip("_")) for k in keys]
+    )
+
+
+def oracle_canal_pack_values() -> str:
+    enum_new = _CANAL_ENUM_SQL.format(v="eid % 4")
+    enum_old = _CANAL_ENUM_SQL.format(v="(eid + 1) % 4")
+    set_new = _CANAL_SET_SQL.format(v="eid % 8")
+    set_old = _CANAL_SET_SQL.format(v="(eid + 1) % 8")
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, cast(user_id % 5 AS varchar) AS ut
+  FROM events
+)
+SELECT doc_id,
+  cast(1663904182 + eid % 1000 AS bigint) AS ts_sec,
+  'row_' || (ARRAY['insert','update','delete'])[cast(eid % 3 AS int) + 1]
+    AS event_,
+  'db-' || ut AS db_,
+  cast(eid AS varchar) AS id_,
+  cast(eid * 100 + 4 AS varchar) AS offset_,
+  CASE WHEN eid % 3 = 1 THEN
+    '{{"_old_flags":"' || {set_old} || '","_old_id":"' || (eid + 1000) ||
+    '","_old_name":"o-' || ut || '","_old_status":"' || {enum_old} || '"}}'
+  ELSE '' END AS old_data,
+  '{{"flags":"' || {set_new} || '","id":"' || eid || '","name":"n-' || ut ||
+    '","status":"' || {enum_new} || '"' ||
+    CASE WHEN eid % 10 = 0 THEN ',"unknow_col_4":"x"' ELSE '' END ||
+    '}}' AS data
+FROM ev"""
+
+
+QUERIES["canal_row_events"] = q_canal_row_events
+QUERIES["canal_pack_values"] = q_canal_pack_values
+ORACLES["canal_row_events"] = oracle_canal_row_events()
+ORACLES["canal_pack_values"] = oracle_canal_pack_values()
+
+
+def q_spl_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL multi-stage pipe expressing the flagship per-sink counts
+    end-to-end: parse → broadcast lookup enrich → windowed multi-aggregate
+    stats (``bin(ts, 5m)`` fixed-window bucketing + count/sum in ONE stats
+    stage). Plan-gated (test_plan_quality) to the native flagship aggregate
+    shape: partial/final HashAggregate pair around a single exchange,
+    BroadcastHashJoin for the lookup."""
+    from .spl import compile_spl
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    status = (F.lit(200) + eid % 3 * 100).cast("string")
+    line = F.concat(
+        F.element_at(
+            F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT")), (eid % 3).cast("int") + 1
+        ),
+        F.lit(" "), status,
+        F.lit(" "), (F.lit(1663904182) + eid % 3600).cast("string"),
+        F.lit(" "), (eid % 1000 + 100).cast("string"),
+    )
+    routes = spark.createDataFrame(
+        [("200", "sink_a"), ("300", "sink_b"), ("400", "sink_default")],
+        "status string, sink string",
+    )
+    script = (
+        r"* | parse-regexp content, '(\w+) (\d+) (\d+) (\d+)'"
+        " as method, status, ts, bytes"
+        " | lookup routes on status output sink"
+        " | stats count() as events, sum(bytes) as bytes_total"
+        "   by sink, bin(ts, 5m) as window"
+    )
+    df = to_events(ev.select("doc_id", line.alias("content")))
+    return compile_spl(script, tables={"routes": routes})(df)
+
+
+def oracle_spl_time_stats() -> str:
+    return """WITH ev AS (
+  SELECT 'sink_' || (ARRAY['a','b','default'])[cast(event_id % 3 AS int) + 1]
+           AS sink,
+         (1663904182 + event_id % 3600) // 300 * 300 AS w,
+         event_id % 1000 + 100 AS bytes
+  FROM events
+)
+SELECT sink, cast(w AS bigint) AS window,
+       count(*) AS events,
+       cast(sum(bytes) AS double) AS bytes_total
+FROM ev GROUP BY sink, w"""
+
+
+QUERIES["spl_time_stats"] = q_spl_time_stats
+ORACLES["spl_time_stats"] = oracle_spl_time_stats()

@@ -20,7 +20,13 @@ Supported verbs (the documented core set):
   ``project a, b``                      — keep only listed fields
   ``project-away a, b``                 — drop listed fields
   ``project-rename new = old``          — rename a field
-  ``stats <agg>(<arg>) by k1, k2``      — grouped aggregation (count/sum/avg/min/max)
+  ``stats <agg>(<arg>) [as n][, …] by k1, bin(ts, 5m) [as w]``
+                                        — grouped aggregation (count/sum/avg/
+                                          min/max), MULTIPLE aggregates per
+                                          stage, and fixed-window time
+                                          bucketing via ``bin(<epoch-sec
+                                          field>, <N>[s|m|h|d])`` (the SLS
+                                          SPL date-floor window-stats shape)
   ``parse-kv <key>, '<delim>', '<sep>'``— key/value split → fields
   ``sort by <field> [desc]``            — global sort (scale note: total order
                                           = single-range shuffle; use only on
@@ -107,6 +113,30 @@ def _split_pipes(script: str) -> list[str]:
 
 def _parse_as_list(s: str) -> list[str]:
     return [x.strip() for x in s.split(",") if x.strip()]
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes (``bin(ts, 5m)`` is one
+    item)."""
+    parts, buf, depth, in_q = [], [], 0, False
+    for c in s:
+        if c == "'":
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append("".join(buf).strip())
+                buf = []
+                continue
+        buf.append(c)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+_DUR_UNIT_S = {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
 _AGG_FNS = {
@@ -198,22 +228,47 @@ def compile_spl(script: str, tables: dict[str, DataFrame] | None = None):
 
             ops.append(_rename)
         elif verb == "stats":
-            m = re.match(r"(\w+)\(\s*(\w*)\s*\)(?:\s+as\s+(\w+))?\s+by\s+(.*)$", rest)
+            # stats <agg>(<arg>) [as name][, ...] by <key | bin(key, 5m) [as name]>[, ...]
+            m = re.match(r"(.*?)\s+by\s+(.*)$", rest)
             if not m:
                 raise ValueError(f"bad stats: {stage}")
-            fn, arg, alias, by = (
-                m.group(1),
-                m.group(2),
-                m.group(3),
-                _parse_as_list(m.group(4)),
-            )
-            if fn not in _AGG_FNS:
-                raise ValueError(f"unknown aggregate {fn}")
-            out_name = alias or (f"{fn}_{arg}" if arg else fn)
+            agg_specs: list[tuple[str, str, str]] = []
+            for a in _split_top_commas(m.group(1)):
+                am = re.match(r"(\w+)\(\s*(\w*)\s*\)(?:\s+as\s+(\w+))?$", a)
+                if not am or am.group(1) not in _AGG_FNS:
+                    raise ValueError(f"bad aggregate in stats: {a!r}")
+                fn, arg = am.group(1), am.group(2)
+                agg_specs.append(
+                    (fn, arg, am.group(3) or (f"{fn}_{arg}" if arg else fn))
+                )
+            key_specs: list[tuple[str, int, str]] = []  # (field, bucket_s, name)
+            for k in _split_top_commas(m.group(2)):
+                km = re.match(
+                    r"bin\(\s*(\w+)\s*,\s*(\d+)\s*([smhd]?)\s*\)(?:\s+as\s+(\w+))?$", k
+                )
+                if km:
+                    # time bucketing: epoch-second field floored to the
+                    # window (the SLS SPL date-floor / fixed-window stats
+                    # shape) — a plain grouping key, so Catalyst still plans
+                    # the partial/final HashAggregate pair on one exchange
+                    width = int(km.group(2)) * _DUR_UNIT_S[km.group(3)]
+                    if width <= 0:
+                        raise ValueError(f"bad bin width: {k!r}")
+                    key_specs.append((km.group(1), width, km.group(4) or km.group(1)))
+                elif re.match(r"\w+$", k):
+                    key_specs.append((k, 0, k))
+                else:
+                    raise ValueError(f"bad stats key: {k!r}")
 
-            def _stats(df, f=fn, a=arg, keys=by, name=out_name):
-                gcols = [fget(k).alias(k) for k in keys]
-                return df.groupBy(*gcols).agg(_AGG_FNS[f](a).alias(name))
+            def _stats(df, aggs=agg_specs, keys=key_specs):
+                gcols = []
+                for fld, width, name in keys:
+                    c = fget(fld)
+                    if width:
+                        c = ((c.cast("bigint") / width).cast("bigint") * width)
+                    gcols.append(c.alias(name))
+                acols = [_AGG_FNS[f](a).alias(n) for f, a, n in aggs]
+                return df.groupBy(*gcols).agg(*acols)
 
             ops.append(_stats)
         elif verb == "parse-kv":

@@ -322,3 +322,49 @@ def test_loki_sink_frame(spark):
     }
     assert out.ts == 1434055562
     assert out.line.startswith('{"contents":{"level":"warn","msg":"hello"}')
+
+
+def test_otlp_logs_sink_frames(spark):
+    """flusher_otlp v1: one LogsData payload per sink group; resource gating
+    (empty topic dropped), content/level → body/severityText and excluded
+    from attributes, convertLogToMap tag overlay wins on key collision."""
+    from loongcollector_spark.operators.convert import otlp_logs_sink_frames
+    from loongcollector_spark.operators.otlp_pb import decode_logs
+
+    rows = [
+        ("a", 10, {"content": "m1", "level": "WARN", "k": "c-val",
+                   "__tag__:k": "t-val"}),
+        ("a", 11, {"k2": "v2"}),  # no content → no body; no level → ""
+        ("b", 12, {"content": "m3"}),
+    ]
+    df = spark.createDataFrame(
+        [(s, t, m) for s, t, m in rows],
+        f"sink string, ts_sec long, {FIELDS} map<string,string>",
+    )
+    out = otlp_logs_sink_frames(
+        df, ["sink"],
+        source=F.concat(F.lit("src-"), F.col("sink")),
+        topic=F.when(F.col("sink") == "a", F.lit("top-a")).otherwise(F.lit("")),
+        group_tags={"env": F.lit("prod")},
+        order_col="ts_sec",
+    ).collect()
+    payloads = {r["sink"]: decode_logs(bytes(r["payload"])) for r in out}
+    assert set(payloads) == {"a", "b"}
+
+    ra = payloads["a"]["resourceLogs"][0]
+    res = {a["key"]: a["value"]["stringValue"] for a in ra["resource"]["attributes"]}
+    assert res == {"source": "src-a", "topic": "top-a", "env": "prod"}
+    recs = ra["scopeLogs"][0]["logRecords"]
+    assert [r["timeUnixNano"] for r in recs] == ["10000000000", "11000000000"]
+    r1, r2 = recs
+    assert r1["body"] == {"stringValue": "m1"} and r1["severityText"] == "WARN"
+    a1 = {a["key"]: a["value"]["stringValue"] for a in r1["attributes"]}
+    # tag k (from __tag__:k) overlays content k; host.ip/log.topic injected
+    assert a1 == {"k": "t-val", "env": "prod", "host.ip": "src-a",
+                  "log.topic": "top-a"}
+    assert r2["body"] == {} and r2["severityText"] == ""
+
+    rb = payloads["b"]["resourceLogs"][0]
+    resb = {a["key"]: a["value"]["stringValue"] for a in rb["resource"]["attributes"]}
+    assert "topic" not in resb and "machine_uuid" not in resb
+    assert len(rb["scopeLogs"][0]["logRecords"]) == 1

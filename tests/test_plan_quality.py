@@ -349,3 +349,22 @@ def test_span_dedup_sentence_frame_built_once(spark):
                 raise AssertionError("sentence split outside the cached build:\n" + l)
     finally:
         spark.catalog.clearCache()
+
+
+def test_spl_time_stats_plan_matches_flagship_aggregate(spark, sf_dir):
+    """The SPL-compiled windowed stats must plan exactly like the native
+    flagship aggregate: broadcast lookup (never SMJ), partial/final
+    HashAggregate pair, and a single non-broadcast exchange."""
+    from loongcollector_spark.queries import q_spl_time_stats
+
+    plan = _plan(q_spl_time_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles

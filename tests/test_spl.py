@@ -225,3 +225,41 @@ def test_spl_expand_values_object_and_passthrough(spark):
     )
     vals = sorted(r[FIELDS].get("v", "<missing>") for r in out.collect())
     assert vals == ['<missing>', "plain", '{"k1":"x"}', '{"k2":"y"}']
+
+
+def test_stats_multi_agg_and_bin(spark):
+    script = (
+        "* | parse-csv content as k, ts, v"
+        " | stats count() as n, sum(v) as total, max(v) as peak"
+        "   by k, bin(ts, 5m) as w"
+    )
+    out = compile_spl(script)(
+        _events(
+            spark,
+            [
+                "a,1000,1", "a,1100,2",  # window 900
+                "a,1300,4",              # window 1200
+                "b,1000,8",
+            ],
+        )
+    )
+    rows = {(r["k"], r["w"]): (r["n"], r["total"], r["peak"]) for r in out.collect()}
+    assert rows == {
+        ("a", 900): (2, 3.0, 2.0),
+        ("a", 1200): (1, 4.0, 4.0),
+        ("b", 900): (1, 8.0, 8.0),
+    }
+
+
+def test_stats_bin_units_and_errors(spark):
+    ev = _events(spark, ["a,7200,1"])
+    out = compile_spl(
+        "* | parse-csv content as k, ts, v | stats count() by bin(ts, 1h)"
+    )(ev)
+    assert out.collect()[0]["ts"] == 7200  # named after the field by default
+    with pytest.raises(ValueError):
+        compile_spl("* | stats count() by bin(ts, 0m)")
+    with pytest.raises(ValueError):
+        compile_spl("* | stats nope(v) by k")
+    with pytest.raises(ValueError):
+        compile_spl("* | stats count() by bin(ts)")
