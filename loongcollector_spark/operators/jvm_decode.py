@@ -1,0 +1,199 @@
+"""JVM-side protobuf decode tier — ``from_protobuf`` over generated
+descriptors.
+
+The pure-Python wire codecs (pb.py, otlp_pb.py, prom_rw.py) are correct and
+partition-parallel, but decode proto wire byte-by-byte in Python inside
+``mapInPandas`` — at 100 TB that caps ingest at Python bytecode speed
+(~tens of MB/s/core vs ~GB/s for JVM decode). The public scale-safe tier is
+``pyspark.sql.protobuf.functions.from_protobuf`` (Spark 3.4+), which needs
+(a) the ``spark-protobuf`` external-module jar on the cluster classpath and
+(b) a serialized ``FileDescriptorSet`` for the schema.
+
+This module generates the descriptor set FROM SCRATCH with the same wire
+primitives the Python codec uses (descriptor.proto is itself protobuf), so
+no protoc/protobuf runtime is needed anywhere — and wires an auto-selecting
+decoder: JVM ``from_protobuf`` when the jar is present, the Python codec
+otherwise. The sandbox ships NO spark-protobuf jar (and no protobuf-java),
+so in-repo tests validate the descriptor bytes with an independent reader
+(tests/test_jvm_decode.py) and exercise the JVM path under ``skipif``; on a
+real cluster (``--packages org.apache.spark:spark-protobuf_2.13``) the same
+query plans a codegen'd ``from_protobuf`` projection with no Python stage.
+
+Proto text transcribed in pb.py:575-577 (public SLS wire format):
+``Log { required uint32 Time=1; repeated Content Contents=2 { required
+string Key=1; required string Value=2 }; optional fixed32 Time_ns=4 }``,
+``LogTag { Key=1, Value=2 }``, ``LogGroup { Logs=1, Category=2, Topic=3,
+Source=4, MachineUUID=5, LogTags=6 }``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .pb import _len_field, write_varint
+
+# descriptor.proto FieldDescriptorProto.Type / .Label values (public,
+# google/protobuf/descriptor.proto)
+T_INT64, T_UINT64, T_FIXED64, T_FIXED32 = 3, 4, 6, 7
+T_BOOL, T_STRING, T_MESSAGE, T_BYTES, T_UINT32, T_DOUBLE = 8, 9, 11, 12, 13, 1
+L_OPTIONAL, L_REQUIRED, L_REPEATED = 1, 2, 3
+
+
+def _vi_field(fno: int, val: int) -> bytes:
+    return write_varint(fno << 3) + write_varint(val)
+
+
+def field_desc(
+    name: str, number: int, ftype: int, label: int = L_OPTIONAL, type_name: str = ""
+) -> bytes:
+    """FieldDescriptorProto: name=1, number=3, label=4, type=5, type_name=6."""
+    out = _len_field(1, name.encode())
+    out += _vi_field(3, number) + _vi_field(4, label) + _vi_field(5, ftype)
+    if type_name:
+        out += _len_field(6, type_name.encode())
+    return out
+
+
+def message_desc(name: str, fields: list[bytes], nested: list[bytes] = ()) -> bytes:
+    """DescriptorProto: name=1, field=2 (repeated), nested_type=3 (repeated)."""
+    out = _len_field(1, name.encode())
+    for f in fields:
+        out += _len_field(2, f)
+    for n in nested:
+        out += _len_field(3, n)
+    return out
+
+
+def file_descriptor_set(
+    file_name: str, package: str, messages: list[bytes], syntax: str = "proto2"
+) -> bytes:
+    """FileDescriptorSet{file=1: FileDescriptorProto{name=1, package=2,
+    message_type=4 (repeated), syntax=12}}."""
+    fdp = _len_field(1, file_name.encode()) + _len_field(2, package.encode())
+    for m in messages:
+        fdp += _len_field(4, m)
+    fdp += _len_field(12, syntax.encode())
+    return _len_field(1, fdp)
+
+
+@lru_cache(maxsize=None)
+def sls_descriptor_set() -> bytes:
+    """FileDescriptorSet for the SLS LogGroup wire schema (pb.py:575-577)."""
+    kv = [
+        field_desc("Key", 1, T_STRING, L_REQUIRED),
+        field_desc("Value", 2, T_STRING, L_REQUIRED),
+    ]
+    log = message_desc(
+        "Log",
+        [
+            field_desc("Time", 1, T_UINT32, L_REQUIRED),
+            field_desc("Contents", 2, T_MESSAGE, L_REPEATED, ".sls.Log.Content"),
+            field_desc("Time_ns", 4, T_FIXED32, L_OPTIONAL),
+        ],
+        nested=[message_desc("Content", kv)],
+    )
+    log_tag = message_desc("LogTag", kv)
+    log_group = message_desc(
+        "LogGroup",
+        [
+            field_desc("Logs", 1, T_MESSAGE, L_REPEATED, ".sls.Log"),
+            field_desc("Category", 2, T_STRING),
+            field_desc("Topic", 3, T_STRING),
+            field_desc("Source", 4, T_STRING),
+            field_desc("MachineUUID", 5, T_STRING),
+            field_desc("LogTags", 6, T_MESSAGE, L_REPEATED, ".sls.LogTag"),
+        ],
+    )
+    return file_descriptor_set("sls_logs.proto", "sls", [log, log_tag, log_group])
+
+
+_JVM_PB_CACHE: dict[int, bool] = {}
+
+
+def jvm_pb_available(spark) -> bool:
+    """True iff the spark-protobuf module classes resolve in this session
+    (the jar is an external Spark module, not in the default distribution)."""
+    key = id(spark)
+    if key not in _JVM_PB_CACHE:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            probe = spark.range(1).select(F.lit(b"").alias("p"))
+            # schema access forces analysis, which loads the JVM-side class
+            probe.select(
+                from_protobuf(
+                    "p", "sls.LogGroup", binaryDescriptorSet=sls_descriptor_set()
+                )
+            ).schema
+            _JVM_PB_CACHE[key] = True
+        except Exception:
+            _JVM_PB_CACHE[key] = False
+    return _JVM_PB_CACHE[key]
+
+
+def parse_sls_log_group_jvm(
+    df: DataFrame, payload_col: str = "payload", passthrough: list[str] | None = None
+) -> DataFrame:
+    """ParseSlsLogGroup on the JVM tier: ``from_protobuf`` (PERMISSIVE —
+    undecodable payloads null out and drop, failing the line not the job)
+    → one explode → ParseSlsLogGroup's exact output schema. No Python
+    stage anywhere in the plan."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    keep = list(passthrough or [])
+    g = from_protobuf(
+        F.col(payload_col),
+        "sls.LogGroup",
+        binaryDescriptorSet=sls_descriptor_set(),
+        options={"mode": "PERMISSIVE"},
+    )
+    base = (
+        df.select(*keep, g.alias("__g__"))
+        .where(F.col("__g__").isNotNull() & F.col("__g__.Logs").isNotNull())
+        .select(*keep, "__g__", F.explode("__g__.Logs").alias("__log__"))
+    )
+
+    def kvmap(arr):
+        return F.map_from_entries(
+            F.transform(
+                F.coalesce(
+                    arr, F.expr("CAST(array() AS array<struct<Key:string,Value:string>>)")
+                ),
+                lambda e: F.struct(
+                    e.getField("Key").alias("key"), e.getField("Value").alias("value")
+                ),
+            )
+        )
+
+    return base.select(
+        *keep,
+        F.col("__log__.Time").cast("long").alias("time"),
+        F.col("__log__.Time_ns").cast("long").alias("time_ns"),
+        kvmap(F.col("__log__.Contents")).alias("contents"),
+        F.coalesce(F.col("__g__.Category"), F.lit("")).alias("category"),
+        F.coalesce(F.col("__g__.Topic"), F.lit("")).alias("topic"),
+        F.coalesce(F.col("__g__.Source"), F.lit("")).alias("source"),
+        kvmap(F.col("__g__.LogTags")).alias("group_tags"),
+    )
+
+
+def parse_sls_log_group_auto(
+    df: DataFrame, payload_col: str = "payload", passthrough: list[str] | None = None
+) -> DataFrame:
+    """Tier selection: SPARK_GRAFT_JVM_PB=1 forces the JVM path, =0 forces
+    the Python codec, unset/auto probes the session for spark-protobuf and
+    prefers JVM when present."""
+    from .pb import ParseSlsLogGroup
+
+    mode = os.environ.get("SPARK_GRAFT_JVM_PB", "auto")
+    use_jvm = (
+        mode == "1"
+        or (mode not in ("0", "1") and jvm_pb_available(df.sparkSession))
+    )
+    if use_jvm:
+        return parse_sls_log_group_jvm(df, payload_col, passthrough)
+    return ParseSlsLogGroup(payload_col, passthrough).apply(df)

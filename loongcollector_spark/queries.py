@@ -2598,7 +2598,8 @@ def q_sls_group_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
-    from .operators.pb import ParseSlsLogGroup, encode_sls_log, encode_sls_log_group
+    from .operators.jvm_decode import parse_sls_log_group_auto
+    from .operators.pb import encode_sls_log, encode_sls_log_group
 
     ev = _events_raw(spark, sf_dir).withColumn(
         "req_no", (F.col("event_id") % 16).cast("int")
@@ -2625,7 +2626,9 @@ def q_sls_group_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"req_no": [req], "payload": [payload]})
 
     reqs = ev.groupBy("req_no").applyInPandas(packer, schema=out_schema)
-    out = ParseSlsLogGroup("payload", passthrough=["req_no"]).apply(reqs)
+    # auto tier: JVM from_protobuf where the spark-protobuf module is on the
+    # classpath (real clusters), the pure-Python codec otherwise (sandbox)
+    out = parse_sls_log_group_auto(reqs, "payload", ["req_no"])
     return out.select(
         F.col("req_no").cast("int").alias("req_no"),
         "time",

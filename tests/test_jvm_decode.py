@@ -1,0 +1,128 @@
+"""Descriptor-set generation + JVM protobuf tier selection.
+
+The sandbox has no spark-protobuf jar and no protobuf runtime, so the
+descriptor bytes are validated with an independent reader over the raw wire
+(descriptor.proto is itself protobuf); the live from_protobuf path runs
+under skipif and executes on clusters that ship the external module."""
+
+from __future__ import annotations
+
+import pytest
+
+from loongcollector_spark.operators.jvm_decode import (
+    jvm_pb_available,
+    parse_sls_log_group_auto,
+    sls_descriptor_set,
+)
+from loongcollector_spark.operators.pb import _fields
+
+
+def _read_fields(buf: bytes) -> list[tuple[int, int, object]]:
+    return list(_fields(buf))
+
+
+def _msg_shape(buf: bytes) -> dict:
+    """Independent DescriptorProto reader: name, {field: (number, label,
+    type, type_name)}, nested."""
+    out = {"name": None, "fields": {}, "nested": []}
+    for fno, wt, v in _read_fields(buf):
+        if fno == 1 and wt == 2:
+            out["name"] = bytes(v).decode()
+        elif fno == 2 and wt == 2:
+            f = {"type_name": ""}
+            for f2, w2, v2 in _read_fields(bytes(v)):
+                if f2 == 1:
+                    f["name"] = bytes(v2).decode()
+                elif f2 == 3:
+                    f["number"] = int(v2)
+                elif f2 == 4:
+                    f["label"] = int(v2)
+                elif f2 == 5:
+                    f["type"] = int(v2)
+                elif f2 == 6:
+                    f["type_name"] = bytes(v2).decode()
+            out["fields"][f["name"]] = f
+        elif fno == 3 and wt == 2:
+            out["nested"].append(_msg_shape(bytes(v)))
+    return out
+
+
+def test_sls_descriptor_set_shape():
+    ds = sls_descriptor_set()
+    files = [bytes(v) for fno, wt, v in _read_fields(ds) if fno == 1]
+    assert len(files) == 1
+    name = package = syntax = None
+    msgs = []
+    for fno, wt, v in _read_fields(files[0]):
+        if fno == 1:
+            name = bytes(v).decode()
+        elif fno == 2:
+            package = bytes(v).decode()
+        elif fno == 4:
+            msgs.append(_msg_shape(bytes(v)))
+        elif fno == 12:
+            syntax = bytes(v).decode()
+    assert (name, package, syntax) == ("sls_logs.proto", "sls", "proto2")
+    by_name = {m["name"]: m for m in msgs}
+    assert set(by_name) == {"Log", "LogTag", "LogGroup"}
+
+    log = by_name["Log"]
+    assert log["fields"]["Time"] == {
+        "name": "Time", "number": 1, "label": 2, "type": 13, "type_name": ""
+    }  # required uint32
+    assert log["fields"]["Contents"]["type"] == 11  # message
+    assert log["fields"]["Contents"]["label"] == 3  # repeated
+    assert log["fields"]["Contents"]["type_name"] == ".sls.Log.Content"
+    assert log["fields"]["Time_ns"] == {
+        "name": "Time_ns", "number": 4, "label": 1, "type": 7, "type_name": ""
+    }  # optional fixed32
+    assert log["nested"][0]["name"] == "Content"
+    assert log["nested"][0]["fields"]["Key"]["label"] == 2
+
+    lg = by_name["LogGroup"]
+    assert lg["fields"]["Logs"]["type_name"] == ".sls.Log"
+    assert lg["fields"]["LogTags"]["type_name"] == ".sls.LogTag"
+    assert [lg["fields"][k]["number"] for k in
+            ("Logs", "Category", "Topic", "Source", "MachineUUID", "LogTags")] == [
+        1, 2, 3, 4, 5, 6
+    ]
+
+
+def test_auto_tier_falls_back_to_python(spark, monkeypatch):
+    """Without the spark-protobuf jar the auto tier must take the Python
+    codec and produce the exact ParseSlsLogGroup output."""
+    from loongcollector_spark.operators.pb import encode_sls_log, encode_sls_log_group
+
+    payload = encode_sls_log_group(
+        [encode_sls_log(1663904182, {"k": "v"}, time_ns=7)],
+        topic="t", source="s", tags={"g": "1"},
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "i long, payload binary")
+    monkeypatch.delenv("SPARK_GRAFT_JVM_PB", raising=False)
+    out = parse_sls_log_group_auto(df, "payload", ["i"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["time"], r["time_ns"], dict(r["contents"])) == (1663904182, 7, {"k": "v"})
+    assert (r["topic"], r["source"], dict(r["group_tags"])) == ("t", "s", {"g": "1"})
+
+
+def test_jvm_path_when_module_present(spark):
+    """Full from_protobuf roundtrip — runs only where spark-protobuf is on
+    the classpath (real clusters; skipped in this sandbox)."""
+    if not jvm_pb_available(spark):
+        pytest.skip("spark-protobuf external module not on the classpath")
+    from loongcollector_spark.operators.jvm_decode import parse_sls_log_group_jvm
+    from loongcollector_spark.operators.pb import encode_sls_log, encode_sls_log_group
+
+    payload = encode_sls_log_group(
+        [encode_sls_log(1663904182, {"k": "v"}, time_ns=7)], topic="t", source="s"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\xff\xff"))],
+        "i long, payload binary",
+    )
+    out = parse_sls_log_group_jvm(df, "payload", ["i"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["time"] == 1663904182
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
