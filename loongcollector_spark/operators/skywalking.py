@@ -622,3 +622,241 @@ class SkywalkingClrMetricParser(Operator):
         return _metric_rows_to_events(
             ex, passthrough, rows, F.coalesce(mt.getField("time"), F.lit(0))
         )
+
+
+# ---------------------------------------------------------------------------
+# Meter (singlevalue / histogram) and logging payloads
+# ---------------------------------------------------------------------------
+
+_SW_LBL = "array<struct<name:string,value:string>>"
+METER_SCHEMA = (
+    "struct<timestamp:long,service:string,serviceInstance:string,"
+    f"singleValue:struct<name:string,labels:{_SW_LBL},value:double>,"
+    f"histogram:struct<name:string,labels:{_SW_LBL},"
+    "values:array<struct<bucket:double,count:long>>>>"
+)
+
+LOGGING_SCHEMA = (
+    "struct<timestamp:long,service:string,serviceInstance:string,"
+    "endpoint:string,body:struct<type:string,text:struct<text:string>,"
+    "json:struct<json:string>,yaml:struct<yaml:string>>,"
+    "traceContext:struct<traceId:string,traceSegmentId:string,spanId:long>,"
+    "tags:struct<data:array<struct<key:string,value:string>>>>"
+)
+
+
+def _sw_label_str(entries: Column) -> Column:
+    """MetricLabels.String(): sort by key, 'k#$#v' joined with '|'."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(entries),
+            lambda e: F.concat(e.getField("k"), F.lit("#$#"), e.getField("v")),
+        ),
+        "|",
+    )
+
+
+@dataclass
+class SkywalkingMeterParser(Operator):
+    """MeterData protojson → metric logs (meter_handle.go:81-128
+    handleMeterData + convertHistogramData :89-110 and
+    helper.HistogramData.ToMetricLogs, log_helper.go:244-254):
+    singleValue → one metric log; histogram → ``<name>_count`` /
+    ``<name>_sum`` / cumulative ``<name>_bucket`` rows with ``le`` labels,
+    where values[0] seeds the running count (its bucket bound never appears
+    as an ``le``) and a final ``le=+Inf`` row carries the total.
+
+    Divergences (documented): the gRPC stream carries service/instance/ts
+    only in the first packet — table rows must carry their own (rows with
+    empty service or serviceInstance drop, the reference's partial-stream
+    drop at meter_handle.go:74-76); a non-positive timestamp is stamped
+    wall-clock there (nondeterministic) and passes through verbatim here."""
+
+    source_key: str = "content"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        md = F.from_json(fget(self.source_key), METER_SCHEMA)
+        passthrough = [c for c in df.columns if c != FIELDS]
+        ex = (
+            df.select(*passthrough, md.alias("__m__"))
+            .where(
+                F.col("__m__").isNotNull()
+                & (F.length(F.coalesce(F.col("__m__.service"), F.lit(""))) > 0)
+                & (F.length(F.coalesce(F.col("__m__.serviceInstance"), F.lit(""))) > 0)
+            )
+        )
+        m = F.col("__m__")
+        base = F.array(
+            _ent("service", m.getField("service")),
+            _ent("serviceInstance", m.getField("serviceInstance")),
+        )
+
+        def lbl_entries(arr: Column) -> Column:
+            return F.transform(
+                F.coalesce(arr, F.expr(f"CAST(array() AS {_SW_LBL})")),
+                lambda l: _ent(l.getField("name"), l.getField("value")),
+            )
+
+        sv = m.getField("singleValue")
+        sv_rows = F.when(
+            sv.isNotNull(),
+            F.array(
+                F.struct(
+                    F.coalesce(sv.getField("name"), F.lit("")).alias("name"),
+                    _sw_label_str(
+                        F.concat(lbl_entries(sv.getField("labels")), base)
+                    ).alias("labels"),
+                    F.coalesce(sv.getField("value"), F.lit(0.0)).alias("value"),
+                )
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {_ROW_T})"))
+
+        hg = m.getField("histogram")
+        vals = F.coalesce(
+            hg.getField("values"),
+            F.expr("CAST(array() AS array<struct<bucket:double,count:long>>)"),
+        )
+        hname = F.coalesce(hg.getField("name"), F.lit(""))
+        hlabels = F.concat(base, lbl_entries(hg.getField("labels")))
+        total = F.aggregate(
+            vals, F.lit(0).cast("long"), lambda acc, v: acc + F.coalesce(v.getField("count"), F.lit(0))
+        )
+        hsum = F.aggregate(
+            vals,
+            F.lit(0.0),
+            lambda acc, v: acc
+            + F.coalesce(v.getField("count"), F.lit(0)).cast("double")
+            * F.coalesce(v.getField("bucket"), F.lit(0.0)),
+        )
+
+        def le_row(le_txt: Column, count: Column) -> Column:
+            return F.struct(
+                F.concat(hname, F.lit("_bucket")).alias("name"),
+                _sw_label_str(F.concat(hlabels, F.array(_ent("le", le_txt)))).alias(
+                    "labels"
+                ),
+                count.cast("double").alias("value"),
+            )
+
+        # cumulative: bucket i (i>=1) gets le=values[i].bucket with the count
+        # of everything strictly before it (convertHistogramData :92-103)
+        bucket_rows = flet(
+            vals,
+            lambda vs: F.filter(
+                F.transform(
+                    vs,
+                    lambda v, i: F.when(
+                        i > 0,
+                        le_row(
+                            go_g(v.getField("bucket")),
+                            F.aggregate(
+                                F.slice(vs, 1, i),
+                                F.lit(0).cast("long"),
+                                lambda acc, p: acc
+                                + F.coalesce(p.getField("count"), F.lit(0)),
+                            ),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        h_rows = F.when(
+            hg.isNotNull(),
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.concat(hname, F.lit("_count")).alias("name"),
+                        _sw_label_str(hlabels).alias("labels"),
+                        total.cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.concat(hname, F.lit("_sum")).alias("name"),
+                        _sw_label_str(hlabels).alias("labels"),
+                        hsum.alias("value"),
+                    ),
+                ),
+                bucket_rows,
+                F.array(le_row(F.lit("+Inf"), total)),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {_ROW_T})"))
+
+        rows = F.concat(sv_rows, h_rows)
+        return _metric_rows_to_events(
+            ex, passthrough, rows, F.coalesce(m.getField("timestamp"), F.lit(0))
+        )
+
+
+@dataclass
+class SkywalkingLoggingParser(Operator):
+    """LogData protojson → log events (logging_handle.go:96-160
+    convertFormat/convertContent/convertAttribute/convertResource): fixed
+    ``otlp.name=apache-skywalking``, attribute = endpoint + tags Go-marshal
+    JSON, content by body type (TEXT/JSON/YAML), traceID/spanID only when a
+    trace context is present, resource = serviceInstance JSON, and
+    ``timeUnixNano`` carrying the raw millisecond timestamp verbatim (the
+    reference field name notwithstanding — :134).
+
+    Divergence (documented): an unknown body type falls back to proto
+    ``String()`` there (debug text format); here it yields ''."""
+
+    source_key: str = "content"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        ld = F.from_json(fget(self.source_key), LOGGING_SCHEMA)
+        passthrough = [c for c in df.columns if c != FIELDS]
+        ex = df.select(*passthrough, ld.alias("__l__")).where(
+            F.col("__l__").isNotNull()
+        )
+        l = F.col("__l__")
+        body = l.getField("body")
+        btype = F.upper(F.coalesce(body.getField("type"), F.lit("")))
+        content = (
+            F.when(btype == "TEXT", body.getField("text").getField("text"))
+            .when(btype == "JSON", body.getField("json").getField("json"))
+            .when(btype == "YAML", body.getField("yaml").getField("yaml"))
+            .otherwise(F.lit(""))
+        )
+        tags = F.coalesce(
+            l.getField("tags").getField("data"), F.expr(f"CAST(array() AS {_KV})")
+        )
+        attribute = go_map_json(
+            F.concat(
+                F.array(_ent("endpoint", F.coalesce(l.getField("endpoint"), F.lit("")))),
+                F.transform(tags, lambda t: _ent(t.getField("key"), t.getField("value"))),
+            )
+        )
+        ts = F.coalesce(l.getField("timestamp"), F.lit(0))
+        tc = l.getField("traceContext")
+        base = F.create_map(
+            F.lit("otlp.name"), F.lit("apache-skywalking"),
+            F.lit("attribute"), attribute,
+            F.lit("service"), F.coalesce(l.getField("service"), F.lit("")),
+            F.lit("content"), F.coalesce(content, F.lit("")),
+            F.lit("resource"),
+            go_map_json(
+                F.array(
+                    _ent(
+                        "serviceInstance",
+                        F.coalesce(l.getField("serviceInstance"), F.lit("")),
+                    )
+                )
+            ),
+            F.lit("timeUnixNano"), ts.cast("string"),
+            F.lit("__ts_sec__"), (ts / F.lit(1000)).cast("long").cast("string"),
+        )
+        trace_part = F.when(
+            tc.isNotNull(),
+            F.create_map(
+                F.lit("traceID"), F.coalesce(tc.getField("traceId"), F.lit("")),
+                F.lit("spanID"),
+                F.concat(
+                    F.coalesce(tc.getField("traceSegmentId"), F.lit("")),
+                    F.lit("."),
+                    F.coalesce(tc.getField("spanId"), F.lit(0)).cast("string"),
+                ),
+            ),
+        ).otherwise(F.expr("map()").cast("map<string,string>"))
+        return ex.select(
+            *passthrough, F.map_concat(base, trace_part).alias(FIELDS)
+        )

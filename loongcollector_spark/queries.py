@@ -3343,3 +3343,155 @@ FROM ev GROUP BY sink, w"""
 
 QUERIES["spl_time_stats"] = q_spl_time_stats
 ORACLES["spl_time_stats"] = oracle_spl_time_stats()
+
+
+def q_skywalking_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v3 meter payloads (meter_handle.go handleMeterData +
+    HistogramData.ToMetricLogs): singlevalue → one metric log; histogram →
+    count/sum + cumulative le-bucketed rows with the +Inf terminal."""
+    from .operators.skywalking import SkywalkingMeterParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    t = F.lit(1663904182000) + eid
+    single = F.concat(
+        F.lit('"singleValue":{"name":"sv_metric","labels":[{"name":"a","value":"x-'),
+        ut,
+        F.lit('"}],"value":'), (eid % 97).cast("string"), F.lit("}"),
+    )
+    c0 = (eid % 5) * 2 + 1  # odd → the 0.5-bucket keeps sums at x.5 exactly
+    hist = F.concat(
+        F.lit('"histogram":{"name":"h_metric","labels":[{"name":"ip","value":"9.9.9.'),
+        ut,
+        F.lit('"}],"values":[{"bucket":0.5,"count":'), c0.cast("string"),
+        F.lit('},{"bucket":50,"count":'), (eid % 7).cast("string"),
+        F.lit('},{"bucket":88,"count":'), (eid % 11).cast("string"),
+        F.lit("}]}"),
+    )
+    payload = F.concat(
+        F.lit('{"timestamp":'), t.cast("string"),
+        F.lit(',"service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut, F.lit('",'),
+        F.when(eid % 2 == 0, single).otherwise(hist),
+        F.lit("}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingMeterParser().apply(df)
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_meter() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, event_type AS et, cast(user_id % 5 AS varchar) AS ut,
+         cast(1663904182000 + event_id AS varchar) || '000000' AS tn,
+         cast((1663904182000 + event_id) // 1000 AS varchar) AS ts_sec,
+         (event_id % 5) * 2 + 1 AS c0, event_id % 7 AS c1, event_id % 11 AS c2
+  FROM events
+), sv AS (SELECT * FROM ev WHERE eid % 2 = 0), hg AS (
+  SELECT *, 'ip#$#9.9.9.' || ut || '|' AS ipl,
+         '|service#$#' || et || '|serviceInstance#$#inst-' || ut AS svc
+  FROM ev WHERE eid % 2 = 1
+), rows AS (
+  SELECT doc_id, 'sv_metric' AS name, tn AS time_nano,
+         'a#$#x-' || ut || '|service#$#' || et || '|serviceInstance#$#inst-'
+           || ut AS labels,
+         cast(eid % 97 AS varchar) AS value, ts_sec FROM sv
+  UNION ALL SELECT doc_id, 'h_metric_count', tn,
+    ipl || substring(svc, 2), cast(c0 + c1 + c2 AS varchar), ts_sec FROM hg
+  UNION ALL SELECT doc_id, 'h_metric_sum', tn,
+    ipl || substring(svc, 2),
+    cast(0.5 * c0 + 50 * c1 + 88 * c2 AS varchar), ts_sec FROM hg
+  UNION ALL SELECT doc_id, 'h_metric_bucket', tn,
+    ipl || 'le#$#50' || svc, cast(c0 AS varchar), ts_sec FROM hg
+  UNION ALL SELECT doc_id, 'h_metric_bucket', tn,
+    ipl || 'le#$#88' || svc, cast(c0 + c1 AS varchar), ts_sec FROM hg
+  UNION ALL SELECT doc_id, 'h_metric_bucket', tn,
+    ipl || 'le#$#+Inf' || svc, cast(c0 + c1 + c2 AS varchar), ts_sec FROM hg
+)
+SELECT doc_id, name, time_nano, labels, value, ts_sec FROM rows"""
+
+
+def q_skywalking_logging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v3 logging payloads (logging_handle.go convertFormat):
+    LogData → the fixed log-event key set with body-type dispatch, Go-marshal
+    attribute/resource JSON, and conditional trace context."""
+    from .operators.skywalking import SkywalkingLoggingParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    t = F.lit(1663904182000) + eid
+    body = (
+        F.when(
+            eid % 3 == 0,
+            F.concat(F.lit('{"type":"TEXT","text":{"text":"t-'), et, F.lit('"}}')),
+        )
+        .when(
+            eid % 3 == 1,
+            F.concat(F.lit('{"type":"json","json":{"json":"j-'), et, F.lit('"}}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"type":"yaml","yaml":{"yaml":"y-'), et, F.lit('"}}'))
+        )
+    )
+    trace = F.when(
+        eid % 4 != 3,
+        F.concat(
+            F.lit(',"traceContext":{"traceId":"'), F.md5(F.col("doc_id")),
+            F.lit('","traceSegmentId":"seg-'), eid.cast("string"),
+            F.lit('","spanId":'), (eid % 50).cast("string"), F.lit("}"),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"timestamp":'), t.cast("string"),
+        F.lit(',"service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut,
+        F.lit('","endpoint":"ep-'), et,
+        F.lit('","body":'), body,
+        trace,
+        F.lit(',"tags":{"data":[{"key":"k","value":"v-'), ut, F.lit('"}]}}')
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingLoggingParser().apply(df)
+    keys = ["otlp.name", "attribute", "service", "content", "traceID",
+            "spanID", "resource", "timeUnixNano"]
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k.replace(".", "_")) for k in keys],
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_logging() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, event_type AS et, cast(user_id % 5 AS varchar) AS ut,
+         1663904182000 + event_id AS t
+  FROM events
+)
+SELECT doc_id,
+  'apache-skywalking' AS otlp_name,
+  '{"endpoint":"ep-' || et || '","k":"v-' || ut || '"}' AS attribute,
+  et AS service,
+  (ARRAY['t-','j-','y-'])[cast(eid % 3 AS int) + 1] || et AS content,
+  CASE WHEN eid % 4 <> 3 THEN md5(doc_id) END AS traceID,
+  CASE WHEN eid % 4 <> 3 THEN 'seg-' || eid || '.' || (eid % 50) END AS spanID,
+  '{"serviceInstance":"inst-' || ut || '"}' AS resource,
+  cast(t AS varchar) AS timeUnixNano,
+  cast(t // 1000 AS varchar) AS ts_sec
+FROM ev"""
+
+
+QUERIES["skywalking_meter"] = q_skywalking_meter
+QUERIES["skywalking_logging"] = q_skywalking_logging
+ORACLES["skywalking_meter"] = oracle_skywalking_meter()
+ORACLES["skywalking_logging"] = oracle_skywalking_logging()

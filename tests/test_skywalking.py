@@ -13,6 +13,8 @@ from loongcollector_spark.operators.base import to_events
 from loongcollector_spark.operators.skywalking import (
     SkywalkingClrMetricParser,
     SkywalkingJvmMetricParser,
+    SkywalkingLoggingParser,
+    SkywalkingMeterParser,
     SkywalkingSegmentParser,
 )
 
@@ -332,3 +334,112 @@ def test_clr_metrics_golden(spark):
     got = [(f["__name__"], f["__labels__"], f["__value__"]) for f in out]
     assert sorted(got) == sorted(GOLDEN_CLR)
     assert {f["__time_nano__"] for f in out} == {"1500000000000000000"}
+
+
+MOCK_METER_SINGLE = {
+    "timestamp": 1234567890,
+    "service": "service_111",
+    "serviceInstance": "instance_222",
+    "singleValue": {
+        "name": "i_am_singleValue_metric",
+        "labels": [
+            {"name": "Hahaha", "value": "test"},
+            {"name": "a", "value": "aaa"},
+            {"name": "ip", "value": "1.2.3.4"},
+        ],
+        "value": 123,
+    },
+}
+
+MOCK_METER_HIST = {
+    "timestamp": 1234567890,
+    "service": "service_111",
+    "serviceInstance": "instance_222",
+    "histogram": {
+        "name": "i_am_histogram_metric",
+        "labels": [
+            {"name": "Hahaha", "value": "test"},
+            {"name": "a", "value": "aaa"},
+            {"name": "ip", "value": "1.2.3.4"},
+        ],
+        "values": [
+            {"bucket": 0.1, "count": 5},
+            {"bucket": 50, "count": 4},
+            {"bucket": 88.8, "count": 3},
+            {"bucket": 90, "count": 2},
+            {"bucket": 100, "count": 1},
+        ],
+    },
+}
+
+_MB = "Hahaha#$#test|a#$#aaa|ip#$#1.2.3.4"
+_MSVC = "service#$#service_111|serviceInstance#$#instance_222"
+GOLDEN_METER = [  # testdata/meter_singlevalue.json + meter_histogram.json
+    ("i_am_singleValue_metric", f"{_MB}|{_MSVC}", "123"),
+    ("i_am_histogram_metric_count", f"{_MB}|{_MSVC}", "15"),
+    ("i_am_histogram_metric_sum", f"{_MB}|{_MSVC}", "746.9"),
+    ("i_am_histogram_metric_bucket", f"{_MB}|le#$#50|{_MSVC}", "5"),
+    ("i_am_histogram_metric_bucket", f"{_MB}|le#$#88.8|{_MSVC}", "9"),
+    ("i_am_histogram_metric_bucket", f"{_MB}|le#$#90|{_MSVC}", "12"),
+    ("i_am_histogram_metric_bucket", f"{_MB}|le#$#100|{_MSVC}", "14"),
+    ("i_am_histogram_metric_bucket", f"{_MB}|le#$#+Inf|{_MSVC}", "15"),
+]
+
+
+def test_meter_golden(spark):
+    out = _fields(
+        SkywalkingMeterParser().apply(
+            _events(spark, [json.dumps(MOCK_METER_SINGLE), json.dumps(MOCK_METER_HIST)])
+        )
+    )
+    got = [(f["__name__"], f["__labels__"], f["__value__"]) for f in out]
+    assert sorted(got) == sorted(GOLDEN_METER)
+    # ts 1234567890 (10 digits) scales by 10^9
+    assert {f["__time_nano__"] for f in out} == {"1234567890000000000"}
+
+
+def test_meter_partial_stream_dropped(spark):
+    noservice = dict(MOCK_METER_SINGLE, service="")
+    out = SkywalkingMeterParser().apply(_events(spark, [json.dumps(noservice)]))
+    assert out.count() == 0  # meter_handle.go:74-76 partial-stream drop
+
+
+MOCK_LOGGING = {
+    "timestamp": 1651902032613,
+    "service": "test",
+    "serviceInstance": "123",
+    "endpoint": "test",
+    "body": {"type": "json", "json": {"json": "test"}},
+    "traceContext": {"traceId": "test", "traceSegmentId": "test", "spanId": 0},
+    "tags": {"data": [{"key": "test", "value": "test2"}]},
+}
+
+
+def test_logging_golden(spark):
+    out = _fields(SkywalkingLoggingParser().apply(_events(spark, [json.dumps(MOCK_LOGGING)])))
+    f = dict(out[0])
+    assert f.pop("__ts_sec__") == "1651902032"  # Time in testdata/logging.json
+    assert f == {
+        "otlp.name": "apache-skywalking",
+        "attribute": '{"endpoint":"test","test":"test2"}',
+        "service": "test",
+        "content": "test",
+        "traceID": "test",
+        "spanID": "test.0",
+        "resource": '{"serviceInstance":"123"}',
+        "timeUnixNano": "1651902032613",
+    }
+
+
+def test_logging_body_types_and_no_trace(spark):
+    text = dict(MOCK_LOGGING, body={"type": "TEXT", "text": {"text": "plain"}})
+    text.pop("traceContext")
+    yaml = dict(MOCK_LOGGING, body={"type": "yaml", "yaml": {"yaml": "a: 1"}})
+    out = _fields(
+        SkywalkingLoggingParser().apply(
+            _events(spark, [json.dumps(text), json.dumps(yaml)])
+        )
+    )
+    assert out[0]["content"] == "plain"
+    assert "traceID" not in out[0] and "spanID" not in out[0]
+    assert out[1]["content"] == "a: 1"
