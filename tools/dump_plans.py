@@ -109,6 +109,27 @@ def main() -> None:
             "render): no Exchange, no Join, no Python.",
         ),
         (
+            "skywalking_segment — SegmentObject → OtSpan rows",
+            QUERIES["skywalking_segment"](spark, SF),
+            "from_json → single Generate (explode spans) → narrow JSON/"
+            "attribute string building; resource properties via "
+            "BroadcastHashJoin (never SortMergeJoin); no Python.",
+        ),
+        (
+            "canal_row_events — binlog row events → per-row-change events",
+            QUERIES["canal_row_events"](spark, SF),
+            "from_json → per-row map building (enum/set rendering inside "
+            "transform lambdas) → single Generate; no Exchange, no Join, "
+            "no Python.",
+        ),
+        (
+            "spl_time_stats — SPL windowed multi-aggregate stats",
+            QUERIES["spl_time_stats"](spark, SF),
+            "the SPL-compiled pipe must plan exactly like the native "
+            "flagship aggregate: BroadcastHashJoin lookup, partial/final "
+            "HashAggregate pair, ONE non-broadcast Exchange.",
+        ),
+        (
             "kafka_dynamic_topic — %{content.x} topic + hash key routing",
             QUERIES["kafka_dynamic_topic"](spark, SF),
             "pattern compiled at plan time into concat+map lookups; "
