@@ -1149,3 +1149,101 @@ FROM x GROUP BY source, epoch"""
 
 DATAOPS_QUERIES["mixture_sample"] = q_mixture_sample
 DATAOPS_ORACLES["mixture_sample"] = oracle_mixture_sample()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL canonical dedup (r4)
+# ---------------------------------------------------------------------------
+
+_PII_FIX = (
+    " mail a{d}@ex{e}.org call 415-555-{p} from 10.{a}.{b}.{c}"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII scrub: mask emails/phones/IPv4 with |||…||| tokens and
+    count each kind — zero-shuffle scan shape; oracle runs the identical
+    RE2-compatible regexes in DuckDB."""
+    d = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.lit(" mail a"), (d % 50).cast("string"),
+        F.lit("@ex"), (d % 9).cast("string"),
+        F.lit(".org call 415-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit("."), (d % 7).cast("string"),
+        F.lit("."), (d % 13).cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("text"))
+    out = text.pii_redact(docs)
+    return out.select(
+        "doc_id", "redacted",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+    )
+
+
+def oracle_pii_redact() -> str:
+    email, phone, ip = text.PII_EMAIL_RX, text.PII_PHONE_RX, text.PII_IPV4_RX
+    return f"""WITH d AS (
+  SELECT doc_id,
+         text || ' mail a' || (doc_id % 50) || '@ex' || (doc_id % 9) ||
+         '.org call 415-555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+         || ' from 10.' || (doc_id % 256) || '.' || (doc_id % 7) || '.' ||
+         (doc_id % 13) AS c
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(c,
+    '{email}', '|||EMAIL_ADDRESS|||', 'g'),
+    '{phone}', '|||PHONE_NUMBER|||', 'g'),
+    '{ip}', '|||IP_ADDRESS|||', 'g') AS redacted,
+  cast(len(regexp_extract_all(c, '{email}')) AS int) AS n_email,
+  cast(len(regexp_extract_all(c, '{phone}')) AS int) AS n_phone,
+  cast(len(regexp_extract_all(c, '{ip}')) AS int) AS n_ip
+FROM d"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb crawl dedup: canonicalize URLs (case, default port,
+    trailing slash, tracking params, param order) and keep one survivor per
+    canonical URL — newest fetch wins, smallest id breaks ties. One
+    partial-aggregatable shuffle on the canonical key."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://Ex"), (d % 20).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=x&a=1"),
+        F.when(d % 5 == 0, F.lit("&fbclid=z")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), (d % 97).alias("fetch_ts")
+    )
+    return text.url_dedup(docs, "url", "doc_id", "fetch_ts").orderBy("canonical_url")
+
+
+def oracle_url_dedup() -> str:
+    return """WITH d AS (
+  SELECT doc_id,
+         'http://ex' || (doc_id % 20) || '.com/p/' || (doc_id % 10) ||
+           '?a=1&b=2' AS cu,
+         doc_id % 97 AS p
+  FROM documents
+), r AS (
+  SELECT cu, doc_id,
+         row_number() OVER (PARTITION BY cu ORDER BY p DESC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT cu AS canonical_url, doc_id FROM r WHERE rn = 1"""
+
+
+DATAOPS_QUERIES["pii_redact"] = q_pii_redact
+DATAOPS_QUERIES["url_dedup"] = q_url_dedup
+DATAOPS_ORACLES["pii_redact"] = oracle_pii_redact()
+DATAOPS_ORACLES["url_dedup"] = oracle_url_dedup()

@@ -1073,3 +1073,114 @@ def mixture_sample(
         F.array().cast("array<int>")
     )
     return df.withColumn("epoch", F.explode(copies))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the Dolma/FineWeb pre-training scrub step)
+# ---------------------------------------------------------------------------
+
+# Conservative RE2-compatible patterns (no lookarounds) so the DuckDB oracle
+# runs the IDENTICAL regex: emails, North-American phone shapes, IPv4.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PII_PHONE_RX = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Dolma's public mask convention
+PII_MASKS = {"email": "|||EMAIL_ADDRESS|||", "phone": "|||PHONE_NUMBER|||", "ip": "|||IP_ADDRESS|||"}
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Mask emails / phone numbers / IPv4 addresses with the Dolma-style
+    ``|||…|||`` tokens and count each kind per document. Pure
+    ``regexp_replace`` / ``regexp_extract_all`` projections — zero shuffle,
+    the ideal 100 TB scan shape. Order matters: emails first (an address
+    must not first lose digits to the phone pattern), then phones, then IPs
+    (phone masking cannot create an IPv4, and masking is idempotent because
+    the mask tokens contain no matchable characters)."""
+    t = F.col(text_col)
+    n = lambda rx: F.size(F.regexp_extract_all(t, F.lit(rx), 0))  # noqa: E731
+    red = F.regexp_replace(t, PII_EMAIL_RX, PII_MASKS["email"])
+    red = F.regexp_replace(red, PII_PHONE_RX, PII_MASKS["phone"])
+    red = F.regexp_replace(red, PII_IPV4_RX, PII_MASKS["ip"])
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n(PII_EMAIL_RX).alias("n_email"),
+        n(PII_PHONE_RX).alias("n_phone"),
+        n(PII_IPV4_RX).alias("n_ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-URL dedup (the CCNet/RefinedWeb crawl-dedup step)
+# ---------------------------------------------------------------------------
+
+URL_TRACKING_PARAMS_PREFIXES = ("utm_",)
+URL_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default :80/:443 ports
+    stripped, fragment stripped, tracking query params removed
+    (utm_* / fbclid / gclid / msclkid / ref), remaining params SORTED, and
+    the trailing slash of a bare path dropped. Pure string expressions."""
+    no_frag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    rest = F.substring_index(no_frag, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":80"))
+        | ((scheme == "https") & hostport.endswith(":443")),
+        F.substring_index(hostport, ":", 1),
+    ).otherwise(hostport)
+    path_q = F.when(
+        F.length(rest) > F.length(hostport),
+        F.substring(rest, F.length(hostport) + 1, F.length(rest)),
+    ).otherwise(F.lit(""))
+    # split path from query
+    path = F.substring_index(path_q, "?", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    has_q = F.length(path_q) > F.length(F.substring_index(path_q, "?", 1))
+    qparams = F.when(has_q, F.split(F.substring_index(path_q, "?", -1), "&")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    def keep(p: Column) -> Column:
+        name = F.substring_index(p, "=", 1)
+        cond = F.length(p) > 0
+        for pref in URL_TRACKING_PARAMS_PREFIXES:
+            cond = cond & ~name.startswith(pref)
+        for exact in URL_TRACKING_PARAMS:
+            cond = cond & (name != exact)
+        return cond
+
+    kept = F.array_sort(F.filter(qparams, keep))
+    query = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """One survivor per canonical URL: the highest ``priority_col`` (e.g.
+    fetch timestamp — crawl-newest-wins), ties broken by smallest id. One
+    hash-partial-aggregatable shuffle on the canonical URL — the same
+    max-struct election c4_span_dedup uses, no window over raw rows."""
+    prio = F.col(priority_col) if priority_col else F.lit(0)
+    pick = F.struct(
+        prio.alias("p"), (-F.col(id_col)).alias("nid"), F.col(id_col).alias("id")
+    )
+    return (
+        df.select(normalize_url(F.col(url_col)).alias("canonical_url"), pick.alias("__pick__"))
+        .groupBy("canonical_url")
+        .agg(F.max("__pick__").alias("w"))
+        .select("canonical_url", F.col("w.id").alias(id_col))
+    )

@@ -860,3 +860,60 @@ class SkywalkingLoggingParser(Operator):
         return ex.select(
             *passthrough, F.map_concat(base, trace_part).alias(FIELDS)
         )
+
+
+BROWSER_ERROR_SCHEMA = (
+    "struct<uniqueId:string,service:string,serviceVersion:string,time:long,"
+    "pagePath:string,category:string,grade:string,message:string,line:int,"
+    "col:int,stack:string,errorUrl:string,firstReportedError:boolean>"
+)
+
+
+@dataclass
+class SkywalkingBrowserErrorParser(Operator):
+    """BrowserErrorLog protojson → log events (logging_handle.go:153-173
+    convertBrowserErrorLog): the fixed key list, with the reference's
+    conversions reproduced faithfully — ``line``/``col`` render through Go
+    ``string(int32)`` (a RUNE, not a decimal: 65 → "A"), and ``errorUrl``
+    carries ``string(data.Col)`` (the reference reads Col, not ErrorUrl —
+    a bug kept for parity, :170). Engine chr() matches Go's rune for
+    codepoints < 256; beyond that Go emits the UTF-8 rune while chr() wraps
+    mod 256 (documented divergence; both are garbage renderings of a line
+    number). Category is the protojson enum name (ajax/resource/vue/
+    promise/js/unknown)."""
+
+    source_key: str = "content"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        be = F.from_json(fget(self.source_key), BROWSER_ERROR_SCHEMA)
+        passthrough = [c for c in df.columns if c != FIELDS]
+        ex = df.select(*passthrough, be.alias("__b__")).where(
+            F.col("__b__").isNotNull()
+        )
+        b = F.col("__b__")
+
+        def s(name: str) -> Column:
+            return F.coalesce(b.getField(name), F.lit(""))
+
+        def rune(name: str) -> Column:
+            return F.char(F.coalesce(b.getField(name), F.lit(0)))
+
+        t = F.coalesce(b.getField("time"), F.lit(0))
+        fields = F.create_map(
+            F.lit("otlp.name"), F.lit("apache-skywalking"),
+            F.lit("service"), s("service"),
+            F.lit("uniqueId"), s("uniqueId"),
+            F.lit("serviceVersion"), s("serviceVersion"),
+            F.lit("category"), F.coalesce(b.getField("category"), F.lit("ajax")),
+            F.lit("pagePath"), s("pagePath"),
+            F.lit("grade"), s("grade"),
+            F.lit("message"), s("message"),
+            F.lit("line"), rune("line"),
+            F.lit("col"), rune("col"),
+            F.lit("stack"), s("stack"),
+            F.lit("errorUrl"), rune("col"),  # reference reads Col (:170)
+            F.lit("firstReportedError"),
+            F.coalesce(b.getField("firstReportedError"), F.lit(False)).cast("string"),
+            F.lit("__ts_sec__"), (t / F.lit(1000)).cast("long").cast("string"),
+        )
+        return ex.select(*passthrough, fields.alias(FIELDS))

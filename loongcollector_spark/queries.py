@@ -3495,3 +3495,72 @@ QUERIES["skywalking_meter"] = q_skywalking_meter
 QUERIES["skywalking_logging"] = q_skywalking_logging
 ORACLES["skywalking_meter"] = oracle_skywalking_meter()
 ORACLES["skywalking_logging"] = oracle_skywalking_logging()
+
+
+def q_skywalking_browser_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking browser error logs (logging_handle.go:153-173
+    convertBrowserErrorLog) — incl. the reference's rune renderings of
+    line/col and the errorUrl←Col parity bug."""
+    from .operators.skywalking import SkywalkingBrowserErrorParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    cat = F.element_at(
+        F.array(*[F.lit(x) for x in ("ajax", "resource", "vue", "promise", "js", "unknown")]),
+        (eid % 6).cast("int") + 1,
+    )
+    payload = F.concat(
+        F.lit('{"uniqueId":"u-'), F.substring(F.md5(F.col("doc_id")), 1, 8),
+        F.lit('","service":"'), et,
+        F.lit('","serviceVersion":"v'), (eid % 5).cast("string"),
+        F.lit('","time":'), (F.lit(1663904182000) + eid).cast("string"),
+        F.lit(',"pagePath":"/page/'), ut,
+        F.lit('","category":"'), cat,
+        F.lit('","grade":"ERROR","message":"m-'), et,
+        F.lit('","line":'), (F.lit(65) + eid % 26).cast("string"),
+        F.lit(',"col":'), (F.lit(97) + eid % 26).cast("string"),
+        F.lit(',"stack":"st-'), et,
+        F.lit('","errorUrl":"/real/url","firstReportedError":'),
+        F.when(eid % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingBrowserErrorParser().apply(df)
+    keys = ["otlp.name", "service", "uniqueId", "serviceVersion", "category",
+            "pagePath", "grade", "message", "line", "col", "stack",
+            "errorUrl", "firstReportedError"]
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k.replace(".", "_")) for k in keys],
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_browser_error() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, event_type AS et, cast(user_id % 5 AS varchar) AS ut
+  FROM events
+)
+SELECT doc_id,
+  'apache-skywalking' AS otlp_name,
+  et AS service,
+  'u-' || substring(md5(doc_id), 1, 8) AS uniqueId,
+  'v' || (eid % 5) AS serviceVersion,
+  (ARRAY['ajax','resource','vue','promise','js','unknown'])
+    [cast(eid % 6 AS int) + 1] AS category,
+  '/page/' || ut AS pagePath,
+  'ERROR' AS grade,
+  'm-' || et AS message,
+  chr(cast(65 + eid % 26 AS int)) AS line,
+  chr(cast(97 + eid % 26 AS int)) AS col,
+  'st-' || et AS stack,
+  chr(cast(97 + eid % 26 AS int)) AS errorUrl,
+  CASE WHEN eid % 2 = 0 THEN 'true' ELSE 'false' END AS firstReportedError,
+  cast((1663904182000 + eid) // 1000 AS varchar) AS ts_sec
+FROM ev"""
+
+
+QUERIES["skywalking_browser_error"] = q_skywalking_browser_error
+ORACLES["skywalking_browser_error"] = oracle_skywalking_browser_error()

@@ -443,3 +443,32 @@ def test_logging_body_types_and_no_trace(spark):
     assert out[0]["content"] == "plain"
     assert "traceID" not in out[0] and "spanID" not in out[0]
     assert out[1]["content"] == "a: 1"
+
+
+def test_browser_error_golden(spark):
+    from loongcollector_spark.operators.skywalking import SkywalkingBrowserErrorParser
+
+    payload = {
+        "uniqueId": "uid-1", "service": "web", "serviceVersion": "1.2",
+        "time": 1651902032613, "pagePath": "/home", "category": "js",
+        "grade": "ERROR", "message": "boom", "line": 65, "col": 97,
+        "stack": "at x", "errorUrl": "/real", "firstReportedError": True,
+    }
+    out = _fields(SkywalkingBrowserErrorParser().apply(_events(spark, [json.dumps(payload)])))
+    f = dict(out[0])
+    assert f.pop("__ts_sec__") == "1651902032"
+    assert f == {
+        "otlp.name": "apache-skywalking",
+        "service": "web",
+        "uniqueId": "uid-1",
+        "serviceVersion": "1.2",
+        "category": "js",
+        "pagePath": "/home",
+        "grade": "ERROR",
+        "message": "boom",
+        "line": "A",  # Go string(int32) rune rendering (:168)
+        "col": "a",
+        "stack": "at x",
+        "errorUrl": "a",  # the reference reads Col here (:170) — kept
+        "firstReportedError": "true",
+    }
