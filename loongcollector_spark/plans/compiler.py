@@ -538,3 +538,67 @@ def compile_input(
             F.col("value").cast("string").alias("content"),
         )
     raise KeyError(f"unknown input type: {t}")
+
+
+def compile_decoder(cfg: Mapping[str, Any]):
+    """HTTP/gRPC ingestion decoder factory — the table analog of
+    ``pkg/protocol/decoder/decoder.go`` GetDecoderWithOptions keyed by the
+    same ``Format`` strings (common/comon_util.go:32-41). Returns a
+    ``DataFrame -> DataFrame`` stage.
+
+    Input contract by format family:
+    - text protocols (``influx``/``influxdb``, ``statsd``, ``pyroscope``,
+      ``raw``): the canonical event frame (``fields['content']`` carries the
+      request body text);
+    - binary protocols (``sls``, ``prometheus``): a binary ``payload``
+      column (``PayloadCol``/``Passthrough`` options); ``sls`` takes the JVM
+      from_protobuf tier when spark-protobuf is on the classpath;
+    - OTLP (``otlp_logv1``/``otlp_metricv1``/``otlp_tracev1``): hex-encoded
+      wire bytes in ``fields['content']`` (OtelPbToJson), chained into the
+      shared OTLP parsers.
+    """
+    fmt = cfg.get("Format", "raw")
+    if fmt in ("influx", "influxdb"):
+        from ..operators.influx import InfluxDecoder
+
+        return InfluxDecoder(
+            default_ts_ns=int(cfg.get("DefaultTsNs", 0)),
+        ).apply
+    if fmt == "statsd":
+        from ..operators.statsd import StatsdDecoder
+
+        return StatsdDecoder(
+            default_ts_ns=int(cfg.get("DefaultTsNs", 0)),
+        ).apply
+    if fmt == "pyroscope":
+        from ..operators.pyroscope import PyroscopeGroupsDecoder
+
+        return PyroscopeGroupsDecoder().apply
+    if fmt == "sls":
+        from ..operators.jvm_decode import parse_sls_log_group_auto
+
+        return lambda df: parse_sls_log_group_auto(
+            df, cfg.get("PayloadCol", "payload"), list(cfg.get("Passthrough", []))
+        )
+    if fmt == "prometheus":
+        from ..operators.prom_rw import PromRemoteWriteDecoder
+
+        return PromRemoteWriteDecoder(
+            cfg.get("PayloadCol", "payload"), list(cfg.get("Passthrough", []))
+        ).apply
+    if fmt in ("otlp_logv1", "otlp_metricv1", "otlp_tracev1"):
+        from ..operators.otel import OtelLogParser, OtelMetricParser, OtelTraceParser
+        from ..operators.otlp_pb import OtelPbToJson
+
+        signal = {"otlp_logv1": "log", "otlp_metricv1": "metric",
+                  "otlp_tracev1": "trace"}[fmt]
+        parser = {
+            "log": OtelLogParser(),
+            "metric": OtelMetricParser(),
+            "trace": OtelTraceParser(),
+        }[signal]
+        front = OtelPbToJson(signal, binary_encoding=cfg.get("BinaryEncoding", "hex"))
+        return lambda df: parser.apply(front.apply(df))
+    if fmt == "raw":
+        return lambda df: df
+    raise KeyError(f"unknown decoder format: {fmt}")

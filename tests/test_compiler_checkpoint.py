@@ -300,3 +300,50 @@ def test_registry_rate_limit_geoip_cloudmeta_log2metric(spark, tmp_path):
     )
     mrow = m.apply(mdf).collect()[0]
     assert mrow["__name__"] == "rt_ms" and mrow["__value__"] == 42.0
+
+
+def test_compile_decoder_formats(spark):
+    """decoder.go factory analog: Format strings route to the right decode
+    stage for text, binary, and OTLP families."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.base import to_events
+    from loongcollector_spark.operators.pb import encode_sls_log, encode_sls_log_group
+    from loongcollector_spark.plans.compiler import compile_decoder
+
+    # text family
+    ev = to_events(
+        spark.createDataFrame(
+            [(1, "cpu,host=h1 value=2 1434055562000000000")], "i long, content string"
+        )
+    )
+    out = compile_decoder({"Format": "influxdb"})(ev).collect()
+    assert [r["__name__"] for r in out] == ["cpu"]
+
+    st = to_events(
+        spark.createDataFrame([(1, "gauge:7|g")], "i long, content string")
+    )
+    assert compile_decoder({"Format": "statsd"})(st).count() == 1
+
+    # binary family (sls payload column)
+    payload = encode_sls_log_group([encode_sls_log(1663904182, {"k": "v"})], topic="t")
+    binq = spark.createDataFrame([(9, bytearray(payload))], "i long, payload binary")
+    rows = compile_decoder({"Format": "sls", "Passthrough": ["i"]})(binq).collect()
+    assert rows[0]["topic"] == "t" and dict(rows[0]["contents"]) == {"k": "v"}
+
+    # OTLP family (hex wire bytes in content)
+    from loongcollector_spark.operators import otlp_pb as W
+
+    rec = W.encode_log_record_pb(123_000_000_000, severity_text="INFO", body="m")
+    wire = W.encode_logs_data([rec]).hex()
+    ot = to_events(spark.createDataFrame([(1, wire)], "i long, content string"))
+    lrows = compile_decoder({"Format": "otlp_logv1"})(ot).collect()
+    assert lrows[0]["fields"]["severity_text"] == "INFO"
+    assert lrows[0]["fields"]["content"] == "m"
+
+    # raw passthrough + unknown format
+    assert compile_decoder({"Format": "raw"})(ev) is ev
+    import pytest
+
+    with pytest.raises(KeyError):
+        compile_decoder({"Format": "nope"})
