@@ -636,3 +636,83 @@ def otlp_logs_sink_frames(
         )
 
     return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)
+
+
+def otlp_metrics_sink_frames(
+    df: DataFrame,
+    group_cols: list[str],
+    name_col: str = "metric_name",
+    type_col: str = "metric_type",
+    tags_col: str = "tags",
+    value_col: str = "value",
+    ts_ns_col: str = "ts_ns",
+    resource_tags: Mapping[str, Column | str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """flusher_otlp Export path, metric direction
+    (ConvertPipelineEventToOtlpMetric, pkg/protocol/converter/otlp.go:230-289):
+    each metric event becomes one Metric — gauge → Gauge NumberDataPoint,
+    counter → Sum with DELTA aggregation temporality (:252-254) — packed
+    into ONE MetricsData wire payload per sink group (group meta →
+    resource attributes, setAttributes :150). Untyped metrics are skipped
+    (:246-247). Same Spark shape as the logs direction: one
+    groupBy(sink).applyInPandas shuffle, wire packing in Python, everything
+    upstream Column-tier. Roundtrip-pinned against otlp_pb.decode_metrics."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from . import otlp_pb as W
+
+    rt_entries = [
+        F.struct(
+            F.lit(k).alias("key"),
+            (v if isinstance(v, Column) else F.lit(v)).cast("string").alias("value"),
+        )
+        for k, v in (resource_tags or {}).items()
+    ]
+    aux = df.select(
+        *group_cols,
+        *([F.col(order_col).alias("__ord__")] if order_col else []),
+        F.col(name_col).alias("__name__"),
+        F.col(type_col).alias("__type__"),
+        F.col(tags_col).alias("__tags__"),
+        F.col(value_col).cast("double").alias("__val__"),
+        F.col(ts_ns_col).cast("long").alias("__ts__"),
+        (
+            F.array(*rt_entries)
+            if rt_entries
+            else F.expr("CAST(array() AS array<struct<key:string,value:string>>)")
+        ).alias("__rtags__"),
+    )
+    schema = StructType(
+        [df.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
+    )
+
+    def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if order_col:
+            pdf = pdf.sort_values("__ord__")
+        res_attrs = [
+            W.encode_attr(t["key"], t["value"]) for t in pdf.iloc[0]["__rtags__"] or []
+        ]
+        metrics = []
+        for _, r in pdf.iterrows():
+            tags = dict(r["__tags__"] or {})
+            dp = W.encode_number_dp(
+                int(r["__ts__"]),
+                as_double=float(r["__val__"]),
+                attrs=[W.encode_attr(k, tags[k]) for k in sorted(tags)],
+            )
+            if r["__type__"] == "gauge":
+                metrics.append(W.encode_gauge_metric(r["__name__"], [dp]))
+            elif r["__type__"] == "counter":
+                # pmetric.AggregationTemporalityDelta == 1
+                metrics.append(
+                    W.encode_sum_metric(r["__name__"], [dp], False, temporality=1)
+                )
+            # untyped: skipped (otlp.go:246-247)
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        return pd.DataFrame(
+            {**keys, "payload": [W.encode_metrics_data(metrics, res_attrs)]}
+        )
+
+    return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)

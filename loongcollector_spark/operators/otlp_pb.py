@@ -615,8 +615,13 @@ def encode_gauge_metric(name: str, dps: list[bytes]) -> bytes:
     return _ld(1, name.encode()) + _ld(5, b"".join(_ld(1, d) for d in dps))
 
 
-def encode_sum_metric(name: str, dps: list[bytes], is_monotonic: bool) -> bytes:
-    body = b"".join(_ld(1, d) for d in dps) + _vi(3, int(is_monotonic))
+def encode_sum_metric(
+    name: str, dps: list[bytes], is_monotonic: bool, temporality: int | None = None
+) -> bytes:
+    body = b"".join(_ld(1, d) for d in dps)
+    if temporality is not None:  # metrics.proto Sum.aggregation_temporality=2
+        body += _vi(2, temporality)
+    body += _vi(3, int(is_monotonic))
     return _ld(1, name.encode()) + _ld(7, body)
 
 

@@ -3564,3 +3564,71 @@ FROM ev"""
 
 QUERIES["skywalking_browser_error"] = q_skywalking_browser_error
 ORACLES["skywalking_browser_error"] = oracle_skywalking_browser_error()
+
+
+def q_flusher_otlp_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_otlp Export path, metric direction
+    (ConvertPipelineEventToOtlpMetric): per-sink-group MetricsData payloads
+    (gauge → Gauge, counter → DELTA Sum, untyped skipped), roundtrip-pinned
+    through otlp_pb.decode_metrics + OtelMetricParser."""
+    from .operators.convert import otlp_metrics_sink_frames
+    from .operators.otel import OtelMetricParser
+    from .operators.otlp_pb import OtelPbToJson
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    ut = (F.col("user_id") % 5).cast("string")
+    sk = (eid % 3).cast("string")
+    mtype = F.when(eid % 5 == 0, F.lit("untyped")).otherwise(
+        F.when(eid % 2 == 0, F.lit("gauge")).otherwise(F.lit("counter"))
+    )
+    frame = ev.select(
+        "event_id",
+        F.concat(F.lit("sink-"), sk).alias("sink"),
+        F.concat(F.lit("c"), sk).alias("__cluster__"),
+        F.concat(F.lit("m_"), (eid % 7).cast("string")).alias("metric_name"),
+        mtype.alias("metric_type"),
+        F.create_map(F.lit("host"), F.concat(F.lit("h"), ut)).alias("tags"),
+        ((eid % 89).cast("double") + 0.5).alias("value"),
+        (F.lit(1663904182000000000) + eid * 1000).alias("ts_ns"),
+    )
+    enc = otlp_metrics_sink_frames(
+        frame, ["sink"],
+        resource_tags={"cluster": F.col("__cluster__")},
+        order_col="event_id",
+    )
+    dec_in = to_events(enc.select("sink", F.lower(F.hex("payload")).alias("content")))
+    out = OtelMetricParser().apply(OtelPbToJson("metric").apply(dec_in))
+    return out.select(
+        "sink",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__value__").alias("value"),
+    )
+
+
+def oracle_flusher_otlp_metric() -> str:
+    return """WITH ev AS (
+  SELECT event_id AS eid, 'sink-' || (event_id % 3) AS sink,
+         'c' || (event_id % 3) AS cl,
+         'm_' || (event_id % 7) AS name,
+         'host#$#h' || (user_id % 5) AS hostl,
+         cast(1663904182000000000 + event_id * 1000 AS varchar) AS tn,
+         (event_id % 89) || '.5' AS v
+  FROM events WHERE event_id % 5 <> 0
+)
+SELECT sink, name,
+  'cluster#$#' || cl || '|' || hostl AS labels,
+  tn AS time_nano, v AS value
+FROM ev WHERE eid % 2 = 0
+UNION ALL
+SELECT sink, name,
+  'cluster#$#' || cl || '|' || hostl || '|otlp_metric_ismonotonic#$#false'
+    AS labels,
+  tn AS time_nano, v AS value
+FROM ev WHERE eid % 2 = 1"""
+
+
+QUERIES["flusher_otlp_metric"] = q_flusher_otlp_metric
+ORACLES["flusher_otlp_metric"] = oracle_flusher_otlp_metric()

@@ -368,3 +368,32 @@ def test_otlp_logs_sink_frames(spark):
     resb = {a["key"]: a["value"]["stringValue"] for a in rb["resource"]["attributes"]}
     assert "topic" not in resb and "machine_uuid" not in resb
     assert len(rb["scopeLogs"][0]["logRecords"]) == 1
+
+
+def test_otlp_metrics_sink_frames(spark):
+    """flusher_otlp metric direction: gauge→Gauge, counter→DELTA Sum,
+    untyped skipped; one MetricsData payload per sink with resource tags."""
+    from loongcollector_spark.operators.convert import otlp_metrics_sink_frames
+    from loongcollector_spark.operators.otlp_pb import decode_metrics
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "cpu", "gauge", {"host": "h1"}, 1.5, 1_000_000_000),
+            ("a", 2, "req", "counter", {"host": "h1"}, 7.0, 2_000_000_000),
+            ("a", 3, "meh", "untyped", {}, 9.0, 3_000_000_000),
+        ],
+        "sink string, i long, metric_name string, metric_type string,"
+        "tags map<string,string>, value double, ts_ns long",
+    )
+    out = otlp_metrics_sink_frames(
+        df, ["sink"], resource_tags={"cluster": "c9"}, order_col="i"
+    ).collect()
+    assert len(out) == 1
+    d = decode_metrics(bytes(out[0]["payload"]))
+    rm = d["resourceMetrics"][0]
+    res = {a["key"]: a["value"]["stringValue"] for a in rm["resource"]["attributes"]}
+    assert res == {"cluster": "c9"}
+    ms = rm["scopeMetrics"][0]["metrics"]
+    assert [m["name"] for m in ms] == ["cpu", "req"]  # untyped skipped
+    assert "gauge" in ms[0] and ms[0]["gauge"]["dataPoints"][0]["asDouble"] == 1.5
+    assert "sum" in ms[1] and ms[1]["sum"]["isMonotonic"] is False
