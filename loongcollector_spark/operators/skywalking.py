@@ -917,3 +917,75 @@ class SkywalkingBrowserErrorParser(Operator):
             F.lit("__ts_sec__"), (t / F.lit(1000)).cast("long").cast("string"),
         )
         return ex.select(*passthrough, fields.alias(FIELDS))
+
+
+# ---------------------------------------------------------------------------
+# management: InstanceProperties → resource-properties lookup table
+# ---------------------------------------------------------------------------
+
+MANAGEMENT_SCHEMA = (
+    "struct<service:string,serviceInstance:string,"
+    f"properties:{_KV}>"
+)
+
+
+def filter_properties(entries: Column) -> Column:
+    """ResourcePropertiesCache.filterProperties (management_handle.go:57-72):
+    drop 'Start Time'/'JVM Arguments'/'Jar Dependencies'; a NON-empty
+    'namespace' renames to 'service.namespace' (empty stays put). Runs on
+    the OT-mapped entries, exactly where the reference applies it (put is
+    called with ConvertResourceOt's output, :108-111)."""
+    kept = F.filter(
+        entries,
+        lambda e: ~e.getField("k").isin(
+            "Start Time", "JVM Arguments", "Jar Dependencies"
+        ),
+    )
+    return F.transform(
+        kept,
+        lambda e: F.when(
+            (e.getField("k") == "namespace") & (F.length(e.getField("v")) > 0),
+            _ent("service.namespace", e.getField("v")),
+        ).otherwise(e),
+    )
+
+
+def resource_properties_table(
+    df: DataFrame, source_key: str = "content", order_col: str = "event_id"
+) -> DataFrame:
+    """ReportInstanceProperties stream → the resource lookup table the
+    segment parser broadcast-joins (the table analog of
+    ResourcePropertiesCache + its checkpoint): latest report per
+    (service, serviceInstance) wins (`max_by` on ``order_col`` — the
+    cache's last-put-wins), properties OT-mapped (ConvertResourceOt) and
+    filtered (filterProperties). One partial-aggregatable shuffle on the
+    (service, instance) key — a tiny dimension at any scale."""
+    p = F.from_json(fget(source_key), MANAGEMENT_SCHEMA)
+    base = (
+        df.select(F.col(order_col).alias("__ord__"), p.alias("__p__"))
+        .where(F.col("__p__").isNotNull() & F.col("__p__.service").isNotNull())
+        .select(
+            F.col("__p__.service").alias("service"),
+            F.coalesce(F.col("__p__.serviceInstance"), F.lit("")).alias(
+                "serviceInstance"
+            ),
+            "__ord__",
+            F.col("__p__.properties").alias("__props__"),
+        )
+    )
+    latest = base.groupBy("service", "serviceInstance").agg(
+        F.max_by("__props__", "__ord__").alias("__props__")
+    )
+    mapped = filter_properties(convert_resource_ot(F.col("__props__")))
+    # back to the (key,value) shape SkywalkingSegmentParser.apply consumes
+    # (convert_resource_ot is idempotent over already-mapped keys)
+    return latest.select(
+        "service",
+        "serviceInstance",
+        F.transform(
+            mapped,
+            lambda e: F.struct(
+                e.getField("k").alias("key"), e.getField("v").alias("value")
+            ),
+        ).alias("properties"),
+    )

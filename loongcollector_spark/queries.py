@@ -3632,3 +3632,67 @@ FROM ev WHERE eid % 2 = 1"""
 
 QUERIES["flusher_otlp_metric"] = q_flusher_otlp_metric
 ORACLES["flusher_otlp_metric"] = oracle_flusher_otlp_metric()
+
+
+def q_skywalking_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking management handler (ReportInstanceProperties →
+    ResourcePropertiesCache, management_handle.go:105-115): a stream of
+    property reports → the latest-wins resource lookup table with the
+    OT key mapping + filterProperties semantics, rendered the way the
+    segment parser consumes it (sorted-key JSON + host)."""
+    from .operators.skywalking import (
+        convert_resource_ot,
+        go_map_json,
+        resource_properties_table,
+    )
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    ns = F.when(eid % 2 == 0, F.concat(F.lit("ns-"), ut)).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"service":"'), et,
+        F.lit('","serviceInstance":"inst-'), ut,
+        F.lit('","properties":[{"key":"hostname","value":"h-'), ut,
+        F.lit("-"), (eid % 4).cast("string"),
+        F.lit('"},{"key":"Start Time","value":"x"},'
+              '{"key":"namespace","value":"'), ns,
+        F.lit('"},{"key":"language","value":"java"}]}'),
+    )
+    df = ev.select("doc_id", "event_id", payload.alias("content"))
+    res = resource_properties_table(
+        to_events(df.select("event_id", "content")), order_col="event_id"
+    )
+    ent = convert_resource_ot(F.col("properties"))
+    return res.select(
+        "service",
+        "serviceInstance",
+        go_map_json(ent).alias("resource"),
+        F.aggregate(
+            ent,
+            F.lit(""),
+            lambda acc, e: F.when(
+                e.getField("k") == "host.name", e.getField("v")
+            ).otherwise(acc),
+        ).alias("host"),
+    ).orderBy("service", "serviceInstance")
+
+
+def oracle_skywalking_resources() -> str:
+    return """WITH ev AS (
+  SELECT event_id AS eid, event_type AS et, cast(user_id % 5 AS varchar) AS ut
+  FROM events
+), latest AS (
+  SELECT et, ut, max(eid) AS me FROM ev GROUP BY et, ut
+)
+SELECT et AS service, 'inst-' || ut AS serviceInstance,
+  '{"host.name":"h-' || ut || '-' || (me % 4) || '",' ||
+  CASE WHEN me % 2 = 0 THEN '"service.namespace":"ns-' || ut || '",'
+       ELSE '"namespace":"",' END ||
+  '"telemetry.sdk.language":"java"}' AS resource,
+  'h-' || ut || '-' || (me % 4) AS host
+FROM latest"""
+
+
+QUERIES["skywalking_resources"] = q_skywalking_resources
+ORACLES["skywalking_resources"] = oracle_skywalking_resources()

@@ -472,3 +472,36 @@ def test_browser_error_golden(spark):
         "errorUrl": "a",  # the reference reads Col here (:170) — kept
         "firstReportedError": "true",
     }
+
+
+def test_resource_properties_table_latest_wins_and_filter(spark):
+    from loongcollector_spark.operators.skywalking import resource_properties_table
+
+    def rep(order, host, ns):
+        return (
+            order,
+            json.dumps(
+                {
+                    "service": "svc",
+                    "serviceInstance": "i1",
+                    "properties": [
+                        {"key": "hostname", "value": host},
+                        {"key": "Start Time", "value": "drop-me"},
+                        {"key": "JVM Arguments", "value": "drop-me"},
+                        {"key": "namespace", "value": ns},
+                    ],
+                }
+            ),
+        )
+
+    df = to_events(
+        spark.createDataFrame(
+            [rep(1, "old-host", ""), rep(2, "new-host", "prod")],
+            "event_id long, content string",
+        )
+    )
+    rows = resource_properties_table(df).collect()
+    assert len(rows) == 1
+    props = {p["key"]: p["value"] for p in rows[0]["properties"]}
+    # latest report wins; Start Time/JVM Arguments dropped; namespace renamed
+    assert props == {"host.name": "new-host", "service.namespace": "prod"}
