@@ -615,7 +615,7 @@ def otlp_logs_sink_frames(
                          ("machine_uuid", r0["__uuid__"])):
             if val:  # the != "" gates at otlp.go:47-57
                 res_attrs.append(W.encode_attr(key, val))
-        for t in r0["__gtags__"] or []:
+        for t in (r0["__gtags__"] if r0["__gtags__"] is not None else []):
             res_attrs.append(W.encode_attr(t["key"], t["value"]))
         records = []
         for _, r in pdf.iterrows():
@@ -691,8 +691,10 @@ def otlp_metrics_sink_frames(
     def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if order_col:
             pdf = pdf.sort_values("__ord__")
+        rt = pdf.iloc[0]["__rtags__"]
         res_attrs = [
-            W.encode_attr(t["key"], t["value"]) for t in pdf.iloc[0]["__rtags__"] or []
+            W.encode_attr(t["key"], t["value"])
+            for t in (rt if rt is not None else [])
         ]
         metrics = []
         for _, r in pdf.iterrows():
@@ -713,6 +715,112 @@ def otlp_metrics_sink_frames(
         keys = {c: [pdf[c].iloc[0]] for c in group_cols}
         return pd.DataFrame(
             {**keys, "payload": [W.encode_metrics_data(metrics, res_attrs)]}
+        )
+
+    return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)
+
+
+def otlp_traces_sink_frames(
+    df: DataFrame,
+    group_cols: list[str],
+    trace_id_col: str = "trace_id",
+    span_id_col: str = "span_id",
+    parent_span_id_col: str = "parent_span_id",
+    name_col: str = "span_name",
+    kind_col: str = "kind",
+    start_ns_col: str = "start_ns",
+    end_ns_col: str = "end_ns",
+    tags_col: str = "tags",
+    status_col: str = "status_code",
+    status_message_col: str | None = None,
+    resource_tags: Mapping[str, Column | str] | None = None,
+    scope_name: str = "",
+    scope_version: str = "",
+    order_col: str | None = None,
+) -> DataFrame:
+    """flusher_otlp Export path, trace direction
+    (ConvertPipelineEventToOtlpSpan, pkg/protocol/converter/otlp.go:291-359):
+    span rows → one TracesData wire payload per sink group. Hex trace/span/
+    parent ids decode to bytes; a malformed or wrong-length id becomes the
+    EMPTY id exactly like convertTraceID/convertSpanID (:498-532, the error
+    branch leaves the zero id). Same one-shuffle applyInPandas shape as the
+    logs/metrics directions; roundtrip-pinned against otlp_pb.decode_traces."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from . import otlp_pb as W
+
+    rt_entries = [
+        F.struct(
+            F.lit(k).alias("key"),
+            (v if isinstance(v, Column) else F.lit(v)).cast("string").alias("value"),
+        )
+        for k, v in (resource_tags or {}).items()
+    ]
+    cols = {
+        "__tid__": trace_id_col, "__sid__": span_id_col,
+        "__pid__": parent_span_id_col, "__name__": name_col,
+        "__kind__": kind_col, "__start__": start_ns_col, "__end__": end_ns_col,
+        "__tags__": tags_col, "__status__": status_col,
+    }
+    aux = df.select(
+        *group_cols,
+        *([F.col(order_col).alias("__ord__")] if order_col else []),
+        *[F.col(src).alias(dst) for dst, src in cols.items()],
+        (F.col(status_message_col) if status_message_col else F.lit("")).alias(
+            "__smsg__"
+        ),
+        (
+            F.array(*rt_entries)
+            if rt_entries
+            else F.expr("CAST(array() AS array<struct<key:string,value:string>>)")
+        ).alias("__rtags__"),
+    )
+    schema = StructType(
+        [df.schema[c] for c in group_cols] + [StructField("payload", BinaryType())]
+    )
+
+    def hex_id(s, width: int) -> bytes:
+        """convertTraceID/convertSpanID: bad hex or wrong length → empty id."""
+        try:
+            b = bytes.fromhex(s or "")
+        except ValueError:
+            return b""
+        return b if len(b) == width else b""
+
+    def packer(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if order_col:
+            pdf = pdf.sort_values("__ord__")
+        rt = pdf.iloc[0]["__rtags__"]
+        res_attrs = [
+            W.encode_attr(t["key"], t["value"])
+            for t in (rt if rt is not None else [])
+        ]
+        spans = []
+        for _, r in pdf.iterrows():
+            tags = dict(r["__tags__"] or {})
+            spans.append(
+                W.encode_span_pb(
+                    hex_id(r["__tid__"], 16),
+                    hex_id(r["__sid__"], 8),
+                    r["__name__"] or "",
+                    int(r["__kind__"] or 0),
+                    int(r["__start__"] or 0),
+                    int(r["__end__"] or 0),
+                    attrs=[W.encode_attr(k, tags[k]) for k in sorted(tags)],
+                    status_code=int(r["__status__"] or 0),
+                    parent_span_id=hex_id(r["__pid__"], 8),
+                    status_message=r["__smsg__"] or "",
+                )
+            )
+        keys = {c: [pdf[c].iloc[0]] for c in group_cols}
+        return pd.DataFrame(
+            {
+                **keys,
+                "payload": [
+                    W.encode_traces_data(res_attrs, scope_name, scope_version, spans)
+                ],
+            }
         )
 
     return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)

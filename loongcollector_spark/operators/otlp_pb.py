@@ -568,12 +568,20 @@ def encode_span_pb(
     end_ns: int,
     attrs: list[bytes] = (),
     status_code: int = 0,
+    parent_span_id: bytes = b"",
+    status_message: str = "",
 ) -> bytes:
-    body = _ld(1, trace_id) + _ld(2, span_id) + _ld(5, name.encode())
+    body = _ld(1, trace_id) + _ld(2, span_id)
+    if parent_span_id:
+        body += _ld(4, parent_span_id)
+    body += _ld(5, name.encode())
     body += _vi(6, kind) + _f64(7, start_ns) + _f64(8, end_ns)
     for a in attrs:
         body += _ld(9, a)
-    body += _ld(15, _vi(3, status_code))
+    status = b""
+    if status_message:
+        status += _ld(2, status_message.encode())
+    body += _ld(15, status + _vi(3, status_code))
     return body
 
 

@@ -3696,3 +3696,93 @@ FROM latest"""
 
 QUERIES["skywalking_resources"] = q_skywalking_resources
 ORACLES["skywalking_resources"] = oracle_skywalking_resources()
+
+
+def q_flusher_otlp_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_otlp Export path, trace direction
+    (ConvertPipelineEventToOtlpSpan): per-sink-group TracesData payloads —
+    hex ids to bytes with the empty-on-bad-length rule, parent span ids,
+    status code+message — roundtrip-pinned through otlp_pb.decode_traces +
+    OtelTraceParser."""
+    from .operators.convert import otlp_traces_sink_frames
+    from .operators.otel import OtelTraceParser
+    from .operators.otlp_pb import OtelPbToJson
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    ut = (F.col("user_id") % 5).cast("string")
+    sk = (eid % 3).cast("string")
+    start = F.lit(1663904182000000000) + eid * 1000
+    frame = ev.select(
+        "event_id",
+        F.concat(F.lit("sink-"), sk).alias("sink"),
+        F.concat(F.lit("h"), sk).alias("__host__"),
+        F.concat(F.lit("s"), sk).alias("__svc__"),
+        F.concat(F.lit("c"), sk).alias("__cluster__"),
+        F.md5(F.col("doc_id")).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.col("doc_id"), F.lit("s"))), 1, 16).alias("span_id"),
+        F.when(eid % 4 == 0, F.lit("")).otherwise(
+            F.substring(F.md5(F.concat(F.col("doc_id"), F.lit("p"))), 1, 16)
+        ).alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("span_name"),
+        (eid % 5 + 1).cast("int").alias("kind"),
+        start.alias("start_ns"),
+        (start + (eid % 100 + 1) * 1000000).alias("end_ns"),
+        F.create_map(
+            F.lit("http.status"), (F.lit(200) + F.col("user_id") % 5 * 100).cast("string")
+        ).alias("tags"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.lit("boom")).otherwise(F.lit("")).alias("status_message"),
+    )
+    enc = otlp_traces_sink_frames(
+        frame, ["sink"],
+        status_message_col="status_message",
+        resource_tags={
+            "host.name": F.col("__host__"),
+            "service.name": F.col("__svc__"),
+            "cluster": F.col("__cluster__"),
+        },
+        scope_name="io.otel", scope_version="1.0",
+        order_col="event_id",
+    )
+    dec_in = to_events(enc.select("sink", F.lower(F.hex("payload")).alias("content")))
+    out = OtelTraceParser().apply(OtelPbToJson("trace").apply(dec_in))
+    keys = ["host", "service", "traceID", "spanID", "parentSpanID", "kind",
+            "name", "start", "end", "duration", "attribute", "statusCode",
+            "statusMessage", "resource"]
+    return out.select("sink", *[fget(k).alias(k) for k in keys])
+
+
+def oracle_flusher_otlp_trace() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, 'sink-' || (event_id % 3) AS sink,
+         cast(event_id % 3 AS varchar) AS sks,
+         user_id % 5 AS ut, event_type,
+         1663904182000000000 + event_id * 1000 AS st
+  FROM events
+)
+SELECT sink,
+  'h' || sks AS host,
+  's' || sks AS service,
+  md5(doc_id) AS traceID,
+  substring(md5(doc_id || 's'), 1, 16) AS spanID,
+  CASE WHEN eid % 4 = 0 THEN ''
+       ELSE substring(md5(doc_id || 'p'), 1, 16) END AS parentSpanID,
+  CASE eid % 5 + 1
+    WHEN 1 THEN 'internal' WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+    WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer' END AS kind,
+  'op-' || event_type AS name,
+  cast(st // 1000 AS varchar) AS "start",
+  cast((st + (eid % 100 + 1) * 1000000) // 1000 AS varchar) AS "end",
+  cast((eid % 100 + 1) * 1000 AS varchar) AS duration,
+  '{"http.status":"' || (200 + ut * 100) || '"}' AS attribute,
+  CASE eid % 3 WHEN 2 THEN 'ERROR' WHEN 1 THEN 'OK' ELSE 'UNSET' END
+    AS statusCode,
+  CASE WHEN eid % 3 = 2 THEN 'boom' ELSE '' END AS statusMessage,
+  '{"cluster":"c' || sks || '"}' AS resource
+FROM ev"""
+
+
+QUERIES["flusher_otlp_trace"] = q_flusher_otlp_trace
+ORACLES["flusher_otlp_trace"] = oracle_flusher_otlp_trace()

@@ -397,3 +397,43 @@ def test_otlp_metrics_sink_frames(spark):
     assert [m["name"] for m in ms] == ["cpu", "req"]  # untyped skipped
     assert "gauge" in ms[0] and ms[0]["gauge"]["dataPoints"][0]["asDouble"] == 1.5
     assert "sum" in ms[1] and ms[1]["sum"]["isMonotonic"] is False
+
+
+def test_otlp_traces_sink_frames(spark):
+    """flusher_otlp trace direction: hex ids to bytes with the empty-on-bad
+    rule (convertTraceID/convertSpanID error branch), parent ids, status
+    code+message, resource/scope framing."""
+    from loongcollector_spark.operators.convert import otlp_traces_sink_frames
+    from loongcollector_spark.operators.otlp_pb import decode_traces
+
+    tid, sid, pid = "ab" * 16, "cd" * 8, "ef" * 8
+    df = spark.createDataFrame(
+        [
+            ("a", 1, tid, sid, pid, "op", 2, 1000, 2000, {"k": "v"}, 2, "boom"),
+            ("a", 2, "zz-bad-hex", "cd", "", "op2", 1, 10, 20, {}, 0, ""),
+        ],
+        "sink string, i long, trace_id string, span_id string,"
+        "parent_span_id string, span_name string, kind int, start_ns long,"
+        "end_ns long, tags map<string,string>, status_code int,"
+        "status_message string",
+    )
+    out = otlp_traces_sink_frames(
+        df, ["sink"],
+        status_message_col="status_message",
+        resource_tags={"cluster": "c1"},
+        scope_name="io.x", scope_version="2",
+        order_col="i",
+    ).collect()
+    d = decode_traces(bytes(out[0]["payload"]))
+    rs = d["resourceSpans"][0]
+    assert {a["key"]: a["value"]["stringValue"] for a in rs["resource"]["attributes"]} == {
+        "cluster": "c1"
+    }
+    ss = rs["scopeSpans"][0]
+    assert ss["scope"] == {"name": "io.x", "version": "2"}
+    s1, s2 = ss["spans"]
+    assert (s1["traceId"], s1["spanId"], s1["parentSpanId"]) == (tid, sid, pid)
+    assert s1["status"] == {"code": 2, "message": "boom"}
+    # bad hex trace id and wrong-length span id → EMPTY ids
+    assert s2["traceId"] == "" and s2["spanId"] == ""
+    assert s2["status"].get("code", 0) == 0  # zero code omitted (proto3 canonical)
