@@ -368,3 +368,29 @@ def test_spl_time_stats_plan_matches_flagship_aggregate(spark, sf_dir):
         if "Exchange" in ln and "Broadcast" not in ln and "SinglePartition" not in ln
     ]
     assert len(shuffles) == 1, shuffles
+
+
+def test_skywalking_segment_plan(spark, sf_dir):
+    """SegmentObject decode: resource lookup broadcast (never SMJ), exactly
+    one Generate (the span explode), no Python stage."""
+    from loongcollector_spark.queries import q_skywalking_segment
+
+    plan = _plan(q_skywalking_segment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("Generate" in ln for ln in tree.splitlines()) == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canal_and_meter_plans_narrow(spark, sf_dir):
+    """canal row events and skywalking meter decode: single Generate, no
+    shuffle, no join, no Python — the pure ingest-scan shape."""
+    from loongcollector_spark.queries import q_canal_row_events, q_skywalking_meter
+
+    for q in (q_canal_row_events, q_skywalking_meter):
+        plan = _plan(q(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert sum("Generate" in ln for ln in tree.splitlines()) == 1, q
+        assert "Exchange" not in tree, q
+        assert "Join" not in tree, q
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, q

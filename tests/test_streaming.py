@@ -347,3 +347,56 @@ def test_prom_remote_write_ingestion_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["__name__"]: r.n for r in spark.sql("select * from rw_counts").collect()}
     assert rows == {"m0": 6, "m1": 6}
+
+
+def test_skywalking_decode_streaming_matches_batch(spark, tmp_path):
+    """The r4 decoder family is pure Column expressions, so the same operator
+    runs unchanged under readStream — stream output must equal batch output
+    (the batch/stream parity that makes every ingestion format available to
+    a Structured Streaming pipeline)."""
+    import json
+
+    from loongcollector_spark.operators.skywalking import SkywalkingJvmMetricParser
+
+    inp = str(tmp_path / "in")
+    payloads = []
+    for i in range(12):
+        payloads.append(
+            (
+                f"d{i}",
+                json.dumps(
+                    {
+                        "service": f"svc{i % 3}",
+                        "serviceInstance": "i1",
+                        "metrics": [
+                            {
+                                "time": 1663904182000 + i,
+                                "cpu": {"usagePercent": i},
+                                "thread": {"liveCount": i, "daemonCount": 1, "peakCount": 2},
+                            }
+                        ],
+                    }
+                ),
+                1,
+            )
+        )
+    _write_input(spark, inp, payloads)
+
+    parser = SkywalkingJvmMetricParser()
+    sel = lambda df: parser.apply(to_events(df)).select(  # noqa: E731
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+    )
+    batch = sorted(map(tuple, sel(spark.read.parquet(inp)).collect()))
+
+    schema = spark.read.parquet(inp).schema
+    collected = []
+
+    def process(bdf, epoch_id):
+        collected.extend(map(tuple, sel(bdf).collect()))
+
+    q = run_available_now(read_stream(spark, inp, schema), str(tmp_path / "ckpt"), process)
+    q.awaitTermination(120)
+    assert sorted(collected) == batch and len(batch) == 12 * 4  # cpu + 3 threads
