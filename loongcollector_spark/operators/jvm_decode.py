@@ -197,3 +197,104 @@ def parse_sls_log_group_auto(
     if use_jvm:
         return parse_sls_log_group_jvm(df, payload_col, passthrough)
     return ParseSlsLogGroup(payload_col, passthrough).apply(df)
+
+
+@lru_cache(maxsize=None)
+def prompb_descriptor_set() -> bytes:
+    """FileDescriptorSet for the prometheus remote-write wire schema
+    (public prompb/types.proto + remote.proto subset the decoder reads:
+    prom_rw.py:60-160). NOTE: remote-write HTTP bodies are SNAPPY-framed —
+    the JVM tier applies to payloads decompressed upstream (there is no
+    built-in Column snappy decompress); the Python tier stays the
+    one-stop path for framed bodies."""
+    label = message_desc(
+        "Label",
+        [field_desc("name", 1, T_STRING), field_desc("value", 2, T_STRING)],
+    )
+    sample = message_desc(
+        "Sample",
+        [field_desc("value", 1, T_DOUBLE), field_desc("timestamp", 2, T_INT64)],
+    )
+    ts = message_desc(
+        "TimeSeries",
+        [
+            field_desc("labels", 1, T_MESSAGE, L_REPEATED, ".prompb.Label"),
+            field_desc("samples", 2, T_MESSAGE, L_REPEATED, ".prompb.Sample"),
+        ],
+    )
+    wr = message_desc(
+        "WriteRequest",
+        [field_desc("timeseries", 1, T_MESSAGE, L_REPEATED, ".prompb.TimeSeries")],
+    )
+    return file_descriptor_set(
+        "remote.proto", "prompb", [label, sample, ts, wr], syntax="proto3"
+    )
+
+
+@lru_cache(maxsize=None)
+def otlp_logs_descriptor_set() -> bytes:
+    """FileDescriptorSet for the OTLP logs wire schema (public
+    opentelemetry/proto logs.proto + common.proto + resource.proto subset
+    decode_logs reads: otlp_pb.py:626-677). Field names follow the proto
+    (snake_case) — a from_protobuf consumer projects them into the
+    camelCase OTLP/JSON shape the shared parsers consume."""
+    pkg = ".otlp"
+    any_value = message_desc(
+        "AnyValue",
+        [
+            field_desc("string_value", 1, T_STRING),
+            field_desc("bool_value", 2, T_BOOL),
+            field_desc("int_value", 3, T_INT64),
+            field_desc("double_value", 4, T_DOUBLE),
+        ],
+    )
+    key_value = message_desc(
+        "KeyValue",
+        [
+            field_desc("key", 1, T_STRING),
+            field_desc("value", 2, T_MESSAGE, L_OPTIONAL, f"{pkg}.AnyValue"),
+        ],
+    )
+    resource = message_desc(
+        "Resource",
+        [field_desc("attributes", 1, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue")],
+    )
+    scope = message_desc(
+        "InstrumentationScope",
+        [field_desc("name", 1, T_STRING), field_desc("version", 2, T_STRING)],
+    )
+    log_record = message_desc(
+        "LogRecord",
+        [
+            field_desc("time_unix_nano", 1, T_FIXED64),
+            field_desc("severity_number", 2, T_INT64),
+            field_desc("severity_text", 3, T_STRING),
+            field_desc("body", 5, T_MESSAGE, L_OPTIONAL, f"{pkg}.AnyValue"),
+            field_desc("attributes", 6, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+    )
+    scope_logs = message_desc(
+        "ScopeLogs",
+        [
+            field_desc("scope", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.InstrumentationScope"),
+            field_desc("log_records", 2, T_MESSAGE, L_REPEATED, f"{pkg}.LogRecord"),
+        ],
+    )
+    resource_logs = message_desc(
+        "ResourceLogs",
+        [
+            field_desc("resource", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.Resource"),
+            field_desc("scope_logs", 2, T_MESSAGE, L_REPEATED, f"{pkg}.ScopeLogs"),
+        ],
+    )
+    logs_data = message_desc(
+        "LogsData",
+        [field_desc("resource_logs", 1, T_MESSAGE, L_REPEATED, f"{pkg}.ResourceLogs")],
+    )
+    return file_descriptor_set(
+        "logs.proto",
+        "otlp",
+        [any_value, key_value, resource, scope, log_record, scope_logs,
+         resource_logs, logs_data],
+        syntax="proto3",
+    )

@@ -126,3 +126,73 @@ def test_jvm_path_when_module_present(spark):
     assert len(rows) == 1 and rows[0]["time"] == 1663904182
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def _file_shape(ds: bytes) -> tuple[str, str, str, dict]:
+    files = [bytes(v) for fno, wt, v in _read_fields(ds) if fno == 1]
+    assert len(files) == 1
+    name = package = syntax = None
+    msgs = {}
+    for fno, wt, v in _read_fields(files[0]):
+        if fno == 1:
+            name = bytes(v).decode()
+        elif fno == 2:
+            package = bytes(v).decode()
+        elif fno == 4:
+            m = _msg_shape(bytes(v))
+            msgs[m["name"]] = m
+        elif fno == 12:
+            syntax = bytes(v).decode()
+    return name, package, syntax, msgs
+
+
+def test_prompb_descriptor_set_shape():
+    from loongcollector_spark.operators.jvm_decode import prompb_descriptor_set
+
+    name, package, syntax, msgs = _file_shape(prompb_descriptor_set())
+    assert (name, package, syntax) == ("remote.proto", "prompb", "proto3")
+    assert set(msgs) == {"Label", "Sample", "TimeSeries", "WriteRequest"}
+    assert msgs["Sample"]["fields"]["value"]["type"] == 1  # double
+    assert msgs["Sample"]["fields"]["timestamp"]["type"] == 3  # int64
+    assert msgs["TimeSeries"]["fields"]["labels"]["type_name"] == ".prompb.Label"
+    assert msgs["WriteRequest"]["fields"]["timeseries"]["label"] == 3  # repeated
+
+
+def test_otlp_logs_descriptor_set_shape():
+    from loongcollector_spark.operators.jvm_decode import otlp_logs_descriptor_set
+
+    name, package, syntax, msgs = _file_shape(otlp_logs_descriptor_set())
+    assert (name, package, syntax) == ("logs.proto", "otlp", "proto3")
+    lr = msgs["LogRecord"]["fields"]
+    # field numbers must match the wire the Python codec reads
+    # (otlp_pb.py _log_record: 1/2/3/5/6)
+    assert [lr[k]["number"] for k in
+            ("time_unix_nano", "severity_number", "severity_text", "body",
+             "attributes")] == [1, 2, 3, 5, 6]
+    assert lr["time_unix_nano"]["type"] == 6  # fixed64
+    assert msgs["LogsData"]["fields"]["resource_logs"]["type_name"] == ".otlp.ResourceLogs"
+    assert msgs["KeyValue"]["fields"]["value"]["type_name"] == ".otlp.AnyValue"
+
+
+def test_jvm_otlp_and_prompb_paths_when_module_present(spark):
+    """from_protobuf over the generated OTLP/prompb descriptors — skipped
+    where spark-protobuf is absent (this sandbox)."""
+    if not jvm_pb_available(spark):
+        pytest.skip("spark-protobuf external module not on the classpath")
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    from loongcollector_spark.operators import otlp_pb as W
+    from loongcollector_spark.operators.jvm_decode import otlp_logs_descriptor_set
+
+    rec = W.encode_log_record_pb(123, severity_text="I", body="m")
+    df = spark.createDataFrame(
+        [(bytearray(W.encode_logs_data([rec])),)], "payload binary"
+    )
+    out = df.select(
+        from_protobuf(
+            "payload", "otlp.LogsData",
+            binaryDescriptorSet=otlp_logs_descriptor_set(),
+        ).alias("d")
+    ).collect()
+    lr = out[0]["d"]["resource_logs"][0]["scope_logs"][0]["log_records"][0]
+    assert lr["severity_text"] == "I"
