@@ -3786,3 +3786,54 @@ FROM ev"""
 
 QUERIES["flusher_otlp_trace"] = q_flusher_otlp_trace
 ORACLES["flusher_otlp_trace"] = oracle_flusher_otlp_trace()
+
+
+def q_nginx_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_nginx_status (plugins/input/nginx/input_nginx.go:114-190):
+    stub_status body parse + _server_/_port_ URL tags (explicit port wins,
+    else scheme default)."""
+    from .operators.statuspage import NginxStatusParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    ut = (F.col("user_id") % 5).cast("string")
+    body = F.concat(
+        F.lit("Active connections: "), (eid % 300 + 1).cast("string"), F.lit(" \n"),
+        F.lit("server accepts handled requests\n "),
+        (eid * 3).cast("string"), F.lit(" "),
+        (eid * 3 - eid % 2).cast("string"), F.lit(" "),
+        (eid * 7).cast("string"), F.lit(" \n"),
+        F.lit("Reading: "), (eid % 10).cast("string"),
+        F.lit(" Writing: "), (eid % 20).cast("string"),
+        F.lit(" Waiting: "), (eid % 30).cast("string"), F.lit(" \n"),
+    )
+    url = F.concat(
+        F.when(eid % 3 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://ngx-"), ut,
+        F.when(eid % 2 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/nginx_status"),
+    )
+    df = to_events(ev.select("doc_id", url.alias("url"), body.alias("content")))
+    out = NginxStatusParser().apply(df)
+    keys = ["active", "accepts", "handled", "requests", "reading", "writing",
+            "waiting", "_server_", "_port_"]
+    return out.select("doc_id", *[fget(k).alias(k.strip("_") or k) for k in keys])
+
+
+def oracle_nginx_status() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  cast(event_id % 300 + 1 AS varchar) AS active,
+  cast(event_id * 3 AS varchar) AS accepts,
+  cast(event_id * 3 - event_id % 2 AS varchar) AS handled,
+  cast(event_id * 7 AS varchar) AS requests,
+  cast(event_id % 10 AS varchar) AS reading,
+  cast(event_id % 20 AS varchar) AS writing,
+  cast(event_id % 30 AS varchar) AS waiting,
+  'ngx-' || (user_id % 5) AS server,
+  CASE WHEN event_id % 2 = 0 THEN '8080'
+       WHEN event_id % 3 = 0 THEN '443' ELSE '80' END AS port
+FROM events"""
+
+
+QUERIES["nginx_status"] = q_nginx_status
+ORACLES["nginx_status"] = oracle_nginx_status()
