@@ -3837,3 +3837,380 @@ FROM events"""
 
 QUERIES["nginx_status"] = q_nginx_status
 ORACLES["nginx_status"] = oracle_nginx_status()
+
+
+def _k8s_cfg():
+    from .operators.k8smeta import K8sMetaConfig
+
+    return K8sMetaConfig(
+        cluster_id="c-k8s", interval=30, enable_labels=True, container=True,
+        relations={"Node2Pod": "runs", "Pod2Container": "contains",
+                   "Service2Pod": "routes_to", "Deployment2Pod": ""},
+        cluster_relations={"node": "contains_node"},
+    )
+
+
+def q_k8s_pod_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_kubernetes_meta pod path (plugins/input/kubernetesmetav2/
+    meta_collector_core.go:14-117): Pod manifests → pod entity logs +
+    per-container child entities."""
+    from .operators.k8smeta import K8sEntityConverter
+
+    ev = _events_raw(spark, sf_dir)
+    k = F.col("event_id")
+    u = F.col("user_id")
+    ks, us = k.cast("string"), u.cast("string")
+    even = k % 2 == 0
+    main = F.concat(
+        F.lit('{"name":"main","image":"img:'), (k % 9).cast("string"),
+        F.lit('","resources":{"requests":{"cpu":"'),
+        F.when(even, F.lit("250m")).otherwise(F.lit("500m")),
+        F.lit('"}'),
+        F.when(even, F.lit(
+            ',"limits":{"cpu":"1","memory":"128Mi"}},'
+            '"ports":[{"containerPort":80},{"containerPort":9090}],'
+            '"volumeMounts":[{"name":"cfg","mountPath":"/etc/cfg"}]}'
+        )).otherwise(F.lit("}}")),
+    )
+    containers = F.concat(
+        F.lit("["), main,
+        F.when(even, F.lit(',{"name":"sidecar","image":"envoy:2"}')).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    payload = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"Pod","metadata":'
+              '{"creationTimestamp":"2024-03-01T10:00:00Z",'
+              '"labels":{"tier":"t'), (k % 2).cast("string"),
+        F.lit('","app":"ap-'), (u % 5).cast("string"),
+        F.lit('"}},"spec":{"containers":'), containers,
+        F.lit('},"status":{"phase":"'),
+        F.when(k % 4 == 0, F.lit("Pending")).otherwise(F.lit("Running")),
+        F.lit('","podIP":"10.0.0.'), (k % 250).cast("string"), F.lit('"}}'),
+    )
+    obs = ev.select(
+        "doc_id",
+        F.lit("Pod").alias("kind"),
+        F.concat(F.lit("ns-"), (u % 3).cast("string")).alias("namespace"),
+        F.concat(F.lit("pod-"), ks).alias("name"),
+        F.lit("Update").alias("method"),
+        k.alias("first_observed_time"),
+        (k + 60).alias("last_observed_time"),
+        payload.alias("payload"),
+    )
+    conv = K8sEntityConverter(_k8s_cfg())
+    keys = ["__entity_type__", "__entity_id__", "name", "status", "labels",
+            "containers", "instance_ip", "image", "cpu_request", "memory_request",
+            "cpu_limit", "memory_limit", "container_ports", "volumes",
+            "__keep_alive_seconds__"]
+    aliases = ["entity_type", "entity_id", "name", "status", "labels",
+               "containers", "instance_ip", "image", "cpu_request", "memory_request",
+               "cpu_limit", "memory_limit", "container_ports", "volumes",
+               "keep_alive"]
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", *[fget(kk).alias(a) for kk, a in zip(keys, aliases)]
+        )
+
+    return proj(conv.apply(obs)).unionByName(proj(conv.container_entities(obs)))
+
+
+def oracle_k8s_pod_entities() -> str:
+    return """WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS k, user_id AS u,
+         'ns-' || (user_id % 3) AS ns, 'pod-' || event_id AS pname,
+         'img:' || (event_id % 9) AS img
+  FROM events
+), pod AS (
+  SELECT doc_id, 'k8s.pod' AS entity_type,
+    md5('c-k8s' || 'Pod' || ns || pname) AS entity_id, pname AS name,
+    CASE WHEN k % 4 = 0 THEN 'Pending' ELSE 'Running' END AS status,
+    '{"app":"ap-' || (u % 5) || '","tier":"t' || (k % 2) || '"}' AS labels,
+    CASE WHEN k % 2 = 0
+      THEN '[{"image":"' || img || '","name":"main"},{"image":"envoy:2","name":"sidecar"}]'
+      ELSE '[{"image":"' || img || '","name":"main"}]' END AS containers,
+    '10.0.0.' || (k % 250) AS instance_ip,
+    NULL AS image, NULL AS cpu_request, NULL AS memory_request,
+    NULL AS cpu_limit, NULL AS memory_limit, NULL AS container_ports,
+    NULL AS volumes, '60' AS keep_alive
+  FROM base
+), main AS (
+  SELECT doc_id, 'k8s.container' AS entity_type,
+    md5('c-k8s' || 'container' || ns || pname || 'main') AS entity_id,
+    'main' AS name, NULL AS status, NULL AS labels, NULL AS containers,
+    NULL AS instance_ip, img AS image,
+    CASE WHEN k % 2 = 0 THEN '250m' ELSE '500m' END AS cpu_request,
+    '0' AS memory_request,
+    CASE WHEN k % 2 = 0 THEN '1' ELSE '' END AS cpu_limit,
+    CASE WHEN k % 2 = 0 THEN '128Mi' ELSE '' END AS memory_limit,
+    CASE WHEN k % 2 = 0 THEN '[80,9090]' ELSE '[]' END AS container_ports,
+    CASE WHEN k % 2 = 0
+      THEN '[{"volumeMountName":"cfg","volumeMountPath":"/etc/cfg"}]'
+      ELSE '[]' END AS volumes,
+    '60' AS keep_alive
+  FROM base
+), side AS (
+  SELECT doc_id, 'k8s.container' AS entity_type,
+    md5('c-k8s' || 'container' || ns || pname || 'sidecar') AS entity_id,
+    'sidecar' AS name, NULL AS status, NULL AS labels, NULL AS containers,
+    NULL AS instance_ip, 'envoy:2' AS image, '' AS cpu_request,
+    '' AS memory_request, '' AS cpu_limit, '' AS memory_limit,
+    '[]' AS container_ports, '[]' AS volumes, '60' AS keep_alive
+  FROM base WHERE k % 2 = 0
+)
+SELECT * FROM pod UNION ALL SELECT * FROM main UNION ALL SELECT * FROM side"""
+
+
+QUERIES["k8s_pod_entities"] = q_k8s_pod_entities
+ORACLES["k8s_pod_entities"] = oracle_k8s_pod_entities()
+
+
+def q_k8s_workload_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_kubernetes_meta per-kind switches (meta_collector_core.go
+    Node/Service/PVC, _app.go Deployment, _batch.go Job/CronJob): six kinds
+    round-robined over events, one CASE-on-kind projection pass."""
+    from .operators.k8smeta import K8sEntityConverter
+
+    ev = _events_raw(spark, sf_dir)
+    k, u = F.col("event_id"), F.col("user_id")
+    m6 = k % 6
+    ks = k.cast("string")
+    kind = (
+        F.when(m6 == 0, F.lit("Node"))
+        .when(m6 == 1, F.lit("Service"))
+        .when(m6 == 2, F.lit("Deployment"))
+        .when(m6 == 3, F.lit("Job"))
+        .when(m6 == 4, F.lit("CronJob"))
+        .otherwise(F.lit("PersistentVolumeClaim"))
+    )
+    name = F.concat(F.lower(kind), F.lit("-"), ks)
+    ns = F.when(m6 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("ns-"), (u % 3).cast("string"))
+    )
+    meta = F.lit('"metadata":{"creationTimestamp":"2024-05-01T00:00:00Z"}')
+    node_p = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"Node",'), meta,
+        F.lit(',"spec":{"providerID":"p-'), (u % 4).cast("string"),
+        F.lit('"},"status":{"conditions":[{"type":"Ready","status":"True"}],'
+              '"addresses":[{"type":"InternalIP","address":"192.168.0.'),
+        (k % 250).cast("string"),
+        F.lit('"}],"capacity":{"pods":"110","cpu":"8"}}}'),
+    )
+    svc_p = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"Service",'), meta,
+        F.lit(',"spec":{"selector":{"app":"s'), (u % 5).cast("string"),
+        F.lit('"},"type":"'),
+        F.when(k % 2 == 0, F.lit("NodePort")).otherwise(F.lit("ClusterIP")),
+        F.lit('","clusterIP":"10.96.0.'), (k % 250).cast("string"),
+        F.lit('","ports":[{"port":80,"targetPort":8080,"protocol":"TCP"}'),
+        F.when(k % 2 == 0,
+               F.lit(',{"port":9100,"targetPort":"metrics","protocol":"TCP"}')
+               ).otherwise(F.lit("")),
+        F.lit("]}}"),
+    )
+    dep_p = F.concat(
+        F.lit('{"apiVersion":"apps/v1","kind":"Deployment",'), meta,
+        F.lit(',"spec":{"selector":{"matchLabels":{"app":"d'), (u % 5).cast("string"),
+        F.lit('"}},"replicas":'), (k % 7).cast("string"),
+        F.lit(',"template":{"spec":{"containers":[{"name":"web","image":"web:'),
+        (k % 5).cast("string"), F.lit('"}]}}},"status":{'),
+        F.when(k % 3 != 0, F.concat(F.lit('"readyReplicas":'), (k % 7).cast("string"))
+               ).otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    job_p = F.concat(
+        F.lit('{"apiVersion":"batch/v1","kind":"Job",'), meta,
+        F.lit(',"spec":{"suspend":'),
+        F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"backoffLimit":6'),
+        F.when(k % 2 == 0, F.lit(',"completions":1')).otherwise(F.lit("")),
+        F.lit(',"template":{"spec":{"containers":[{"name":"j","image":"j:1"}]}}},'
+              '"status":{"active":'), (k % 2).cast("string"),
+        F.lit(',"succeeded":'), (k % 3).cast("string"),
+        F.lit(',"failed":'), (k % 5).cast("string"), F.lit("}}"),
+    )
+    cron_p = F.concat(
+        F.lit('{"apiVersion":"batch/v1","kind":"CronJob",'), meta,
+        F.lit(',"spec":{"schedule":"*/'), (k % 10 + 1).cast("string"),
+        F.lit(' * * * *","suspend":'),
+        F.when(k % 3 == 0, F.lit("true")).otherwise(F.lit("false")), F.lit("}}"),
+    )
+    pvc_p = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"PersistentVolumeClaim",'), meta,
+        F.lit(',"spec":{"storageClassName":"fast","volumeName":"pv-'), ks,
+        F.lit('","resources":{"requests":{"storage":"'), (k % 9 + 1).cast("string"),
+        F.lit('Gi"}}},"status":{"phase":"Bound"}}'),
+    )
+    payload = (
+        F.when(m6 == 0, node_p).when(m6 == 1, svc_p).when(m6 == 2, dep_p)
+        .when(m6 == 3, job_p).when(m6 == 4, cron_p).otherwise(pvc_p)
+    )
+    obs = ev.select(
+        "doc_id", kind.alias("kind"), ns.alias("namespace"), name.alias("name"),
+        F.lit("Update").alias("method"), k.alias("first_observed_time"),
+        (k + 60).alias("last_observed_time"), payload.alias("payload"),
+    )
+    out = K8sEntityConverter(_k8s_cfg()).apply(obs)
+    keys = {
+        "entity_type": "__entity_type__", "entity_id": "__entity_id__",
+        "name": "name", "create_time": "create_time", "status": "status",
+        "capacity": "capacity", "addresses": "addresses", "internal_ip": "internal_ip",
+        "ports": "ports", "cluster_ip": "cluster_ip", "match_labels": "match_labels",
+        "replicas": "replicas", "ready_replicas": "ready_replicas",
+        "schedule": "schedule", "suspend": "suspend",
+        "storeage_requests": "storeage_requests", "volume_name": "volume_name",
+    }
+    return out.select("doc_id", *[fget(v).alias(a) for a, v in keys.items()])
+
+
+def oracle_k8s_workload_entities() -> str:
+    return """WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS k, user_id AS u, event_id % 6 AS m
+  FROM events
+), named AS (
+  SELECT *,
+    CASE m WHEN 0 THEN 'Node' WHEN 1 THEN 'Service' WHEN 2 THEN 'Deployment'
+           WHEN 3 THEN 'Job' WHEN 4 THEN 'CronJob'
+           ELSE 'PersistentVolumeClaim' END AS kind,
+    CASE WHEN m = 0 THEN '' ELSE 'ns-' || (u % 3) END AS ns
+  FROM base
+)
+SELECT doc_id,
+  'k8s.' || lower(kind) AS entity_type,
+  md5('c-k8s' || kind || ns || lower(kind) || '-' || k) AS entity_id,
+  lower(kind) || '-' || k AS name,
+  '2024-05-01T00:00:00Z' AS create_time,
+  CASE m WHEN 0 THEN '[{"status":"True","type":"Ready"}]'
+         WHEN 3 THEN '{' ||
+            CASE WHEN k % 2 <> 0 THEN '"active":' || (k % 2) ELSE '' END ||
+            CASE WHEN k % 2 <> 0 AND k % 3 <> 0 THEN ',' ELSE '' END ||
+            CASE WHEN k % 3 <> 0 THEN '"succeeded":' || (k % 3) ELSE '' END ||
+            CASE WHEN (k % 2 <> 0 OR k % 3 <> 0) AND k % 5 <> 0 THEN ',' ELSE '' END ||
+            CASE WHEN k % 5 <> 0 THEN '"failed":' || (k % 5) ELSE '' END || '}'
+         WHEN 5 THEN 'Bound' END AS status,
+  CASE m WHEN 0 THEN '{"cpu":"8","pods":"110"}' END AS capacity,
+  CASE m WHEN 0 THEN '[{"type":"InternalIP","address":"192.168.0.' || (k % 250) || '"}]' END AS addresses,
+  CASE m WHEN 0 THEN '192.168.0.' || (k % 250) END AS internal_ip,
+  CASE m WHEN 1 THEN '[{"port":"80","protocol":"TCP","targetPort":"8080"}' ||
+    CASE WHEN k % 2 = 0 THEN ',{"port":"9100","protocol":"TCP","targetPort":"metrics"}' ELSE '' END
+    || ']' END AS ports,
+  CASE m WHEN 1 THEN '10.96.0.' || (k % 250) END AS cluster_ip,
+  CASE m WHEN 2 THEN '{"app":"d' || (u % 5) || '"}' END AS match_labels,
+  CASE m WHEN 2 THEN cast(k % 7 AS varchar) END AS replicas,
+  CASE m WHEN 2 THEN CASE WHEN k % 3 <> 0 THEN cast(k % 7 AS varchar) ELSE '0' END END AS ready_replicas,
+  CASE m WHEN 4 THEN '*/' || (k % 10 + 1) || ' * * * *' END AS schedule,
+  CASE m WHEN 3 THEN CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+         WHEN 4 THEN CASE WHEN k % 3 = 0 THEN 'true' ELSE 'false' END END AS suspend,
+  CASE m WHEN 5 THEN (k % 9 + 1) || 'Gi' END AS storeage_requests,
+  CASE m WHEN 5 THEN 'pv-' || k END AS volume_name
+FROM named"""
+
+
+QUERIES["k8s_workload_entities"] = q_k8s_workload_entities
+ORACLES["k8s_workload_entities"] = oracle_k8s_workload_entities()
+
+
+def q_k8s_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_kubernetes_meta link path (meta_collector_core.go:317-400
+    processXYLink family + meta_collector.go:205-222/430-448 cluster links):
+    relation pairs → entity-link logs; unconfigured pair kinds drop; Node
+    entities additionally fan out a cluster→node link."""
+    from .operators.k8smeta import K8sEntityConverter, K8sLinkConverter
+
+    ev = _events_raw(spark, sf_dir)
+    k, u = F.col("event_id"), F.col("user_id")
+    m4 = k % 4
+    ks = k.cast("string")
+    ns = F.concat(F.lit("ns-"), (u % 3).cast("string"))
+    pod = F.concat(F.lit("pod-"), ks)
+    link = (
+        F.when(m4 == 0, F.lit("Node2Pod"))
+        .when(m4 == 1, F.lit("Pod2Container"))
+        .when(m4 == 2, F.lit("Service2Pod"))
+        .otherwise(F.lit("Deployment2Pod"))  # relation "" → dropped
+    )
+    src_kind = (
+        F.when(m4 == 0, F.lit("Node")).when(m4 == 1, F.lit("Pod"))
+        .when(m4 == 2, F.lit("Service")).otherwise(F.lit("Deployment"))
+    )
+    src_ns = F.when(m4 == 0, F.lit("")).otherwise(ns)
+    src_name = (
+        F.when(m4 == 0, F.concat(F.lit("node-"), (u % 4).cast("string")))
+        .when(m4 == 1, pod)
+        .when(m4 == 2, F.concat(F.lit("svc-"), (u % 5).cast("string")))
+        .otherwise(F.concat(F.lit("dep-"), (u % 5).cast("string")))
+    )
+    dest_kind = F.when(m4 == 1, F.lit("container")).otherwise(F.lit("Pod"))
+    dest_name = F.when(m4 == 1, F.concat(pod, F.lit("main"))).otherwise(pod)
+    pairs = ev.select(
+        "doc_id", link.alias("link"), src_kind.alias("src_kind"),
+        src_ns.alias("src_namespace"), src_name.alias("src_name"),
+        dest_kind.alias("dest_kind"), ns.alias("dest_namespace"),
+        dest_name.alias("dest_name"), F.lit("Update").alias("method"),
+        k.alias("first_observed_time"), (k + 60).alias("last_observed_time"),
+    )
+    cfg = _k8s_cfg()
+    links = K8sLinkConverter(cfg).apply(pairs)
+
+    # node entities (every m4==0 row) fan out a direct cluster→node link
+    node_payload = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"Node","metadata":'
+              '{"creationTimestamp":"2024-05-01T00:00:00Z"},"status":{}}'),
+    )
+    conv = K8sEntityConverter(cfg)
+    nodes = conv.apply(
+        ev.where(k % 4 == 0).select(
+            "doc_id", F.lit("Node").alias("kind"), F.lit("").alias("namespace"),
+            F.concat(F.lit("node-"), (u % 4).cast("string")).alias("name"),
+            F.lit("Update").alias("method"), k.alias("first_observed_time"),
+            (k + 60).alias("last_observed_time"), node_payload.alias("payload"),
+        )
+    )
+    keys = {
+        "category": "__category__", "src_type": "__src_entity_type__",
+        "src_id": "__src_entity_id__", "dest_type": "__dest_entity_type__",
+        "dest_id": "__dest_entity_id__", "relation": "__relation_type__",
+        "method": "__method__", "fot": "__first_observed_time__",
+        "lot": "__last_observed_time__",
+    }
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", *[fget(v).alias(a) for a, v in keys.items()])
+
+    return proj(links).unionByName(proj(conv.cluster_links(nodes)))
+
+
+def oracle_k8s_links() -> str:
+    return """WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS k, user_id AS u, event_id % 4 AS m,
+         'ns-' || (user_id % 3) AS ns, 'pod-' || event_id AS pod
+  FROM events
+), pairs AS (
+  SELECT doc_id, 'entity_link' AS category,
+    CASE m WHEN 0 THEN 'k8s.node' WHEN 1 THEN 'k8s.pod' ELSE 'k8s.service' END AS src_type,
+    CASE m WHEN 0 THEN md5('c-k8s' || 'Node' || '' || 'node-' || (u % 4))
+           WHEN 1 THEN md5('c-k8s' || 'Pod' || ns || pod)
+           ELSE md5('c-k8s' || 'Service' || ns || 'svc-' || (u % 5)) END AS src_id,
+    CASE m WHEN 1 THEN 'k8s.container' ELSE 'k8s.pod' END AS dest_type,
+    CASE m WHEN 1 THEN md5('c-k8s' || 'container' || ns || pod || 'main')
+           ELSE md5('c-k8s' || 'Pod' || ns || pod) END AS dest_id,
+    CASE m WHEN 0 THEN 'runs' WHEN 1 THEN 'contains' ELSE 'routes_to' END AS relation,
+    'Update' AS method, cast(k AS varchar) AS fot, cast(k + 60 AS varchar) AS lot
+  FROM base WHERE m < 3
+), cluster AS (
+  SELECT doc_id, 'entity_link' AS category,
+    'k8s.cluster' AS src_type, md5('c-k8s' || 'cluster' || '' || '') AS src_id,
+    'k8s.node' AS dest_type,
+    md5('c-k8s' || 'Node' || '' || 'node-' || (u % 4)) AS dest_id,
+    'contains_node' AS relation, 'Update' AS method,
+    cast(k AS varchar) AS fot, cast(k + 60 AS varchar) AS lot
+  FROM base WHERE m = 0
+)
+SELECT * FROM pairs UNION ALL SELECT * FROM cluster"""
+
+
+QUERIES["k8s_links"] = q_k8s_links
+ORACLES["k8s_links"] = oracle_k8s_links()

@@ -394,3 +394,24 @@ def test_canal_and_meter_plans_narrow(spark, sf_dir):
         assert "Exchange" not in tree, q
         assert "Join" not in tree, q
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, q
+
+
+def test_k8smeta_plans_narrow(spark, sf_dir):
+    """k8s meta conversion is the pure scan shape: entity CASE projection has
+    no shuffle/join/Python and only the container branch generates (explode);
+    the union stays a per-branch narrow map."""
+    from loongcollector_spark.queries import (
+        q_k8s_links,
+        q_k8s_pod_entities,
+        q_k8s_workload_entities,
+    )
+
+    for q in (q_k8s_pod_entities, q_k8s_workload_entities, q_k8s_links):
+        plan = _plan(q(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, q
+        assert "Join" not in tree, q
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, q
+    # workload entities: single-pass CASE projection, no Generate at all
+    wplan = _plan(q_k8s_workload_entities(spark, sf_dir)).split("\n\n")[0]
+    assert "Generate" not in wplan
