@@ -4214,3 +4214,300 @@ SELECT * FROM pairs UNION ALL SELECT * FROM cluster"""
 
 QUERIES["k8s_links"] = q_k8s_links
 ORACLES["k8s_links"] = oracle_k8s_links()
+
+
+# --- SkyWalking v2 (plugins/input/skywalkingv2) -------------------------------
+
+
+def _sw2_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-cache table analog: instances registered for even user
+    buckets only (odd-bucket segments exercise the cache-miss drop)."""
+    ev = _events_raw(spark, sf_dir)
+    utn = (F.col("user_id") % 5).cast("int")
+    return (
+        ev.select(utn.alias("__ut__"))
+        .distinct()
+        .where(F.col("__ut__") % 2 == 0)
+        .select(
+            F.col("__ut__").alias("instanceId"),
+            F.concat(F.lit("app-"), F.col("__ut__").cast("string")).alias(
+                "applicationName"
+            ),
+            F.concat(F.lit("uuid-"), F.col("__ut__").cast("string")).alias("uuid"),
+            F.array(
+                F.struct(
+                    F.lit("host_name").alias("key"),
+                    F.concat(F.lit("h-"), F.col("__ut__").cast("string")).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(F.lit("language").alias("key"), F.lit("java").alias("value")),
+                F.struct(F.lit("build_no").alias("key"), F.lit("drop").alias("value")),
+            ).alias("properties"),
+        )
+    )
+
+
+def q_skywalking_v2_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v2 trace-segment conversion
+    (trace_segment_report_handle.go): UpstreamSegment protojson → OtSpan
+    rows with jaeger/original id formats; registry cache as broadcast
+    lookups (instance miss drops the segment, endpoint miss drops the
+    span)."""
+    from .operators.skywalking_v2 import SkywalkingV2SegmentParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    ut = (F.col("user_id") % 5).cast("string")
+    utn = (F.col("user_id") % 5).cast("int")
+    st = F.lit(1663904182000) + eid
+    en = st + (eid % 100 + 1)
+    jaeger = eid % 2 == 0
+    gid = F.when(
+        jaeger, F.concat(F.lit("[648495579,"), eid.cast("string"), F.lit("]"))
+    ).otherwise(F.concat(F.lit("["), eid.cast("string"), F.lit(",7]")))
+    seg_part = (F.lit(1000000000000) + eid).cast("string")
+    stype = F.element_at(
+        F.array(F.lit("Entry"), F.lit("Exit"), F.lit("Local")),
+        (eid % 3).cast("int") + 1,
+    )
+    slayer = F.element_at(
+        F.array(*[F.lit(x) for x in ("Unknown", "Database", "MQ", "Http")]),
+        (eid % 4).cast("int") + 1,
+    )
+    op_id = F.when(eid % 7 == 1, F.lit("1")).when(eid % 7 == 2, F.lit("2")).otherwise(
+        F.lit("0")
+    )
+    db_tag = F.when(
+        eid % 4 == 1, F.lit(',{"key":"db.type","value":"MySQL"}')
+    ).otherwise(F.lit(""))
+    mq_tag = F.when(
+        eid % 4 == 2,
+        F.concat(F.lit(',{"key":"mq.topic","value":"t-'), ut, F.lit('"}')),
+    ).otherwise(F.lit(""))
+    ek = F.when(eid % 3 == 0, F.lit("OpError")).otherwise(F.lit(""))
+    refs = F.when(
+        eid % 4 == 0,
+        F.concat(
+            F.lit(',"refs":[{"parentTraceSegmentId":{"idParts":['),
+            eid.cast("string"),
+            F.lit(',9]},"parentSpanId":7,"parentServiceInstanceId":'),
+            (eid % 50).cast("string"),
+            F.lit("}]"),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"globalTraceIds":[{"idParts":'), gid,
+        F.lit('}],"segment":{"traceSegmentId":{"idParts":['), seg_part,
+        F.lit(',42]},"serviceInstanceId":'), utn.cast("string"),
+        F.lit(',"spans":[{"spanId":'), (eid % 100 + 1).cast("string"),
+        F.lit(',"parentSpanId":'),
+        F.when(eid % 5 == 0, F.lit("-1")).otherwise(F.lit("3")),
+        F.lit(',"startTime":'), st.cast("string"),
+        F.lit(',"endTime":'), en.cast("string"),
+        F.lit(',"operationNameId":'), op_id,
+        F.lit(',"operationName":"op-'), et,
+        F.lit('","peer":"10.0.0.'), ut,
+        F.lit(':3306","spanType":"'), stype,
+        F.lit('","spanLayer":"'), slayer,
+        F.lit('","componentId":'), (eid % 10).cast("string"),
+        F.lit(',"isError":'),
+        F.when(eid % 3 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"tags":[{"key":"url","value":"/api/'), et,
+        F.lit('"},{"key":"key-a","value":"v-'), ut, F.lit('"}'),
+        db_tag, mq_tag,
+        F.lit('],"logs":[{"time":'), (st + 1).cast("string"),
+        F.lit(',"data":[{"key":"event","value":"ex"},'
+              '{"key":"error.kind","value":"'), ek,
+        F.lit('"}]}]'), refs, F.lit("}]}}"),
+    )
+    inst = _sw2_instances(spark, sf_dir)
+    eps = spark.createDataFrame(
+        [(1, "ep-one")], "endpointId int, endpointName string"
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingV2SegmentParser(component_mapping={5: "rocketmq"}).apply(
+        df, instances=inst, endpoints=eps
+    )
+    keys = [
+        "links", "host", "service", "resource", "name", "kind", "traceID",
+        "spanID", "parentSpanID", "logs", "traceState", "start", "end",
+        "duration", "attribute", "statusCode", "statusMessage",
+    ]
+    return out.select(
+        "doc_id",
+        *[fget(k).alias(k) for k in keys],
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_v2_segment() -> str:
+    return """WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid, event_type AS et,
+         cast(user_id % 5 AS varchar) AS ut, user_id % 5 AS utn,
+         event_id % 2 = 0 AS jaeger,
+         cast(1000000000000 + event_id AS varchar) || '.42' AS seg,
+         event_id % 100 + 1 AS spanid,
+         1663904182000 + event_id AS st,
+         1663904182000 + event_id + event_id % 100 + 1 AS en
+  FROM events
+  WHERE (user_id % 5) % 2 = 0 AND event_id % 7 <> 2
+), ids AS (
+  SELECT *,
+    CASE WHEN jaeger THEN printf('%016x', eid) ELSE eid || '.7' END AS trace_id,
+    CASE WHEN eid % 4 = 0 THEN
+      CASE WHEN jaeger THEN printf('%08x', eid % 50) || '00000007'
+           ELSE eid || '.9.7' END
+    END AS ref_parent
+  FROM ev
+)
+SELECT doc_id,
+  CASE WHEN eid % 4 = 0 THEN
+    '[{"traceID":"' || trace_id || '","spanID":"' || ref_parent ||
+    '","traceState":"","attributes":null}]'
+  ELSE '[]' END AS links,
+  'h-' || ut AS host,
+  'app-' || utn AS service,
+  '{"host.name":"h-' || ut || '","telemetry.sdk.language":"java"}' AS resource,
+  CASE WHEN eid % 7 = 1 THEN 'ep-one' ELSE 'op-' || et END AS name,
+  CASE WHEN eid % 4 = 2 THEN
+    CASE eid % 3 WHEN 0 THEN 'consumer' WHEN 1 THEN 'producer' ELSE '' END
+  ELSE
+    CASE eid % 3 WHEN 0 THEN 'server' WHEN 1 THEN 'client' ELSE 'internal' END
+  END AS kind,
+  trace_id AS traceID,
+  CASE WHEN jaeger THEN substr(seg, length(seg) - 11) || printf('%04x', spanid)
+       ELSE seg || '.' || spanid END AS spanID,
+  CASE WHEN eid % 4 = 0 THEN ref_parent
+       WHEN eid % 5 = 0 THEN ''
+       WHEN jaeger THEN substr(seg, length(seg) - 11) || '0003'
+       ELSE seg || '.3' END AS parentSpanID,
+  '[{"error.kind":"' || (CASE WHEN eid % 3 = 0 THEN 'OpError' ELSE '' END) ||
+    '","event":"ex","time":"' || (st + 1) || '"}]' AS logs,
+  '' AS traceState,
+  cast(st * 1000 AS varchar) AS "start",
+  cast(en * 1000 AS varchar) AS "end",
+  cast((eid % 100 + 1) * 1000 AS varchar) AS duration,
+  CASE
+    WHEN eid % 4 = 1 THEN
+      '{"db.system":"MySQL","http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+    WHEN eid % 4 = 2 THEN
+      '{"http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","messaging.destination":"t-' || ut ||
+      '","messaging.destination_kind":"topic","messaging.system":"' ||
+      (CASE WHEN eid % 10 = 5 THEN 'rocketmq' ELSE 'MessagingSystem' END) ||
+      '","mq.topic":"t-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+    ELSE
+      '{"http.url":"/api/' || et || '","key-a":"v-' || ut ||
+      '","net.peer.ip":"10.0.0.' || ut || '","net.peer.port":"3306"}'
+  END AS attribute,
+  CASE WHEN eid % 3 = 0 THEN 'ERROR' ELSE 'OK' END AS statusCode,
+  CASE WHEN eid % 3 = 0 THEN 'OpError' ELSE '' END AS statusMessage,
+  cast(en // 1000 AS varchar) AS ts_sec
+FROM ids"""
+
+
+QUERIES["skywalking_v2_segment"] = q_skywalking_v2_segment
+ORACLES["skywalking_v2_segment"] = oracle_skywalking_v2_segment()
+
+
+def q_skywalking_v2_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkyWalking v2 JVM metrics (jvm_metric_handle.go toMetricStoreFormat):
+    JVMMetrics protojson + instance registry → 11 skywalking_jvm_* metric
+    logs per payload (cpu, 4 memory, 4 pool, 2 gc — no thread gauges in v2),
+    with the CloneInto gc-phrase quirk (gc_time: enum, gc_count:
+    Young/Old)."""
+    from .operators.skywalking_v2 import SkywalkingV2JvmMetricParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    utn = (F.col("user_id") % 5).cast("int")
+    t = F.lit(1663904182000) + eid
+    pool = F.element_at(
+        F.array(*[F.lit(p) for p in _JVM_POOLS]), (eid % 6).cast("int") + 1
+    )
+    payload = F.concat(
+        F.lit('{"applicationInstanceId":'), utn.cast("string"),
+        F.lit(',"metrics":[{"time":'), t.cast("string"),
+        F.lit(',"cpu":{"usagePercent":'), (eid % 100).cast("string"),
+        F.lit('},"memory":[{"isHeap":'),
+        F.when(eid % 2 == 1, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"init":'), (eid % 7).cast("string"),
+        F.lit(',"max":'), (eid % 11).cast("string"),
+        F.lit(',"used":'), (eid % 13).cast("string"),
+        F.lit(',"committed":'), (eid % 17).cast("string"),
+        F.lit('}],"memoryPool":[{"type":"'), pool,
+        F.lit('","init":'), (eid % 7 + 1).cast("string"),
+        F.lit(',"max":'), (eid % 11 + 1).cast("string"),
+        F.lit(',"used":'), (eid % 13 + 1).cast("string"),
+        F.lit(',"commited":'), (eid % 17 + 1).cast("string"),
+        F.lit('}],"gc":[{"phrase":"'),
+        F.when(eid % 2 == 0, F.lit("NEW")).otherwise(F.lit("OLD")),
+        F.lit('","count":'), (eid % 19).cast("string"),
+        F.lit(',"time":'), (eid % 23).cast("string"),
+        F.lit("}]}]}"),
+    )
+    df = to_events(ev.select("doc_id", payload.alias("content")))
+    out = SkywalkingV2JvmMetricParser().apply(
+        df, instances=_sw2_instances(spark, sf_dir)
+    )
+    return out.select(
+        "doc_id",
+        fget("__name__").alias("name"),
+        fget("__time_nano__").alias("time_nano"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+        fget("__ts_sec__").alias("ts_sec"),
+    )
+
+
+def oracle_skywalking_v2_jvm() -> str:
+    pools = ", ".join(f"'{p}'" for p in _JVM_POOLS)
+    return f"""WITH ev AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS eid,
+         'host#$#h-' || (user_id % 5) || '|service#$#app-' || (user_id % 5) ||
+           '|serviceInstance#$#uuid-' || (user_id % 5) AS base,
+         'host#$#h-' || (user_id % 5) AS hp,
+         '|service#$#app-' || (user_id % 5) ||
+           '|serviceInstance#$#uuid-' || (user_id % 5) AS sp,
+         cast(1663904182000 + event_id AS varchar) || '000000' AS tn,
+         cast((1663904182000 + event_id) // 1000 AS varchar) AS ts_sec,
+         CASE WHEN event_id % 2 = 1 THEN 'heap' ELSE 'nonheap' END AS mtype,
+         (ARRAY[{pools}])[cast(event_id % 6 AS int) + 1] AS ptype,
+         CASE WHEN event_id % 2 = 0 THEN 'NEW' ELSE 'OLD' END AS phrase,
+         CASE WHEN event_id % 2 = 0 THEN 'Young' ELSE 'Old' END AS phrase2
+  FROM events
+  WHERE (user_id % 5) % 2 = 0
+), rows AS (
+  SELECT doc_id, 'skywalking_jvm_cpu_usage' AS name, tn AS time_nano,
+         base AS labels, cast(eid % 100 AS varchar) AS value, ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_committed', tn,
+    base || '|type#$#' || mtype, cast(eid % 17 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_init', tn,
+    base || '|type#$#' || mtype, cast(eid % 7 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_max', tn,
+    base || '|type#$#' || mtype, cast(eid % 11 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_used', tn,
+    base || '|type#$#' || mtype, cast(eid % 13 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_committed', tn,
+    base || '|type#$#' || ptype, cast(eid % 17 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_init', tn,
+    base || '|type#$#' || ptype, cast(eid % 7 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_max', tn,
+    base || '|type#$#' || ptype, cast(eid % 11 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_memory_pool_used', tn,
+    base || '|type#$#' || ptype, cast(eid % 13 + 1 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_gc_time', tn,
+    hp || '|phrase#$#' || phrase || sp, cast(eid % 23 AS varchar), ts_sec FROM ev
+  UNION ALL SELECT doc_id, 'skywalking_jvm_gc_count', tn,
+    hp || '|phrase#$#' || phrase2 || sp, cast(eid % 19 AS varchar), ts_sec FROM ev
+)
+SELECT doc_id, name, time_nano, labels, value, ts_sec FROM rows"""
+
+
+QUERIES["skywalking_v2_jvm"] = q_skywalking_v2_jvm
+ORACLES["skywalking_v2_jvm"] = oracle_skywalking_v2_jvm()
