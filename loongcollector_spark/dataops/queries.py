@@ -1247,3 +1247,121 @@ DATAOPS_QUERIES["pii_redact"] = q_pii_redact
 DATAOPS_QUERIES["url_dedup"] = q_url_dedup
 DATAOPS_ORACLES["pii_redact"] = oracle_pii_redact()
 DATAOPS_ORACLES["url_dedup"] = oracle_url_dedup()
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style exact line-level dedup across the corpus:
+    boilerplate lines (headers, footers shared by doc buckets) appearing in
+    ≥2 distinct documents are stripped from every document; per-doc rebuild
+    preserves surviving-line order (empty lines are never dup candidates)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("shared-header\n\nbody-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nfooter-"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return text.line_dedup(docs, min_docs=2)
+
+
+def oracle_line_dedup() -> str:
+    return """WITH d AS (
+  SELECT doc_id,
+    'shared-header' || chr(10) || chr(10) || 'body-' || doc_id || chr(10) ||
+      'footer-' || (doc_id % 7) AS text
+  FROM documents
+), s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS pos FROM s),
+dup AS (
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM l WHERE length(line) > 0)
+  GROUP BY line HAVING count(*) >= 2
+), k AS (
+  SELECT l.doc_id, l.line, l.pos, (dup.line IS NOT NULL) AS is_dup
+  FROM l LEFT JOIN dup ON l.line = dup.line
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT is_dup), '') AS text,
+  CAST(count(*) FILTER (WHERE is_dup) AS INT) AS removed_lines,
+  CAST(count(*) AS INT) AS total_lines
+FROM k GROUP BY doc_id"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-clustered embeddings, semantic
+    duplicates dropped within each cluster (cos ≥ 0.99 to a lower-id cell
+    member). Planted duplicates: every vec_id < 50 gets an exact copy at
+    id+100000 — the copies must come back keep=0. Codebook = the same
+    round_to=6 Lloyd unroll the embed_ivf_kmeans oracle pins."""
+    from . import similarity
+
+    base = _embs(spark, sf_dir).select("vec_id", "embedding")
+    aug = base.unionByName(
+        base.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = similarity.kmeans_centroids(aug, k=8, iters=2, round_to=6)
+    out = similarity.semdedup(aug, cents, threshold=0.99)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def oracle_semdedup(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """SQL-unrolled SemDeDup: the embed_ivf_kmeans Lloyd unroll over the
+    duplicate-augmented vector set, then a cell-scoped pairwise pass."""
+    cosu = (
+        "(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) "
+        "FROM embeddings WHERE vec_id < 50)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS pos)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e "
+        f"FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(iters):
+        cell_cos = cosu.format(a="v.e", b="c.e")
+        parts.append(
+            f"a{i} AS (SELECT v.vec_id, v.e, c.cid, row_number() OVER "
+            f"(PARTITION BY v.vec_id ORDER BY {cell_cos} DESC, c.cid) AS rn "
+            f"FROM v CROSS JOIN c{i} c)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, pos, round(avg(e[pos]), 6) AS m "
+            f"FROM (SELECT e, cid FROM a{i} WHERE rn = 1), dims GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.cid, coalesce((SELECT list(m ORDER BY pos) "
+            f"FROM m{i} WHERE m{i}.cid = c.cid), c.e) AS e FROM c{i} c)"
+        )
+    final_cos = cosu.format(a="v.e", b="c.e")
+    pair_cos = cosu.format(a="a.e", b="b.e")
+    parts.append(
+        f"af AS (SELECT v.vec_id, v.e, c.cid, row_number() OVER "
+        f"(PARTITION BY v.vec_id ORDER BY {final_cos} DESC, c.cid) AS rn "
+        f"FROM v CROSS JOIN c{iters} c)"
+    )
+    parts.append("cells AS (SELECT vec_id, e, cid AS cell FROM af WHERE rn = 1)")
+    parts.append(
+        f"dups AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b "
+        f"ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE {pair_cos} >= 0.99)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT cells.vec_id, CAST(cells.cell AS INT) AS cell, "
+        "CAST(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep "
+        "FROM cells LEFT JOIN dups ON cells.vec_id = dups.vec_id"
+    )
+
+
+DATAOPS_QUERIES["line_dedup"] = q_line_dedup
+DATAOPS_QUERIES["semdedup"] = q_semdedup
+DATAOPS_ORACLES["line_dedup"] = oracle_line_dedup()
+DATAOPS_ORACLES["semdedup"] = oracle_semdedup()

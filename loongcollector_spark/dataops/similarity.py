@@ -293,3 +293,53 @@ def ivf_topk(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a k-means codebook, then drop semantic duplicates WITHIN each
+    cluster — a vector is a duplicate if some lower-id vector in the same
+    cell has cosine similarity ≥ ``threshold`` (deterministic keep-min-id
+    stand-in for the paper's keep-farthest-from-centroid tie-break).
+
+    Scale shape: the pairwise pass is cell-scoped — a self-equi-join on the
+    cell id, never a global cross join. The paper sizes k with the corpus
+    (k ≈ √N), keeping per-cell populations bounded, so per-cell pair cost
+    stays O(cell²) with a bounded cell; the join shuffles each side once on
+    the cell key. Codebook training is `kmeans_centroids` (only k·dim means
+    ever reach the driver).
+
+    Returns (id_col, cell, keep) for every input vector."""
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v__"),
+    ).withColumn("__cell__", argmax_cell(F.col("__v__"), centroids))
+    left = v.select(
+        F.col("__cell__"),
+        F.col(id_col).alias("__ida__"),
+        F.col("__v__").alias("__va__"),
+    )
+    right = v.select(
+        F.col("__cell__"),
+        F.col(id_col).alias("__idb__"),
+        F.col("__v__").alias("__vb__"),
+    )
+    dups = (
+        left.join(right, "__cell__")
+        .where(F.col("__ida__") < F.col("__idb__"))
+        .where(cosine(F.col("__va__"), F.col("__vb__")) >= F.lit(threshold))
+        .select(F.col("__idb__").alias(id_col))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return v.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("__cell__").alias("cell"),
+        F.coalesce(~F.col("__dup__"), F.lit(True)).alias("keep"),
+    )

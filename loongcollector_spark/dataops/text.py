@@ -1184,3 +1184,60 @@ def url_dedup(
         .agg(F.max("__pick__").alias("w"))
         .select("canonical_url", F.col("w.id").alias(id_col))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact line-level dedup across the corpus (the RefinedWeb/CCNet crawl
+    cleanup step): any non-empty line that appears in ``min_docs`` or more
+    DISTINCT documents is removed from EVERY document; documents are rebuilt
+    with their surviving lines in original order.
+
+    Shape: one posexplode (narrow), ONE partial-aggregatable shuffle keyed
+    by line text to elect duplicate lines (count-distinct via the per-doc
+    first-occurrence trick: dedup (line, doc) pairs first, then count — both
+    stages map-side combinable), an equi-join back, and ONE doc-keyed
+    rebuild aggregation. No window over raw rows, no all-pairs — at 100 TB
+    the duplicate-line election is a bounded-key aggregate (boilerplate
+    lines concentrate on few keys; counts combine map-side so hot lines
+    don't skew the shuffle).
+
+    Returns (id_col, text, removed_lines, total_lines)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup_lines = (
+        lines.where(F.length("line") > 0)
+        .select("line", F.col(id_col))
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+        .where(F.col("__nd__") >= min_docs)
+        .select("line", F.lit(True).alias("__dup__"))
+    )
+    flagged = lines.join(dup_lines, "line", "left")
+    packed = flagged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    F.col("line"),
+                    F.coalesce(F.col("__dup__"), F.lit(False)).alias("dup"),
+                )
+            )
+        ).alias("__ls__")
+    )
+    kept = F.filter(F.col("__ls__"), lambda e: ~e.getField("dup"))
+    return packed.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda e: e.getField("line")), "\n"
+        ).alias("text"),
+        (F.size("__ls__") - F.size(kept)).alias("removed_lines"),
+        F.size("__ls__").alias("total_lines"),
+    )

@@ -4511,3 +4511,138 @@ SELECT doc_id, name, time_nano, labels, value, ts_sec FROM rows"""
 
 QUERIES["skywalking_v2_jvm"] = q_skywalking_v2_jvm
 ORACLES["skywalking_v2_jvm"] = oracle_skywalking_v2_jvm()
+
+
+# --- metric_meta_host (plugins/input/hostmeta) ---------------------------------
+
+
+def q_hostmeta_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_meta_host conversion (input_host_meta.go): host + process fact
+    rows → MetaNode logs (id/type/attributes/labels/parents) with the
+    CPU/MEM/DISK attribute categories, the process stat filters and
+    ProcessNamesRegex, and the HOST parent link. Pure per-row projection —
+    zero shuffle."""
+    from .operators.hostmeta import HostMetaConverter
+
+    ev = _events_raw(spark, sf_dir)
+    eid, et = F.col("event_id"), F.col("event_type")
+    utn = (F.col("user_id") % 5).cast("int")
+    ut = utn.cast("string")
+
+    hosts = (
+        ev.select(utn.alias("__ut__"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host-"), F.col("__ut__").cast("string")).alias("doc_id"),
+            F.concat(F.lit("hn-"), F.col("__ut__").cast("string")).alias("hostname"),
+            F.concat(F.lit("10.0.0."), F.col("__ut__").cast("string")).alias("ip"),
+            F.when(F.col("__ut__") == 3, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("hid-"), F.col("__ut__").cast("string")))
+            .alias("host_id"),
+            (F.lit(1663900000) + F.col("__ut__")).cast("long").alias("boot_time"),
+            F.lit("linux").alias("os"),
+            F.lit("ubuntu").alias("platform"),
+            F.lit("debian").alias("platform_family"),
+            F.lit("22.04").alias("platform_version"),
+            F.lit("5.15.0").alias("kernel_version"),
+            F.lit("x86_64").alias("kernel_arch"),
+            F.lit("kvm").alias("virtualization_system"),
+            F.lit("guest").alias("virtualization_role"),
+            F.struct(
+                (F.col("__ut__") + 1).alias("processor_count"),
+                (2 * (F.col("__ut__") + 1)).alias("core_count"),
+                F.lit("GenuineIntel").alias("vendor_id"),
+                F.lit("6").alias("family"),
+                F.lit("85").alias("model"),
+                F.lit("Xeon").alias("model_name"),
+                F.lit(2400.0).alias("mhz"),
+                F.lit(1024).alias("cache_size"),
+            ).alias("cpu"),
+            F.struct(
+                (F.lit(1000000) + F.col("__ut__")).cast("long").alias("mem_total"),
+                F.col("__ut__").cast("long").alias("swap_total"),
+                F.lit(123).cast("long").alias("vsz_total"),
+            ).alias("mem"),
+            F.array(
+                F.struct(
+                    F.lit("/dev/sda1").alias("device"),
+                    F.lit("rw").alias("opts"),
+                    F.lit("ext4").alias("fstype"),
+                    F.lit("/").alias("mount_point"),
+                )
+            ).alias("disk"),
+        )
+    )
+    procs = ev.select(
+        "doc_id",
+        F.concat(F.lit("hn-"), ut).alias("hostname"),
+        F.concat(F.lit("10.0.0."), ut).alias("ip"),
+        F.when(utn == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("hid-"), ut))
+        .alias("host_id"),
+        (eid % 1000).alias("pid"),
+        eid.alias("start_time"),
+        F.when(eid % 11 == 0, F.lit(""))
+        .when(eid % 13 == 0, F.concat(F.lit("other-"), et))
+        .otherwise(F.concat(F.lit("proc-"), et, F.lit(" --id "), eid.cast("string")))
+        .alias("cmd"),
+        F.concat(F.lit("/bin/"), et).alias("exe"),
+        et.alias("comm"),
+        F.lit(1).cast("long").alias("ppid"),
+        (eid % 7).alias("rss"),
+    )
+    conv = HostMetaConverter(
+        cpu=True, memory=True, disk=True,
+        labels={"env": "prod"}, process_names_regex=["proc-.*"],
+    )
+    return conv.host_nodes(hosts, keep=["doc_id"]).unionByName(
+        conv.process_nodes(procs, keep=["doc_id"])
+    )
+
+
+def oracle_hostmeta_nodes() -> str:
+    return """WITH u AS (
+  SELECT DISTINCT user_id % 5 AS utn FROM events
+), hosts AS (
+  SELECT 'host-' || utn AS doc_id,
+    CASE WHEN utn = 3 THEN 'no_hostID_10.0.0.3'
+         ELSE 'hid-' || utn || '_10.0.0.' || utn END AS id,
+    'HOST' AS type,
+    '{"CPU":{"cache_size":1024,"core_count":' || (2 * (utn + 1)) ||
+      ',"family":"6","mhz":2400,"model":"85","model_name":"Xeon",' ||
+      '"processor_count":' || (utn + 1) || ',"vendor_id":"GenuineIntel"},' ||
+      '"DISK":[{"device":"/dev/sda1","fstype":"ext4","mount_point":"/",' ||
+      '"opts":"rw"}],' ||
+      '"MEM":{"mem_total":' || (1000000 + utn) || ',"swap_total":' || utn ||
+      ',"vsz_total":123}}' AS attributes,
+    '{"boot_time":"' || (1663900000 + utn) || '","env":"prod","host_id":"' ||
+      (CASE WHEN utn = 3 THEN '' ELSE 'hid-' || utn END) ||
+      '","hostname":"hn-' || utn || '","ip":"10.0.0.' || utn ||
+      '","kernel_arch":"x86_64","kernel_version":"5.15.0","os":"linux",' ||
+      '"platform":"ubuntu","platform_family":"debian",' ||
+      '"platform_version":"22.04","virtualization_role":"guest",' ||
+      '"virtualization_system":"kvm"}' AS labels,
+    '[]' AS parents
+  FROM u
+), procs AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+    'hn-' || (user_id % 5) || '_10.0.0.' || (user_id % 5) || '_PROCESS_' ||
+      (event_id % 1000) || '_' || event_id AS id,
+    'PROCESS' AS type,
+    '{"command":"proc-' || event_type || ' --id ' || event_id ||
+      '","exe":"/bin/' || event_type || '","name":"' || event_type ||
+      '","pid":' || (event_id % 1000) || ',"ppid":1}' AS attributes,
+    '{"env":"prod","hostname":"hn-' || (user_id % 5) || '","ip":"10.0.0.' ||
+      (user_id % 5) || '"}' AS labels,
+    '["HOST:' || (CASE WHEN user_id % 5 = 3 THEN 'no_hostID'
+                       ELSE 'hid-' || (user_id % 5) END) ||
+      '_10.0.0.' || (user_id % 5) || ':hn-' || (user_id % 5) || '"]' AS parents
+  FROM events
+  WHERE event_id % 1000 <> 0 AND event_id % 11 <> 0 AND event_id % 13 <> 0
+    AND event_id % 7 <> 0
+)
+SELECT * FROM hosts UNION ALL SELECT * FROM procs"""
+
+
+QUERIES["hostmeta_nodes"] = q_hostmeta_nodes
+ORACLES["hostmeta_nodes"] = oracle_hostmeta_nodes()
