@@ -415,3 +415,59 @@ def test_k8smeta_plans_narrow(spark, sf_dir):
     # workload entities: single-pass CASE projection, no Generate at all
     wplan = _plan(q_k8s_workload_entities(spark, sf_dir)).split("\n\n")[0]
     assert "Generate" not in wplan
+
+
+def test_skywalking_v2_plan(spark, sf_dir):
+    """v2 segment decode: both registry lookups (instances, endpoints)
+    broadcast — never SMJ — with exactly one Generate (the span explode)
+    and no Python stage."""
+    from loongcollector_spark.queries import q_skywalking_v2_segment
+
+    plan = _plan(q_skywalking_v2_segment(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("Generate" in ln for ln in tree.splitlines()) == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hostmeta_plan_is_pure_scan(spark, sf_dir):
+    """MetaNode conversion is a per-row projection: no shuffle beyond the
+    fixture's own distinct, no join, no Generate, no Python."""
+    from loongcollector_spark.operators.hostmeta import HostMetaConverter
+
+    procs = spark.range(8).select(
+        F.lit("h").alias("hostname"), F.lit("1.1.1.1").alias("ip"),
+        F.lit("hid").alias("host_id"), (F.col("id") + 1).alias("pid"),
+        F.col("id").alias("start_time"), F.lit("cmd x").alias("cmd"),
+        F.lit("/bin/x").alias("exe"), F.lit("x").alias("comm"),
+        F.lit(1).alias("ppid"), F.lit(5).alias("rss"),
+    )
+    plan = _plan(HostMetaConverter().process_nodes(procs))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree and "Join" not in tree
+    assert "Generate" not in tree
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_plan(spark, sf_dir):
+    """Duplicate-line election must be partial-aggregatable (HashAggregate
+    pairs), the flag join an equi-join (no cartesian), and no window over
+    the raw line rows."""
+    from loongcollector_spark.dataops.queries import q_line_dedup
+
+    plan = _plan(q_line_dedup(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semdedup_pairwise_is_cell_scoped(spark, sf_dir):
+    """The SemDeDup pairwise pass joins on the cell key — the plan must show
+    an equi-join (hash or SMJ on __cell__), never a cartesian product."""
+    from loongcollector_spark.dataops.queries import q_semdedup
+
+    plan = _plan(q_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -130,6 +130,27 @@ def main() -> None:
             "HashAggregate pair, ONE non-broadcast Exchange.",
         ),
         (
+            "skywalking_v2_segment — UpstreamSegment → OtSpan rows (v2 registry)",
+            QUERIES["skywalking_v2_segment"](spark, SF),
+            "both registry lookups (instances, endpoints) BroadcastHashJoin "
+            "— never SortMergeJoin; exactly one Generate (the span explode); "
+            "no Python stage.",
+        ),
+        (
+            "line_dedup — corpus-wide boilerplate-line removal",
+            QUERIES["line_dedup"](spark, SF),
+            "duplicate-line election is a partial HashAggregate pair (hot "
+            "boilerplate lines combine map-side); flag join is an equi-join; "
+            "no Window over raw line rows.",
+        ),
+        (
+            "semdedup — cluster-scoped semantic dedup",
+            QUERIES["semdedup"](spark, SF),
+            "the pairwise pass joins on the k-means cell key (equi-join, "
+            "never CartesianProduct/BroadcastNestedLoopJoin); codebook "
+            "training ships only k·dim means to the driver.",
+        ),
+        (
             "kafka_dynamic_topic — %{content.x} topic + hash key routing",
             QUERIES["kafka_dynamic_topic"](spark, SF),
             "pattern compiled at plan time into concat+map lookups; "
