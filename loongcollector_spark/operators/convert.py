@@ -824,3 +824,111 @@ def otlp_traces_sink_frames(
         )
 
     return aux.groupBy(*group_cols).applyInPandas(packer, schema=schema)
+
+
+def _canonical_mime_key(k: str) -> str:
+    """net/textproto CanonicalMIMEHeaderKey: each '-'-separated token gets
+    an upper first letter, lower rest ("content-type" → "Content-Type")."""
+    return "-".join(t[:1].upper() + t[1:].lower() for t in k.split("-"))
+
+
+def _go_query_escape(c: Column) -> Column:
+    """Go url.QueryEscape via Java URLEncoder, patched on the two chars the
+    implementations disagree about: Go keeps '~' (Java emits %7E) and
+    escapes '*' (Java keeps it)."""
+    enc = F.url_encode(c)
+    return F.replace(
+        F.replace(enc, F.lit("%7E"), F.lit("~")), F.lit("*"), F.lit("%2A")
+    )
+
+
+def http_sink_frames(
+    df: DataFrame,
+    remote_url: str,
+    query: Mapping[str, str] | None = None,
+    headers: Mapping[str, str] | None = None,
+    compression: str = "",
+    encoding: str = "json",
+    tag_key_rename: Mapping[str, str] | None = None,
+    converter: "CustomSingleConverter | None" = None,
+    time_col: str = "log_time_sec",
+) -> DataFrame:
+    """flusher_http request frames (flusher_http.go:380-643): one POST per
+    serialized unit (custom_single → per event) with per-request variable
+    substitution. Query/header values carry ``%{content.x}`` / ``%{tag.x}``
+    patterns (buildVarKeys → fmtstr.FormatTopic, missing keys fall back to
+    the literal key text); query strings render like url.Values.Encode
+    (sorted keys, QueryEscape on key and value); header names are
+    canonical-MIME-cased like http.Header.Add; Content-Encoding is set from
+    ``compression`` (gzip/snappy) and Content-Type defaults from the convert
+    encoding (json → application/json, else application/octet-stream)
+    unless user-supplied — fillRequestContentType at :624-643.
+
+    Returns (passthrough…, url, headers, body) — the body compression
+    itself is the transport layer (bytes unchanged here); pure Column
+    expressions, zero shuffle."""
+    from .fmtstr import _target_value, compile_keys, format_column
+
+    ren = dict(tag_key_rename or {})
+    conv = converter or CustomSingleConverter(
+        tag_key_rename=ren, time_col=time_col
+    )
+    out = conv.apply(df)
+    contents, tags = LogGroupMaps(
+        tag_key_rename=ren,
+        group_tags=conv.group_tags,
+        source=conv.source,
+        topic=conv.topic,
+        k8s=conv.k8s,
+    ).maps(F.col(FIELDS))
+
+    def resolve(field: str) -> Column:
+        return _target_value(field, contents, tags, ren)
+
+    q = dict(query or {})
+    hdrs = {_canonical_mime_key(k): v for k, v in (headers or {}).items()}
+    # fillRequestContentType (flusher_http.go:624-643)
+    if compression in ("gzip", "snappy"):
+        hdrs.setdefault("Content-Encoding", compression)
+    hdrs.setdefault(
+        "Content-Type",
+        "application/json" if encoding == "json" else "application/octet-stream",
+    )
+    has_vars = any(compile_keys(v) for v in list(q.values()) + list(hdrs.values()))
+
+    def subst(v: str) -> Column:
+        return format_column(v, resolve) if has_vars else F.lit(v)
+
+    if q:
+        pairs = []
+        for k in sorted(q):
+            pairs.append(
+                F.concat(
+                    _go_query_escape(F.lit(k)), F.lit("="), _go_query_escape(subst(q[k]))
+                )
+            )
+        url = F.concat(
+            F.lit(remote_url + "?"), F.concat_ws("&", *pairs)
+        )
+    else:
+        url = F.lit(remote_url)
+    hdr_entries = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), subst(v).alias("v"))
+            for k, v in sorted(hdrs.items())
+        ]
+    )
+    passthrough = [c for c in df.columns if c != FIELDS]
+    return out.select(
+        *passthrough,
+        url.alias("url"),
+        sorted_json_object(
+            F.transform(
+                hdr_entries,
+                lambda e: F.struct(
+                    e.getField("k").alias("k"), json_quote(e.getField("v")).alias("v")
+                ),
+            )
+        ).alias("headers"),
+        F.col(conv.out_col).alias("body"),
+    )

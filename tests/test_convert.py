@@ -437,3 +437,47 @@ def test_otlp_traces_sink_frames(spark):
     # bad hex trace id and wrong-length span id → EMPTY ids
     assert s2["traceId"] == "" and s2["spanId"] == ""
     assert s2["status"].get("code", 0) == 0  # zero code omitted (proto3 canonical)
+
+
+def test_http_sink_frames(spark):
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.convert import http_sink_frames
+
+    df = spark.createDataFrame(
+        [(1, 1700000001)], "doc_id long, log_time_sec long"
+    ).select(
+        "doc_id", "log_time_sec",
+        F.create_map(
+            F.lit("method"), F.lit("GET"),
+            F.lit("status"), F.lit("200"),
+            F.lit("__tag__:__path__"), F.lit("/var/log/a.log"),
+        ).alias("fields"),
+    )
+    out = http_sink_frames(
+        df,
+        "http://sink.example/logs",
+        query={"q": "a b*c~d", "project": "p-%{content.method}"},
+        headers={"x-trace": "%{content.status}-%{content.nope}"},
+        compression="gzip",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # url.Values.Encode: sorted keys, Go QueryEscape (space→+, *→%2A, ~ kept)
+    assert r["url"] == "http://sink.example/logs?project=p-GET&q=a+b%2Ac~d"
+    assert json.loads(r["headers"]) == {
+        "Content-Encoding": "gzip",
+        "Content-Type": "application/json",
+        "X-Trace": "200-content.nope",  # missing key → literal fallback
+    }
+    body = json.loads(r["body"])
+    assert body["contents"] == {"method": "GET", "status": "200"}
+    assert body["tags"] == {"host.ip": "", "log.file.path": "/var/log/a.log"}
+    assert body["time"] == 1700000001
+    # user-supplied content type wins; no compression → no encoding header
+    r2 = http_sink_frames(
+        df, "http://sink.example/logs",
+        headers={"content-type": "text/plain"},
+    ).collect()[0]
+    assert r2["url"] == "http://sink.example/logs"
+    assert json.loads(r2["headers"]) == {"Content-Type": "text/plain"}
