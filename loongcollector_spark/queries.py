@@ -4646,3 +4646,88 @@ SELECT * FROM hosts UNION ALL SELECT * FROM procs"""
 
 QUERIES["hostmeta_nodes"] = q_hostmeta_nodes
 ORACLES["hostmeta_nodes"] = oracle_hostmeta_nodes()
+
+
+# --- flusher_http (plugins/flusher/http) ---------------------------------------
+
+
+def q_flusher_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_http request frames (flusher_http.go): per-event POST with
+    %{content.x} variable substitution in query/header values, Go
+    url.Values.Encode query rendering (sorted keys, QueryEscape),
+    canonical-MIME header names, Content-Encoding/Content-Type defaults,
+    custom_single JSON body."""
+    from .operators.convert import http_sink_frames
+
+    df = _converter_frame(spark, sf_dir)
+    return http_sink_frames(
+        df,
+        "http://sink.example/logs",
+        query={"q": "a b*c~d", "project": "p-%{content.method}"},
+        headers={"x-trace": "%{content.status}-%{content.nope}"},
+        compression="gzip",
+    ).select("doc_id", "url", "headers", "body")
+
+
+def oracle_flusher_http() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  'http://sink.example/logs?project=p-' || event_type || '&q=a+b%2Ac~d' AS url,
+  '{"Content-Encoding":"gzip","Content-Type":"application/json",' ||
+    '"X-Trace":"' || (event_id % 5) || '-content.nope"}' AS headers,
+  '{"contents":{"method":"' || event_type || '","status":"' || (event_id % 5) ||
+    '"},"tags":{"host.ip":"","log.file.path":"/var/log/app.log"},"time":' ||
+    (1700000000 + event_id % 86400) || '}' AS body
+FROM events"""
+
+
+QUERIES["flusher_http"] = q_flusher_http
+ORACLES["flusher_http"] = oracle_flusher_http()
+
+
+# --- input_mysql / rdb incremental collect (plugins/input/mysql, rdb) ----------
+
+
+def q_rdb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_mysql/rdb collect round (mysql.go ParseRows + rdb.go checkpoint
+    contract): rows past the checkpoint in checkpoint order capped at
+    MaxSyncSize, every column a string field (ColumnsHash rename, SQL NULL
+    → "null")."""
+    from .operators.base import fget
+    from .operators.rdb import RdbIncremental
+
+    ev = _events_raw(spark, sf_dir)
+    table = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("name"),
+        F.col("user_id").alias("val"),
+        F.when(F.col("event_id") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("n-"), (F.col("event_id") % 4).cast("string")))
+        .alias("note"),
+    )
+    r = RdbIncremental(
+        checkpoint_column="id",
+        checkpoint_start="100",
+        columns_hash={"val": "user_value"},
+        max_sync_size=500,
+    )
+    out = r.collect(table)
+    return out.select(
+        fget("id").alias("id"),
+        fget("name").alias("name"),
+        fget("user_value").alias("user_value"),
+        fget("note").alias("note"),
+    )
+
+
+def oracle_rdb_incremental() -> str:
+    return """SELECT cast(event_id AS varchar) AS id,
+  event_type AS name,
+  cast(user_id AS varchar) AS user_value,
+  CASE WHEN event_id % 9 = 0 THEN 'null'
+       ELSE 'n-' || (event_id % 4) END AS note
+FROM events WHERE event_id > 100
+ORDER BY event_id LIMIT 500"""
+
+
+QUERIES["rdb_incremental"] = q_rdb_incremental
+ORACLES["rdb_incremental"] = oracle_rdb_incremental()
