@@ -3839,6 +3839,70 @@ QUERIES["nginx_status"] = q_nginx_status
 ORACLES["nginx_status"] = oracle_nginx_status()
 
 
+def q_redis_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_redis (plugins/input/redis/input_redis.go:178-268): INFO body
+    scan — section whitelist, Tracking renames, Keyspace fan-in + total_db_*
+    roll-up, the hard 'ERR' break (every 11th body), server/port URL tags."""
+    from .operators.statuspage import RedisInfoParser
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    err_row = eid % 11 == 0
+    body = F.concat(
+        F.lit("# Server\r\nredis_version:7.0."), s(eid % 5),
+        F.lit("\r\nredis_git_sha1:deadbeef\r\nuptime_in_seconds:"), s(eid * 10),
+        F.lit("\r\n\r\n# Clients\r\nconnected_clients:"), s(eid % 100),
+        F.lit("\r\n\r\n# Replication\r\nrole:"),
+        F.when(eid % 4 == 0, F.lit("slave")).otherwise(F.lit("master")),
+        F.lit("\r\n"),
+        F.when(err_row, F.lit("-ERR oops\r\n")).otherwise(F.lit("")),
+        F.lit("# Keyspace\r\ndb0:keys="), s(eid % 1000),
+        F.lit(",expires="), s(eid % 7),
+        F.lit(",avg_ttl="), s((eid % 50) * 100),
+        F.lit("\r\ndb1:keys="), s(F.col("user_id") % 300),
+        F.lit(",expires=0,avg_ttl="), s((eid % 30) * 10),
+        F.lit("\r\n"),
+    )
+    url = F.concat(
+        F.lit("tcp://redis-"), s(F.col("user_id") % 5),
+        F.when(eid % 2 == 0, F.lit(":7000")).otherwise(F.lit("")),
+    )
+    df = to_events(ev.select("doc_id", url.alias("url"), body.alias("content")))
+    out = RedisInfoParser().apply(df)
+    keys = ["redis_version", "uptime", "clients", "replication_role",
+            "db0_keys", "db1_avg_ttl", "total_db_count", "total_db_keys",
+            "total_db_avg_ttl", "total_db_expires", "server", "port"]
+    return out.select("doc_id", *[fget(k).alias(k) for k in keys])
+
+
+def oracle_redis_info() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  '7.0.' || (event_id % 5) AS redis_version,
+  cast(event_id * 10 AS varchar) AS uptime,
+  cast(event_id % 100 AS varchar) AS clients,
+  CASE WHEN event_id % 4 = 0 THEN 'slave' ELSE 'master' END AS replication_role,
+  CASE WHEN event_id % 11 = 0 THEN NULL
+       ELSE cast(event_id % 1000 AS varchar) END AS db0_keys,
+  CASE WHEN event_id % 11 = 0 THEN NULL
+       ELSE cast((event_id % 30) * 10 AS varchar) END AS db1_avg_ttl,
+  CASE WHEN event_id % 11 = 0 THEN '0' ELSE '2' END AS total_db_count,
+  CASE WHEN event_id % 11 = 0 THEN '0'
+       ELSE cast((event_id % 1000) + (user_id % 300) AS varchar) END AS total_db_keys,
+  CASE WHEN event_id % 11 = 0 THEN '0'
+       ELSE cast(((event_id % 50) * 100 + (event_id % 30) * 10) // 2 AS varchar)
+       END AS total_db_avg_ttl,
+  CASE WHEN event_id % 11 = 0 THEN '0'
+       ELSE cast(event_id % 7 AS varchar) END AS total_db_expires,
+  'redis-' || (user_id % 5) AS server,
+  CASE WHEN event_id % 2 = 0 THEN '7000' ELSE '6379' END AS port
+FROM events"""
+
+
+QUERIES["redis_info"] = q_redis_info
+ORACLES["redis_info"] = oracle_redis_info()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
