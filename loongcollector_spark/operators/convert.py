@@ -533,6 +533,59 @@ def loki_sink_frame(
     )
 
 
+def es_bulk_sink_frames(
+    df: DataFrame,
+    index_pattern: str,
+    group_cols: list[str],
+    order_col: str,
+    conv: "CustomSingleConverter | None" = None,
+    time_col: str = "log_time_sec",
+) -> DataFrame:
+    """flusher_elasticsearch bulk bodies (flusher_elasticsearch.go:189-235):
+    each log serializes through the converter (default custom_single/json)
+    and is preceded by its ``{"index": {"_index": "<idx>"}}`` action line —
+    the index static, or resolved per log via fmtstr.FormatIndex
+    (``%{+yyyy.MM.dd}`` date parts from the log time, ``%{content.x}`` /
+    ``%{tag.x}`` field refs). One bulk request body per sink group: all
+    action/doc lines newline-joined with a trailing newline.
+
+    One partial-agg shuffle keyed by the sink columns; at 100 TB the group
+    key IS the bulk-request routing key, so the same exchange that builds
+    the body co-locates the HTTP batches."""
+    from .fmtstr import es_index
+
+    conv = conv or CustomSingleConverter(time_col=time_col)
+    out = conv.apply(df)
+    lg = LogGroupMaps(
+        tag_key_rename=conv.tag_key_rename,
+        group_tags=conv.group_tags,
+        source=conv.source,
+        topic=conv.topic,
+        k8s=conv.k8s,
+    )
+    contents, tags = lg.maps(F.col(FIELDS))
+    idx = es_index(
+        index_pattern, contents, tags, F.col(time_col), dict(conv.tag_key_rename)
+    )
+    unit = F.concat(
+        F.lit('{"index": {"_index": "'), idx, F.lit('"}}\n'), F.col(conv.out_col)
+    )
+    pair = F.struct(F.col(order_col), unit.alias("u"))
+    return (
+        out.select(*group_cols, pair.alias("__p__"))
+        .groupBy(*group_cols)
+        .agg(
+            F.concat(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("__p__")), lambda s: s.getField("u")),
+                    "\n",
+                ),
+                F.lit("\n"),
+            ).alias("body")
+        )
+    )
+
+
 def otlp_logs_sink_frames(
     df: DataFrame,
     group_cols: list[str],

@@ -2234,6 +2234,53 @@ def oracle_flusher_influx_line() -> str:
 FROM events WHERE event_id % 11 <> 0"""
 
 
+def q_flusher_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_elasticsearch bulk bodies (flusher_elasticsearch.go:189-235):
+    per-log '{"index": {"_index": ...}}' action lines with a dynamic
+    fmtstr index (content var + %{+yyyy.MM.dd} date), custom_single docs,
+    one newline-joined bulk request body per sink group."""
+    from .operators.convert import CustomSingleConverter, es_bulk_sink_frames
+
+    df = _converter_frame(spark, sf_dir)
+    df = df.withColumn(
+        "sink", F.concat(F.lit("es-"), (F.col("event_id") % 3).cast("string"))
+    )
+    out = es_bulk_sink_frames(
+        df,
+        "app-%{content.method}-%{+yyyy.MM.dd}",
+        ["sink"],
+        "doc_id",
+        conv=CustomSingleConverter(
+            tag_key_rename={"log.file.path": "file.path"},
+            source="10.1.2.3",
+            topic=F.col("__topic__"),
+        ),
+    )
+    return out.select("sink", "body")
+
+
+def oracle_flusher_es_bulk() -> str:
+    return """WITH unit AS (
+  SELECT 'es-' || (event_id % 3) AS sink,
+    'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+    '{"index": {"_index": "app-' || event_type || '-'
+      || strftime(to_timestamp(1700000000 + event_id % 86400), '%Y.%m.%d')
+      || '"}}' || chr(10)
+      || '{"contents":{"method":"' || event_type || '","status":"'
+      || (event_id % 5) || '"},"tags":{"file.path":"/var/log/app.log",'
+      || '"host.ip":"10.1.2.3"'
+      || CASE WHEN event_id % 2 = 0 THEN ',"log.topic":"web"' ELSE '' END
+      || '},"time":' || (1700000000 + event_id % 86400) || '}' AS u
+  FROM events
+)
+SELECT sink, string_agg(u, chr(10) ORDER BY doc_id) || chr(10) AS body
+FROM unit GROUP BY sink"""
+
+
+QUERIES["flusher_es_bulk"] = q_flusher_es_bulk
+ORACLES["flusher_es_bulk"] = oracle_flusher_es_bulk()
+
+
 QUERIES["flusher_custom_single"] = q_flusher_custom_single
 QUERIES["flusher_jsonline"] = q_flusher_jsonline
 QUERIES["flusher_influx_line"] = q_flusher_influx_line

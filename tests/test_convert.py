@@ -481,3 +481,35 @@ def test_http_sink_frames(spark):
     ).collect()[0]
     assert r2["url"] == "http://sink.example/logs"
     assert json.loads(r2["headers"]) == {"Content-Type": "text/plain"}
+
+
+# --- ES bulk bodies (flusher_elasticsearch.go:189-235) -----------------------
+
+
+def test_es_bulk_sink_frames(spark):
+    from loongcollector_spark.operators.convert import es_bulk_sink_frames
+
+    rows = [
+        (1, "a", 1434055562, "PUT"),
+        (2, "a", 1434055563, "GET"),
+        (3, "b", 1434055564, "DEL"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sink string, log_time_sec long, method string")
+    df = df.select(
+        "doc_id", "sink", "log_time_sec",
+        F.create_map(F.lit("method"), F.col("method")).alias(FIELDS),
+    )
+    out = {
+        r["sink"]: r["body"]
+        for r in es_bulk_sink_frames(
+            df, "idx-%{content.method}-%{+yyyy.MM.dd}", ["sink"], "doc_id"
+        ).collect()
+    }
+    assert out["a"] == (
+        '{"index": {"_index": "idx-PUT-2015.06.11"}}\n'
+        '{"contents":{"method":"PUT"},"tags":{"host.ip":""},"time":1434055562}\n'
+        '{"index": {"_index": "idx-GET-2015.06.11"}}\n'
+        '{"contents":{"method":"GET"},"tags":{"host.ip":""},"time":1434055563}\n'
+    )
+    assert out["b"].startswith('{"index": {"_index": "idx-DEL-2015.06.11"}}\n')
+    assert out["b"].endswith("\n")
