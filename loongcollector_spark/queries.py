@@ -3950,6 +3950,169 @@ QUERIES["redis_info"] = q_redis_info
 ORACLES["redis_info"] = oracle_redis_info()
 
 
+def q_wineventlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_wineventlog (plugins/input/input_wineventlog/eventlog/
+    eventlog.go:67-163): Record.ToEvent — ignore-zero addValue fields,
+    message line-ending normalization, event_data/user_data Go-marshal
+    packing with Data renumbering, user block gated on user_identifier —
+    behind the documented EventID include/range/exclude config filter."""
+    from .operators.wineventlog import WinEventLogConverter, compile_event_id_filter
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    rec = ev.select(
+        "doc_id",
+        F.lit("wineventlog").alias("api"),
+        F.lit("Application").alias("channel"),
+        F.concat(F.lit("prov-"), s(F.col("user_id") % 7)).alias("provider_name"),
+        F.concat(F.lit("host-"), s(F.col("user_id") % 5)).alias("computer"),
+        eid.alias("record_id"),
+        (F.lit(4600) + eid % 300).alias("eventid"),
+        (eid % 4).alias("version"),
+        F.element_at(
+            F.array(F.lit("Information"), F.lit("Warning"), F.lit("Error"), F.lit("Critical")),
+            (eid % 4 + 1).cast("int"),
+        ).alias("level"),
+        F.when(eid % 2 == 0, F.array(F.lit("Audit Success"))).alias("keywords"),
+        F.concat(F.lit("a\r\nb-"), s(eid)).alias("message"),
+        (eid % 50).alias("process_id"),
+        F.when(eid % 6 != 0, F.concat(F.lit("S-1-5-"), s(F.col("user_id") % 10))).otherwise(
+            F.lit("")
+        ).alias("user_identifier"),
+        F.concat(F.lit("u"), s(F.col("user_id") % 10)).alias("user_name"),
+        F.array(
+            F.struct(F.lit("K1").alias("k"), F.col("event_type").alias("v")),
+            F.struct(F.lit("").alias("k"), F.concat(F.lit("x"), s(eid % 9)).alias("v")),
+        ).alias("event_data"),
+        F.concat(F.lit("UD"), s(eid % 2)).alias("user_data_name"),
+    )
+    rec = rec.filter(compile_event_id_filter("4624,4700-4800,-4735", F.col("eventid")))
+    out = WinEventLogConverter().apply(rec)
+    keys = ["event_id", "level", "version", "keywords", "message", "process_id",
+            "user_identifier", "user_name", "event_data", "user_data"]
+    return out.select("doc_id", *[fget(k).alias("w_" + k) for k in keys])
+
+
+def oracle_wineventlog() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  cast(4600 + event_id % 300 AS varchar) AS w_event_id,
+  CASE event_id % 4 WHEN 0 THEN 'Information' WHEN 1 THEN 'Warning'
+       WHEN 2 THEN 'Error' ELSE 'Critical' END AS w_level,
+  CASE WHEN event_id % 4 = 0 THEN NULL
+       ELSE cast(event_id % 4 AS varchar) END AS w_version,
+  CASE WHEN event_id % 2 = 0 THEN '[Audit Success]' ELSE NULL END AS w_keywords,
+  'a' || chr(10) || 'b-' || event_id AS w_message,
+  CASE WHEN event_id % 50 = 0 THEN NULL
+       ELSE cast(event_id % 50 AS varchar) END AS w_process_id,
+  CASE WHEN event_id % 6 = 0 THEN NULL
+       ELSE 'S-1-5-' || (user_id % 10) END AS w_user_identifier,
+  CASE WHEN event_id % 6 = 0 THEN NULL
+       ELSE 'u' || (user_id % 10) END AS w_user_name,
+  '{"Data1":"x' || (event_id % 9) || '","K1":"' || event_type || '"}' AS w_event_data,
+  '{"xml_name":"UD' || (event_id % 2) || '"}' AS w_user_data
+FROM events
+WHERE (4600 + event_id % 300) = 4624
+   OR ((4600 + event_id % 300) BETWEEN 4700 AND 4800
+       AND (4600 + event_id % 300) <> 4735)"""
+
+
+QUERIES["wineventlog"] = q_wineventlog
+ORACLES["wineventlog"] = oracle_wineventlog()
+
+
+def _pprof_payload_udf():
+    """pandas UDF (fixture-synthesis tier, same policy as _otel_pb_payload_udf):
+    build pprof wire payloads (hex) for q_pprof_profile's fixture values."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.pprof_profile import PprofBuilder
+
+    @pandas_udf("string")
+    def build(event_id):
+        out = []
+        for e in event_id:
+            e = int(e)
+            b = PprofBuilder()
+            b.sample_type("samples", "count")
+            leaf = b.location([b.function(f"fn{e % 5}", "a.go")])
+            root = b.location([b.function("base", "b.go")])
+            b.sample([leaf, root], [e % 20 + 1])
+            if e % 3 == 0:
+                b.sample([root], [e % 7 + 1])
+            out.append(
+                b.build(
+                    time_nanos=1_700_000_000_000_000_000 + e * 1_000_000,
+                    duration_nanos=5_000_000,
+                    period=10_000_000,
+                    period_type=("cpu", "nanoseconds"),
+                    gzipped=e % 2 == 0,
+                ).hex()
+            )
+        return pd.Series(out)
+
+    return build
+
+
+def q_pprof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pprof profile ingestion (pkg/helper/profile/pyroscope/pprof/pprof.go
+    extractLogs + extractProfileV1): wire decode (plain + gzipped), stack
+    resolution, samples→nanoseconds period scaling, xxhash64 stack IDs,
+    label marshal with _sample_rate_, profile TimeNanos timestamps."""
+    from .operators.pprof_profile import PprofProfileParser
+
+    ev = _events_raw(spark, sf_dir)
+    frame = ev.select(
+        "doc_id",
+        F.unhex(_pprof_payload_udf()(F.col("event_id"))).alias("payload"),
+        F.lit("go").alias("spy_name"),
+        F.lit(100).cast("long").alias("sample_rate"),
+        F.create_map(
+            F.lit("app"), F.concat(F.lit("ap"), (F.col("user_id") % 3).cast("string"))
+        ).alias("meta_tags"),
+    )
+    out = PprofProfileParser(passthrough=["doc_id"]).apply(frame)
+    return out.select(
+        "doc_id", "name", "stack", "stackID", "val", "units", "valueTypes",
+        "aggTypes", "type", "durationNs", "time_sec", "labels",
+    )
+
+
+def oracle_pprof_profile() -> str:
+    from .operators.xxh import xxh64_hex
+
+    leaf_ids = " ".join(
+        f"WHEN {k} THEN '{xxh64_hex(f'fn{k} a.gobase b.go'.encode())}'"
+        for k in range(5)
+    )
+    root_id = xxh64_hex(b"base b.go")
+    return f"""WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS e, user_id AS u
+  FROM events
+)
+SELECT doc_id, 'fn' || (e % 5) || ' a.go' AS name, 'base b.go' AS stack,
+  CASE e % 5 {leaf_ids} END AS stackID,
+  cast((e % 20 + 1) * 10000000 AS varchar) || '.00' AS val,
+  'nanoseconds' AS units, 'cpu' AS valueTypes, 'sum' AS aggTypes,
+  'profile_cpu' AS type, cast(5000000 AS bigint) AS durationNs,
+  cast(1700000000 + e // 1000 AS bigint) AS time_sec,
+  '{{"_sample_rate_":"100","app":"ap' || (u % 3) || '"}}' AS labels
+FROM base
+UNION ALL
+SELECT doc_id, 'base b.go', '', '{root_id}',
+  cast((e % 7 + 1) * 10000000 AS varchar) || '.00',
+  'nanoseconds', 'cpu', 'sum', 'profile_cpu', cast(5000000 AS bigint),
+  cast(1700000000 + e // 1000 AS bigint),
+  '{{"_sample_rate_":"100","app":"ap' || (u % 3) || '"}}'
+FROM base WHERE e % 3 = 0"""
+
+
+QUERIES["pprof_profile"] = q_pprof_profile
+ORACLES["pprof_profile"] = oracle_pprof_profile()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
