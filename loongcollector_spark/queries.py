@@ -4113,6 +4113,117 @@ QUERIES["pprof_profile"] = q_pprof_profile
 ORACLES["pprof_profile"] = oracle_pprof_profile()
 
 
+def q_jfr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JFR ingestion (pkg/helper/profile/pyroscope/jfr/parser.go parseChunk):
+    execution samples (STATE_RUNNABLE → cpu tree, event=cpu gate drops wall),
+    TLAB allocation objects+bytes fan-out, LabelsSnapshot pb context labels,
+    samples→ns scaling, xxhash64 stack IDs."""
+    from .operators.jfr import _EVENT_T, JfrChunkParser, encode_labels_snapshot
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    none = [F.lit(None)] * 5
+
+    def evt(kind, ctx, state, name, value, tlab, frames):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            ctx.cast("long").alias("context_id"),
+            state.alias("state"),
+            name.alias("name"),
+            value.alias("value"),
+            tlab.cast("long").alias("tlab_size"),
+            F.lit(None).cast("long").alias("alloc_size"),
+            F.lit(None).cast("long").alias("duration"),
+            frames.alias("frames"),
+        )
+
+    def frame(t, m):
+        return F.struct(t.alias("type"), m.alias("method"))
+
+    setting = evt(
+        "active_setting", F.lit(0), none[0].cast("string"), F.lit("event"),
+        F.lit("cpu"), none[1], F.lit(None).cast("array<struct<type:string,method:string>>"),
+    )
+    sample = evt(
+        "execution_sample", eid % 3,
+        F.when(eid % 2 == 0, F.lit("STATE_RUNNABLE")).otherwise(F.lit("STATE_SLEEPING")),
+        none[2].cast("string"), none[3].cast("string"), none[4],
+        F.array(
+            frame(F.concat(F.lit("Cls"), (eid % 4).cast("string")), F.lit("m")),
+            frame(F.lit("Base"), F.lit("run")),
+        ),
+    )
+    alloc = evt(
+        "alloc_in_new_tlab", F.lit(0), F.lit(None).cast("string"),
+        F.lit(None).cast("string"), F.lit(None).cast("string"), eid % 100 + 1,
+        F.array(frame(F.lit("Alloc"), F.lit("a"))),
+    )
+    events = F.when(
+        eid % 5 == 0, F.array(setting, sample, alloc)
+    ).otherwise(F.array(setting, sample)).cast(_EVENT_T)
+
+    pb = encode_labels_snapshot(
+        {1: {1: 2}, 2: {1: 3}}, {1: "region", 2: "eu", 3: "us"}
+    )
+    frame_df = ev.select(
+        "doc_id",
+        events.alias("events"),
+        F.lit(bytearray(pb)).alias("labels_pb"),
+        F.lit(100).cast("long").alias("sample_rate"),
+        F.lit(1_700_000_000_000_000_000).alias("start_ns"),
+        F.lit(1_700_000_000_005_000_000).alias("end_ns"),
+        F.create_map(F.lit("app"), F.lit("svc")).alias("meta_tags"),
+    )
+    out = JfrChunkParser(passthrough=["doc_id"]).apply(frame_df)
+    return out.select(
+        "doc_id", "name", "stack", "stackID", "val", "units", "valueTypes",
+        "aggTypes", "type", "durationNs", "time_sec", "labels",
+    )
+
+
+def oracle_jfr_profile() -> str:
+    from .operators.xxh import xxh64_hex
+
+    cpu_ids = " ".join(
+        f"WHEN {k} THEN '{xxh64_hex(f'Cls{k}.mBase.run'.encode())}'" for k in range(4)
+    )
+    alloc_id = xxh64_hex(b"Alloc.a")
+    return f"""WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS e
+  FROM events
+), lab AS (
+  SELECT e, doc_id,
+    CASE e % 3 WHEN 0 THEN '{{"_sample_rate_":"100","app":"svc"}}'
+      WHEN 1 THEN '{{"_sample_rate_":"100","app":"svc","region":"eu"}}'
+      ELSE '{{"_sample_rate_":"100","app":"svc","region":"us"}}' END AS labels
+  FROM base
+)
+SELECT doc_id, 'Cls' || (e % 4) || '.m' AS name, 'Base.run' AS stack,
+  CASE e % 4 {cpu_ids} END AS stackID,
+  '10000000.00' AS val, 'nanoseconds' AS units, 'cpu' AS valueTypes,
+  'sum' AS aggTypes, 'profile_cpu' AS type,
+  cast(5000000 AS bigint) AS durationNs,
+  cast(1700000000 AS bigint) AS time_sec, labels
+FROM lab WHERE e % 2 = 0
+UNION ALL
+SELECT doc_id, 'Alloc.a', '', '{alloc_id}', '1.00', 'objects',
+  'alloc_in_new_tlab_objects', 'sum', 'profile_mem',
+  cast(5000000 AS bigint), cast(1700000000 AS bigint),
+  '{{"_sample_rate_":"100","app":"svc"}}'
+FROM base WHERE e % 5 = 0
+UNION ALL
+SELECT doc_id, 'Alloc.a', '', '{alloc_id}',
+  cast(e % 100 + 1 AS varchar) || '.00', 'bytes', 'alloc_in_new_tlab_bytes',
+  'sum', 'profile_mem', cast(5000000 AS bigint), cast(1700000000 AS bigint),
+  '{{"_sample_rate_":"100","app":"svc"}}'
+FROM base WHERE e % 5 = 0"""
+
+
+QUERIES["jfr_profile"] = q_jfr_profile
+ORACLES["jfr_profile"] = oracle_jfr_profile()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
