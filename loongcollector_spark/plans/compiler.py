@@ -571,6 +571,22 @@ def compile_decoder(cfg: Mapping[str, Any]):
             default_ts_ns=int(cfg.get("DefaultTsNs", 0)),
         ).apply
     if fmt == "pyroscope":
+        # the reference's pyroscope endpoint sub-dispatches by the request's
+        # profile format (decoder.go:60-78): pprof wire / jfr parsed chunks /
+        # collapsed groups text (default)
+        pf = cfg.get("ProfileFormat", "groups")
+        if pf == "pprof":
+            from ..operators.pprof_profile import PprofProfileParser
+
+            return PprofProfileParser(
+                cfg.get("PayloadCol", "payload"), list(cfg.get("Passthrough", []))
+            ).apply
+        if pf == "jfr":
+            from ..operators.jfr import JfrChunkParser
+
+            return JfrChunkParser(
+                cfg.get("EventsCol", "events"), list(cfg.get("Passthrough", []))
+            ).apply
         from ..operators.pyroscope import PyroscopeGroupsDecoder
 
         return PyroscopeGroupsDecoder().apply

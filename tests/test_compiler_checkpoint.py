@@ -341,6 +341,28 @@ def test_compile_decoder_formats(spark):
     assert lrows[0]["fields"]["severity_text"] == "INFO"
     assert lrows[0]["fields"]["content"] == "m"
 
+    # pyroscope sub-dispatch (decoder.go:60-78): pprof wire / jfr chunks
+    from loongcollector_spark.operators.pprof_profile import PprofBuilder
+
+    b = PprofBuilder()
+    b.sample_type("samples", "count")
+    b.sample([b.location([b.function("f", "f.go")])], [2])
+    pdfq = spark.createDataFrame(
+        [(1, bytearray(b.build()))], "i long, payload binary"
+    )
+    prow = compile_decoder({"Format": "pyroscope", "ProfileFormat": "pprof",
+                            "Passthrough": ["i"]})(pdfq).collect()
+    assert [r["name"] for r in prow] == ["f f.go"] and prow[0]["val"] == "2.00"
+
+    from loongcollector_spark.operators.jfr import _EVENT_T
+
+    jev = [("execution_sample", 0, "STATE_RUNNABLE", None, None, None, None, None,
+            [("A", "m")])]
+    jdf = spark.createDataFrame([(1, jev)], f"i long, events {_EVENT_T}")
+    jrow = compile_decoder({"Format": "pyroscope", "ProfileFormat": "jfr",
+                            "Passthrough": ["i"]})(jdf).collect()
+    assert [r["name"] for r in jrow] == ["A.m"]
+
     # raw passthrough + unknown format
     assert compile_decoder({"Format": "raw"})(ev) is ev
     import pytest

@@ -471,3 +471,37 @@ def test_semdedup_pairwise_is_cell_scoped(spark, sf_dir):
     plan = _plan(q_semdedup(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_r4b_decoder_plans_narrow(spark, sf_dir):
+    """redis INFO / wineventlog / ES bulk / pprof / jfr plan shapes:
+    the scan-shaped ones are pure projections (no Exchange/Join); the
+    binary profile decoders are ONE MapInPandas pass with no shuffle below
+    it; the ES bulk frame has exactly ONE Exchange (the sink-key partial
+    agg pair)."""
+    from loongcollector_spark.queries import (
+        q_flusher_es_bulk,
+        q_jfr_profile,
+        q_pprof_profile,
+        q_redis_info,
+        q_wineventlog,
+    )
+
+    for q in (q_redis_info, q_wineventlog):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+    for q in (q_pprof_profile, q_jfr_profile):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        # one decode pass (tree node + its detail header = 2 mentions)
+        assert plan.count("MapInPandas") <= 2
+
+    plan = _plan(q_flusher_es_bulk(spark, sf_dir))
+    # one shuffle node (tree + detail header = 2 mentions), partial-agg pair
+    assert plan.count("Exchange") <= 2
+    assert plan.count("ObjectHashAggregate") == 4
+    assert "Join" not in plan
