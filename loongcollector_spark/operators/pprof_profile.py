@@ -31,12 +31,25 @@ Format=pprof path. The CONTENTFUL parts:
 The pprof wire schema is the PUBLIC profile.proto of github.com/google/pprof
 (transcribed field numbers below); payloads may be gzipped.
 
+Cumulative types (alloc_objects/alloc_space/contentions/delay): with no
+previous profile they emit nothing (pprof.go:225-230 keeps the first tree
+in cache and returns) — true of the reference's first scrape too. With a
+``prev_payload`` (the push path's ``prev_profile`` multipart field or the
+goprofile pull pair), the sample-type filter flips to cumulative-only
+(pprof.go:151-160) and each stack emits its positive delta vs the previous
+tree (prev.Diff) — validated against the reference's own
+``decoder_test.go`` TestDecoder_DecodePprofCumulative golden
+(test/dump_pprof_mem_data: 4 logs, vals 1.00/924248.00/1820.00/524432.00).
+``parse_push_body`` implements the multipart extract (extractProfileRaw,
+pprof.go:343-382: profile / prev_profile / sample_type_config fields).
+
 Documented divergences:
-- Cumulative sample types (alloc_objects/alloc_space/contentions/delay)
-  emit nothing here: the reference diffs them against the PREVIOUS scrape's
-  tree held in the agent's in-memory cache (pprof.go:225-233) — a stateful
-  agent-side path; a first/single profile emits nothing for them in the
-  reference too.
+- The reference's prev-tree cache keys are string-table INDEXES of the
+  current profile looked up against entries seeded from the previous
+  profile's own table (pprof.go:100-106 + 225) — correct only because Go's
+  pprof writer emits both with identical tables; here the keys are the
+  resolved type names / label strings, which is equivalent under that
+  assumption and robust without it.
 - Go iterates the type/label cache maps in random order, so when one stack
   appears under several types the per-log val/type sequence order (and the
   winning labels entry) is nondeterministic in the reference; here the
@@ -268,37 +281,21 @@ def _sample_rate_ns(prof: dict) -> int:
     return prof["period"] * mult
 
 
-def extract_profile_logs(
-    payload: bytes,
-    spy_name: str = "go",
-    meta_tags: dict | None = None,
-    extra_tags: dict | None = None,
-    sample_rate: int = 0,
-    start_ns: int = 0,
-    end_ns: int = 0,
-    agg_default: str = "sum",
-    sample_types: dict | None = None,
-) -> list[dict]:
-    """doParse + extractLogs + extractProfileV1 for one payload."""
-    prof = decode_pprof(payload)
+def _read_groups(prof: dict, mapping: dict, cumulative_only: bool):
+    """readTrees (pyroscope.go:106-166): per kept sample type, aggregate
+    sample values by (resolved label set, stack path). Returns
+    (kept=[(index, type name, unit name)], groups[index][labels][stack])."""
     st = prof["strtab"]
-    mapping = sample_types if sample_types is not None else DEFAULT_SAMPLE_TYPE_MAPPING
 
     def s(i: int) -> str:
         return st[i] if 0 <= i < len(st) else ""
 
-    meta_tags = dict(meta_tags or {})
-    if sample_rate > 0:  # doParse: meta.Tags["_sample_rate_"]
-        meta_tags["_sample_rate_"] = str(sample_rate)
-
     kept = [
-        (i, s(t)) for i, (t, _u) in enumerate(prof["sample_type"]) if s(t) in mapping
+        (i, s(t), s(u))
+        for i, (t, u) in enumerate(prof["sample_type"])
+        if s(t) in mapping and (not cumulative_only or mapping[s(t)].get("cumulative"))
     ]
-    if not kept:
-        return []
-
-    # groups[type index][labels tuple][stack tuple] -> summed uint64 value
-    groups: dict[int, dict] = {i: {} for i, _ in kept}
+    groups: dict[int, dict] = {i: {} for i, _, _ in kept}
     for loc_ids, values, labels in prof["samples"]:
         stack: list[str] = []
         for lid in reversed(loc_ids):
@@ -311,11 +308,9 @@ def extract_profile_logs(
                     continue
                 stack.append(f"{s(fn[0])} {s(fn[1])}")
         stack_t = tuple(stack)
-        lab_t = tuple(labels)
-        pid_j = next(
-            (j for j, (k, _v) in enumerate(labels) if s(k) == "profile_id"), -1
-        )
-        for i, _stype in kept:
+        lab_t = tuple((s(k), s(v)) for k, v in labels)
+        pid_j = next((j for j, (k, _v) in enumerate(lab_t) if k == "profile_id"), -1)
+        for i, _stype, _u in kept:
             v = (values[i] if i < len(values) else 0) & MASK64
             if v == 0:
                 continue
@@ -326,6 +321,81 @@ def extract_profile_logs(
                 g[cut][stack_t] = (g[cut].get(stack_t, 0) + v) & MASK64
             g.setdefault(lab_t, {})
             g[lab_t][stack_t] = (g[lab_t].get(stack_t, 0) + v) & MASK64
+    return kept, groups
+
+
+def parse_push_body(raw: bytes, content_type: str = "") -> tuple[bytes, bytes | None, dict | None]:
+    """extractProfileRaw (pprof.go:343-382): a plain body IS the profile;
+    a multipart/form-data body carries profile / prev_profile /
+    sample_type_config (JSON, keys per tree.SampleTypeConfig: units /
+    aggregation / display-name / sampled / cumulative)."""
+    import json as _json
+    import re as _re
+
+    if "multipart/form-data" not in (content_type or ""):
+        return raw, None, None
+    m = _re.search(r'boundary="?([^";,\s]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    fields: dict[str, bytes] = {}
+    for part in raw.split(b"--" + m.group(1).encode()):
+        head, sep, content = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        nm = _re.search(rb'name="([^"]+)"', head)
+        if nm:
+            fields[nm.group(1).decode()] = content.rstrip(b"\r\n")
+    if "profile" not in fields:
+        raise ValueError("profile field is required")
+    cfg = None
+    if fields.get("sample_type_config"):
+        cfg = {
+            k: {
+                "units": v.get("units", ""),
+                "aggregation": v.get("aggregation", ""),
+                "display_name": v.get("display-name", ""),
+                "sampled": bool(v.get("sampled")),
+                "cumulative": bool(v.get("cumulative")),
+            }
+            for k, v in _json.loads(fields["sample_type_config"]).items()
+        }
+    return fields["profile"], fields.get("prev_profile"), cfg
+
+
+def extract_profile_logs(
+    payload: bytes,
+    spy_name: str = "go",
+    meta_tags: dict | None = None,
+    extra_tags: dict | None = None,
+    sample_rate: int = 0,
+    start_ns: int = 0,
+    end_ns: int = 0,
+    agg_default: str = "sum",
+    sample_types: dict | None = None,
+    prev_payload: bytes | None = None,
+) -> list[dict]:
+    """doParse + extractLogs + extractProfileV1 for one payload (+ the
+    cumulative-diff path when a previous profile is supplied)."""
+    prof = decode_pprof(payload)
+    mapping = sample_types if sample_types is not None else DEFAULT_SAMPLE_TYPE_MAPPING
+
+    meta_tags = dict(meta_tags or {})
+    if sample_rate > 0:  # doParse: meta.Tags["_sample_rate_"]
+        meta_tags["_sample_rate_"] = str(sample_rate)
+
+    # with a previous profile the filter flips to cumulative-only
+    # (pprof.go:151-160)
+    cumulative_only = prev_payload is not None and len(prev_payload) > 0
+    kept, groups = _read_groups(prof, mapping, cumulative_only)
+    if not kept:
+        return []
+    prev_map: dict[tuple, dict] = {}
+    if cumulative_only:
+        pprof_prev = decode_pprof(prev_payload)
+        pkept, pgroups = _read_groups(pprof_prev, mapping, True)
+        for i, stype, _u in pkept:
+            for lab_t, stacks in pgroups[i].items():
+                prev_map[(stype, lab_t)] = stacks
 
     if prof["time_nanos"] != 0:
         t0, t1 = prof["time_nanos"], prof["time_nanos"] + prof["duration_nanos"]
@@ -338,20 +408,28 @@ def extract_profile_logs(
         profile_id = f"{d[:8]}-{d[8:12]}-{d[12:16]}-{d[16:20]}-{d[20:32]}"
 
     entries: dict[int, dict] = {}
-    for i, stype in kept:
+    for i, stype, base_unit in kept:
         cfg = mapping[stype]
-        if cfg.get("cumulative"):
-            continue  # needs the previous scrape's tree (agent cache)
-        _t, u = prof["sample_type"][i]
-        base_unit = s(u)
+        cumulative = bool(cfg.get("cumulative"))
+        if cumulative and not cumulative_only:
+            continue  # first/single profile: tree cached, nothing emitted
         duration = _sample_rate_ns(prof) if cfg.get("sampled") else 0
         display = cfg.get("display_name") or stype
         agg = {"average": "avg", "sum": "sum"}.get(cfg.get("aggregation", ""), agg_default)
         for lab_t, stacks in groups[i].items():
+            if cumulative:
+                pstacks = prev_map.get((stype, lab_t))
+                if pstacks is None:
+                    continue  # no previous tree: cache-seed only
+                # prev.Diff(t): per-path positive delta vs the previous tree
+                stacks = {
+                    k: (v - pstacks.get(k, 0))
+                    for k, v in stacks.items()
+                    if v > pstacks.get(k, 0)
+                }
             # buildKey: meta tags, overwritten by non-empty pprof labels
             labels = dict(meta_tags)
-            for k, v in lab_t:
-                ks, vs = s(k), s(v)
+            for ks, vs in lab_t:
                 if ks == "" or vs == "":
                     continue
                 labels[ks] = vs
@@ -447,7 +525,8 @@ class PprofProfileParser:
         passthrough = list(self.passthrough)
         opt = [
             c
-            for c in ("spy_name", "sample_rate", "start_ns", "end_ns", "meta_tags", "extra_tags")
+            for c in ("spy_name", "sample_rate", "start_ns", "end_ns", "meta_tags",
+                      "extra_tags", "prev_payload", "content_type")
             if c in df.columns
         ]
         base = [df.schema[c] for c in passthrough]
@@ -470,8 +549,19 @@ class PprofProfileParser:
                     for c in ("meta_tags", "extra_tags"):
                         if c in opt and r[c] is not None:
                             kw[c] = dict(r[c])
+                    if "prev_payload" in opt and r["prev_payload"] is not None:
+                        kw["prev_payload"] = bytes(r["prev_payload"])
                     try:
-                        logs = extract_profile_logs(bytes(raw), **kw)
+                        payload = bytes(raw)
+                        if "content_type" in opt and r["content_type"]:
+                            payload, prev, cfg = parse_push_body(
+                                payload, str(r["content_type"])
+                            )
+                            if prev is not None:
+                                kw["prev_payload"] = prev
+                            if cfg is not None:
+                                kw["sample_types"] = cfg
+                        logs = extract_profile_logs(payload, **kw)
                     except (PBError, ValueError, OSError, TypeError, EOFError):
                         continue  # fail the line, never the job
                     keep = tuple(r[c] for c in passthrough)

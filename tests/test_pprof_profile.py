@@ -153,3 +153,61 @@ def test_parser_operator_sparkside(spark):
     assert len(out) == 2
     assert {r["name"] for r in out} == {"work work.go", "main main.go"}
     assert all(r["language"] == "go" for r in out)  # default spy
+
+
+_DUMP = "/root/reference/pkg/protocol/decoder/pyroscope/test/dump_pprof_mem_data"
+
+
+@pytest.mark.skipif(not os.path.exists(_DUMP), reason="reference fixture absent")
+def test_reference_golden_cumulative_diff():
+    """decoder_test.go TestDecoder_DecodePprofCumulative: a multipart push
+    with profile + prev_profile emits ONLY the cumulative types, as
+    positive per-stack deltas vs the previous tree (4 logs, exact vals)."""
+    import base64 as b64
+    import json as js
+    import struct
+
+    from loongcollector_spark.operators.pprof_profile import parse_push_body
+
+    data = open(_DUMP, "rb").read()
+    ln = struct.unpack(">I", data[:4])[0]
+    req = js.loads(data[4 : 4 + ln])["Req"]
+    body = b64.b64decode(req["Body"])
+    ct = req["Header"]["Content-Type"][0]
+
+    profile, prev, cfg = parse_push_body(body, ct)
+    assert prev is not None and cfg is None
+    logs = extract_profile_logs(
+        profile, spy_name="gospy", sample_rate=100, prev_payload=prev,
+        start_ns=1_677_124_540 * 10**9, end_ns=1_677_124_550 * 10**9,
+    )
+    got = sorted((l["name"], l["valueTypes"], l["val"]) for l in logs)
+    assert got == [
+        ("compress/flate.NewWriter /Users/evan/sdk/go1.19.4/src/compress/flate/deflate.go",
+         "alloc_objects", "1.00"),
+        ("compress/flate.NewWriter /Users/evan/sdk/go1.19.4/src/compress/flate/deflate.go",
+         "alloc_space", "924248.00"),
+        ("runtime/pprof.WithLabels /Users/evan/sdk/go1.19.4/src/runtime/pprof/label.go",
+         "alloc_objects", "1820.00"),
+        ("runtime/pprof.WithLabels /Users/evan/sdk/go1.19.4/src/runtime/pprof/label.go",
+         "alloc_space", "524432.00"),
+    ]
+    # inuse types present in the profile are NOT emitted (cumulative-only
+    # filter when a previous profile exists)
+    assert all(l["valueTypes"].startswith("alloc_") for l in logs)
+
+
+def test_cumulative_diff_first_group_seeds_only():
+    def mem(vals):
+        b = PprofBuilder()
+        b.sample_type("alloc_space", "bytes")
+        l1 = b.location([b.function("alloc", "a.go")])
+        b.sample([l1], vals)
+        return b.build()
+
+    # prev has the group → delta; unseen label groups emit nothing
+    logs = extract_profile_logs(mem([500]), prev_payload=mem([180]))
+    assert [(l["valueTypes"], l["val"]) for l in logs] == [("alloc_space", "320.00")]
+    # non-positive delta → nothing
+    assert extract_profile_logs(mem([100]), prev_payload=mem([100])) == []
+    assert extract_profile_logs(mem([90]), prev_payload=mem([100])) == []
