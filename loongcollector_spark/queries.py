@@ -4224,6 +4224,191 @@ QUERIES["jfr_profile"] = q_jfr_profile
 ORACLES["jfr_profile"] = oracle_jfr_profile()
 
 
+def q_k8smetav1_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kubernetesmetav1 pods (kubernetes_collect_core.go:51-95 +
+    addPodParents): restart roll-up, workload regexes, container.N attrs,
+    Node parent via the node mapping, Deployment/Service parents via
+    label-selector matchers, addresses consumed by the parent wiring."""
+    from .operators.k8smetav1 import K8sMetaV1Converter
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    name = F.when(
+        eid % 3 != 0, F.concat(F.lit("app"), s(eid % 4), F.lit("-5d4b8cf9d8-x2abc"))
+    ).otherwise(F.lit("standalone"))
+    pods = ev.select(
+        "doc_id",
+        F.concat(F.lit("p-"), s(eid)).alias("uid"),
+        name.alias("name"),
+        F.concat(F.lit("ns"), s(eid % 2)).alias("namespace"),
+        F.create_map(F.lit("app"), F.concat(F.lit("a"), s(eid % 4))).alias("labels"),
+        F.when(eid % 5 == 0, F.lit("Pending")).otherwise(F.lit("Running")).alias("phase"),
+        F.concat(F.lit("10.0."), s(eid % 200), F.lit(".1")).alias("pod_ip"),
+        F.concat(F.lit("node-"), s(eid % 3)).alias("node_name"),
+        F.array((eid % 3).cast("int"), (eid % 2).cast("int")).alias("restart_counts"),
+        F.when(eid % 4 == 0, F.array(F.concat(F.lit("pvc-"), s(eid % 7)))).alias("claim_names"),
+        (eid % 6 == 0).alias("host_network"),
+        F.array(
+            F.struct(F.lit("c0").alias("name"), F.concat(F.lit("img"), s(eid % 9)).alias("image"))
+        ).alias("containers"),
+        (F.lit(1700000000) + eid % 1000).alias("creation_ts"),
+        s(eid % 50).alias("resource_version"),
+    )
+    nodes = spark.createDataFrame(
+        [(f"n-{i}", f"node-{i}") for i in range(3)], "uid string, name string"
+    )
+    wl_schema = (
+        "uid string, name string, namespace string, labels map<string,string>, "
+        "selector map<string,string>, creation_ts long, resource_version string"
+    )
+    deployments = spark.createDataFrame(
+        [(f"d-ns{n}-{k}", f"dep{k}", f"ns{n}", {}, {"app": f"a{k}"}, 1, "1")
+         for n in range(2) for k in range(4)],
+        wl_schema,
+    )
+    services = spark.createDataFrame(
+        [(f"s-ns{n}", "svc", f"ns{n}", {}, {"app": "a0"}, 1, "1") for n in range(2)],
+        wl_schema,
+    )
+    conv = K8sMetaV1Converter()
+    m = conv.matchers_frame(deployments=deployments, services=services)
+    return conv.pod_nodes(pods, nodes=nodes, matchers=m, keep=["doc_id"]).select(
+        "doc_id", "id", "type", "attributes", "labels", "parents"
+    )
+
+
+def oracle_k8smetav1_pods() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  'p-' || event_id AS id, 'Pod' AS type,
+  '{"container.0.container_name":"c0","container.0.image_name":"img'
+    || (event_id % 9) || '","creation_time":' || (1700000000 + event_id % 1000)
+    || CASE WHEN event_id % 6 = 0 THEN ',"host_network":"true"' ELSE '' END
+    || ',"name":"'
+    || CASE WHEN event_id % 3 <> 0
+         THEN 'app' || (event_id % 4) || '-5d4b8cf9d8-x2abc'
+         ELSE 'standalone' END
+    || '","namespace":"ns' || (event_id % 2) || '","phase":"'
+    || CASE WHEN event_id % 5 = 0 THEN 'Pending' ELSE 'Running' END
+    || '","pod_ip":"10.0.' || (event_id % 200) || '.1","resource_version":"'
+    || (event_id % 50) || '","restart_count":' || (event_id % 3 + event_id % 2)
+    || CASE WHEN event_id % 4 = 0
+         THEN ',"volume_claim":"pvc-' || (event_id % 7) || '"' ELSE '' END
+    || ',"workload":"'
+    || CASE WHEN event_id % 3 <> 0 THEN 'app' || (event_id % 4)
+         ELSE 'standalone' END
+    || '"}' AS attributes,
+  '{"app":"a' || (event_id % 4) || '"}' AS labels,
+  '["Node:n-' || (event_id % 3) || ':node-' || (event_id % 3)
+    || '","Deployment:d-ns' || (event_id % 2) || '-' || (event_id % 4)
+    || ':dep' || (event_id % 4) || '"'
+    || CASE WHEN event_id % 4 = 0
+         THEN ',"Service:s-ns' || (event_id % 2) || ':svc"' ELSE '' END
+    || ']' AS parents
+FROM events"""
+
+
+QUERIES["k8smetav1_pods"] = q_k8smetav1_pods
+ORACLES["k8smetav1_pods"] = oracle_k8smetav1_pods()
+
+
+def q_k8smetav1_workloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kubernetesmetav1 workloads (kubernetes_collect_apps.go / _batch.go):
+    deployment numeric attrs (nil-replicas → 1), the statefulset
+    strconv.Itoa string quirk, cronjob suspend/active roll-up + job
+    CronJob parents via active refs."""
+    from .operators.k8smetav1 import K8sMetaV1Converter
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    conv = K8sMetaV1Converter()
+    base = ev.select(
+        "doc_id",
+        F.concat(F.lit("w-"), s(eid)).alias("uid"),
+        F.concat(F.lit("wl"), s(eid % 10)).alias("name"),
+        F.concat(F.lit("ns"), s(eid % 2)).alias("namespace"),
+        F.create_map(F.lit("t"), s(eid % 3)).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("selector"),
+        (F.lit(1700000000) + eid % 100).alias("creation_ts"),
+        s(eid % 5).alias("resource_version"),
+        (eid % 7).alias("observed_generation"),
+        F.when(eid % 5 != 0, eid % 9 + 1).alias("desired_replicas"),
+        (eid % 9).alias("replicas"),
+        (eid % 4).alias("updated_replicas"),
+        (eid % 3).alias("available_replicas"),
+        (eid % 2).alias("unavailable_replicas"),
+        F.lit("RollingUpdate").alias("strategy"),
+        (eid % 2).alias("misscheduled_replicas"),
+    )
+    dep = conv.workload_nodes(base.where(eid % 3 == 0), "Deployment", keep=["doc_id"])
+    sts = conv.workload_nodes(base.where(eid % 3 == 1), "StatefulSet", keep=["doc_id"])
+    crons = ev.where(eid % 3 == 2).select(
+        "doc_id",
+        F.concat(F.lit("cj-"), s(eid)).alias("uid"),
+        F.concat(F.lit("cron"), s(eid % 10)).alias("name"),
+        F.concat(F.lit("ns"), s(eid % 2)).alias("namespace"),
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.lit("*/5 * * * *").alias("schedule"),
+        F.when(eid % 4 == 2, F.lit(True)).alias("suspend"),
+        F.when(eid % 2 == 0, F.array(F.concat(F.lit("j-"), s(eid)))).alias("active_refs"),
+        F.when(eid % 6 == 2, F.lit(1700000500) + eid % 50).alias("last_schedule_time"),
+        (F.lit(1700000000) + eid % 100).alias("creation_ts"),
+        s(eid % 5).alias("resource_version"),
+    )
+    cj = conv.workload_nodes(crons, "CronJob", keep=["doc_id"])
+    out = dep.unionByName(sts).unionByName(cj)
+    return out.select("doc_id", "id", "type", "attributes", "labels", "parents")
+
+
+def oracle_k8smetav1_workloads() -> str:
+    common = (
+        "',\"name\":\"wl' || (event_id % 10) || '\",\"namespace\":\"ns'"
+        " || (event_id % 2) || '\"'"
+    )
+    return f"""WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS e FROM events
+)
+SELECT doc_id, 'w-' || e AS id, 'Deployment' AS type,
+  '{{"available_replicas":' || (e % 3) || ',"creation_time":'
+  || (1700000000 + e % 100) || ',"desired_replicas":'
+  || CASE WHEN e % 5 <> 0 THEN e % 9 + 1 ELSE 1 END
+  || ',"name":"wl' || (e % 10) || '","namespace":"ns' || (e % 2)
+  || '","observed_generation":' || (e % 7) || ',"replicas":' || (e % 9)
+  || ',"resource_version":"' || (e % 5) || '","strategy":"RollingUpdate"'
+  || ',"unavailable_replicas":' || (e % 2) || ',"updated_replicas":' || (e % 4)
+  || '}}' AS attributes,
+  '{{"t":"' || (e % 3) || '"}}' AS labels, '[]' AS parents
+FROM base WHERE e % 3 = 0
+UNION ALL
+SELECT doc_id, 'w-' || e, 'StatefulSet',
+  '{{"creation_time":' || (1700000000 + e % 100) || ',"desired_replicas":"'
+  || CASE WHEN e % 5 <> 0 THEN e % 9 + 1 ELSE 1 END
+  || '","name":"wl' || (e % 10) || '","namespace":"ns' || (e % 2)
+  || '","observed_generation":' || (e % 7) || ',"replicas":"' || (e % 9)
+  || '","resource_version":"' || (e % 5) || '","updated_replicas":"'
+  || (e % 4) || '"}}',
+  '{{"t":"' || (e % 3) || '"}}', '[]'
+FROM base WHERE e % 3 = 1
+UNION ALL
+SELECT doc_id, 'cj-' || e, 'CronJob',
+  '{{"active_jobs":' || CASE WHEN e % 2 = 0 THEN 1 ELSE 0 END
+  || ',"creation_time":' || (1700000000 + e % 100)
+  || CASE WHEN e % 6 = 2
+       THEN ',"last_schedule_time":' || (1700000500 + e % 50) ELSE '' END
+  || ',"name":"cron' || (e % 10) || '","namespace":"ns' || (e % 2)
+  || '","resource_version":"' || (e % 5)
+  || '","schedule":"*/5 * * * *","suspend":'
+  || CASE WHEN e % 4 = 2 THEN 'true' ELSE 'false' END || '}}',
+  '{{}}', '[]'
+FROM base WHERE e % 3 = 2"""
+
+
+QUERIES["k8smetav1_workloads"] = q_k8smetav1_workloads
+ORACLES["k8smetav1_workloads"] = oracle_k8smetav1_workloads()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
