@@ -4409,6 +4409,140 @@ QUERIES["k8smetav1_workloads"] = q_k8smetav1_workloads
 ORACLES["k8smetav1_workloads"] = oracle_k8smetav1_workloads()
 
 
+def q_systemv2_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_system_v2 (plugins/input/systemv2/input_system_v2.go:111-373):
+    per-host snapshot rounds → delta-derived metric logs (cpu busy/total
+    rates, disk/net per-device rates with the synthetic totals, tcp retran
+    util) + non-delta gauges; one host-keyed lag window."""
+    from .operators.systemv2 import SystemV2Metrics
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    e = eid.cast("double")
+    host = (F.col("user_id") % 5).cast("string")
+    snap = ev.select(
+        F.concat(F.lit("h"), host).alias("hostname"),
+        F.concat(F.lit("10.0.0."), host).alias("ip"),
+        (F.lit(1_700_000_000_000) + eid * 1000).alias("ts_ms"),
+        F.struct(
+            ((eid % 7).cast("double") + 0.25).alias("load1"),
+            F.lit(1.0).alias("load5"), F.lit(2.0).alias("load15"),
+        ).alias("load"),
+        F.lit(1_690_000_000).alias("boot_time"),
+        F.lit(4).cast("int").alias("ncpus"),
+        F.lit(None).cast("int").alias("cpu_share_request"),
+        F.struct(
+            (e * 3).alias("user"), e.alias("system"), (e * 4).alias("idle"),
+            F.lit(0.0).alias("nice"), F.lit(0.0).alias("iowait"),
+            F.lit(0.0).alias("irq"), F.lit(0.0).alias("softirq"),
+            F.lit(0.0).alias("steal"), F.lit(0.0).alias("guest"),
+            F.lit(0.0).alias("guest_nice"),
+        ).alias("cpu"),
+        F.struct(
+            ((eid % 90).cast("double") + 0.5).alias("used_percent"),
+            F.lit(1.0).alias("cached"), F.lit(2.0).alias("free"),
+            F.lit(3.0).alias("available"), F.lit(4.0).alias("used"),
+            F.lit(5.0).alias("total"),
+        ).alias("mem"),
+        F.lit(None).cast("double").alias("swap_used_percent"),
+        F.expr(
+            "array()"
+        ).cast(
+            "array<struct<device:string,path:string,fs_type:string,"
+            "used_percent:double,inodes_used_percent:double,used:long,total:long,"
+            "inodes_total:long,inodes_used:long>>"
+        ).alias("mounts"),
+        F.array(
+            F.struct(
+                F.lit("sda").alias("name"),
+                (eid * 1000).alias("read_bytes"), (eid * 500).alias("write_bytes"),
+                (eid * 10).alias("read_count"), (eid * 5).alias("write_count"),
+                (eid * 20).alias("read_time"), (eid * 10).alias("write_time"),
+                (eid * 10).alias("io_time"),
+            )
+        ).alias("disks"),
+        F.array(
+            F.struct(
+                F.lit("eth0").alias("name"),
+                (eid * 2000).alias("bytes_recv"), (eid * 1000).alias("bytes_sent"),
+                (eid * 100).alias("packets_recv"), (eid * 50).alias("packets_sent"),
+                (eid * 3).alias("errin"), F.lit(0).cast("long").alias("errout"),
+                (eid * 3).alias("dropin"), F.lit(0).cast("long").alias("dropout"),
+            )
+        ).alias("nets"),
+        F.struct(
+            (eid * 400).alias("in_segs"), (eid * 200).alias("out_segs"),
+            (eid * 10).alias("retrans_segs"),
+        ).alias("tcp"),
+    )
+    out = SystemV2Metrics().apply(snap)
+    keep = ["system_load1", "mem_util", "cpu_util", "cpu_user_util",
+            "disk_rbps", "disk_util", "net_in", "net_drop_util",
+            "protocol_tcp_retran_util"]
+    name = fget("__name__")
+    return out.where(name.isin(keep)).select(
+        "hostname", "ts_ms",
+        name.alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+        fget("__time_nano__").alias("time_nano"),
+    )
+
+
+def oracle_systemv2_metrics() -> str:
+    return """WITH s AS (
+  SELECT event_id AS e, cast(user_id % 5 AS varchar) AS h,
+    lag(event_id) OVER (PARTITION BY user_id % 5 ORDER BY event_id) AS pe
+  FROM events
+), b AS (
+  SELECT e, pe, 'h' || h AS hostname, 1700000000000 + e * 1000 AS ts_ms,
+    'hostname#$#h' || h || '|ip#$#10.0.0.' || h AS base,
+    cast(1700000000000000000 + e * 1000000000 AS varchar) AS tn
+  FROM s
+)
+SELECT hostname, ts_ms, 'system_load1' AS name, base AS labels,
+  (e % 7) || '.25' AS value, tn AS time_nano FROM b
+UNION ALL
+SELECT hostname, ts_ms, 'mem_util', base,
+  CASE WHEN e % 90 = 0 THEN '0.5' ELSE (e % 90) || '.5' END, tn FROM b
+UNION ALL
+SELECT hostname, ts_ms, 'cpu_util', base, '50', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'cpu_user_util', base, '37.5', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'disk_rbps', 'disk#$#total|' || base, '1000', tn
+FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'disk_rbps', 'disk#$#sda|' || base, '1000', tn
+FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'disk_util', 'disk#$#sda|' || base, '1', tn
+FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'net_in',
+  'hostname#$#h' || substr(hostname, 2) || '|interface#$#eth0|ip#$#10.0.0.'
+  || substr(hostname, 2), '2000', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'net_in',
+  'hostname#$#h' || substr(hostname, 2) || '|interface#$#total|ip#$#10.0.0.'
+  || substr(hostname, 2), '2000', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'net_drop_util',
+  'hostname#$#h' || substr(hostname, 2) || '|interface#$#eth0|ip#$#10.0.0.'
+  || substr(hostname, 2), '2', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'net_drop_util',
+  'hostname#$#h' || substr(hostname, 2) || '|interface#$#total|ip#$#10.0.0.'
+  || substr(hostname, 2), '2', tn FROM b WHERE pe IS NOT NULL
+UNION ALL
+SELECT hostname, ts_ms, 'protocol_tcp_retran_util', base, '5', tn
+FROM b WHERE pe IS NOT NULL"""
+
+
+QUERIES["systemv2_metrics"] = q_systemv2_metrics
+ORACLES["systemv2_metrics"] = oracle_systemv2_metrics()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
