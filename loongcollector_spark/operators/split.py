@@ -404,3 +404,35 @@ class MergeMultilineByFlag(Operator):
         return grouped.withColumn(
             FIELDS, F.create_map(F.lit(self.source_key), F.col("__record__"))
         ).drop("__record__")
+
+
+def command_output_logs(
+    df: DataFrame,
+    script_content: str,
+    line_split_sep: str = "",
+    stdout_col: str = "stdout",
+) -> DataFrame:
+    """input_command stdout conversion (plugins/input/command/
+    input_command.go:207-231): split the script's stdout by LineSplitSep
+    (empty = one log for the whole output), each piece becomes a log with
+    ``content`` + the ``script_md5`` of the configured ScriptContent. The
+    script storage/exec/suid machinery is agent transport."""
+    import hashlib
+
+    md5 = hashlib.md5(script_content.encode("utf-8")).hexdigest()
+    passthrough = [c for c in df.columns if c != stdout_col]
+    # strings.Split is LITERAL; F.split takes a regex → escape
+    pieces = (
+        F.split(F.col(stdout_col), re.escape(line_split_sep), -1)
+        if line_split_sep
+        else F.array(F.col(stdout_col))
+    )
+    return df.select(
+        *passthrough, F.explode(pieces).alias("__piece__")
+    ).select(
+        *passthrough,
+        F.create_map(
+            F.lit("content"), F.col("__piece__"),
+            F.lit("script_md5"), F.lit(md5),
+        ).alias(FIELDS),
+    )

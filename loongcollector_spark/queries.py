@@ -4543,6 +4543,150 @@ QUERIES["systemv2_metrics"] = q_systemv2_metrics
 ORACLES["systemv2_metrics"] = oracle_systemv2_metrics()
 
 
+def q_command_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_command stdout conversion (input_command.go:207-231): literal
+    LineSplitSep split, content + script_md5 fields."""
+    from .operators.split import command_output_logs
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    stdout = F.concat(
+        F.lit("metric.a="), (eid % 50).cast("string"), F.lit("||metric.b="),
+        (eid % 7).cast("string"),
+        F.when(eid % 3 == 0, F.lit("||tail")).otherwise(F.lit("")),
+    )
+    df = ev.select("doc_id", stdout.alias("stdout"))
+    out = command_output_logs(df, "echo metrics", line_split_sep="||")
+    return out.select("doc_id", fget("content").alias("content"),
+                      fget("script_md5").alias("script_md5"))
+
+
+def oracle_command_output() -> str:
+    import hashlib
+
+    md5 = hashlib.md5(b"echo metrics").hexdigest()
+    return f"""WITH base AS (
+  SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+         event_id AS e FROM events
+)
+SELECT doc_id, 'metric.a=' || (e % 50) AS content, '{md5}' AS script_md5 FROM base
+UNION ALL
+SELECT doc_id, 'metric.b=' || (e % 7), '{md5}' FROM base
+UNION ALL
+SELECT doc_id, 'tail', '{md5}' FROM base WHERE e % 3 = 0"""
+
+
+QUERIES["command_output"] = q_command_output
+ORACLES["command_output"] = oracle_command_output()
+
+
+def q_netping_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_netping (plugins/input/netping/netping.go:263-346): probe
+    result fan-out — counts, success-gated rtt stats, httping rt/bytes +
+    cert-ttl under the cert label set, dns resolve outcomes, invalid
+    results dropped."""
+    from .operators.netping import NetPingMetrics
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    m4 = eid % 4
+    typ = (
+        F.when(m4 == 0, F.lit("ping")).when(m4 == 1, F.lit("tcping"))
+        .when(m4 == 2, F.lit("httping")).otherwise(F.lit("dns"))
+    )
+    ent = lambda k, v: F.struct(F.lit(k).alias("k"), v.alias("v"))  # noqa: E731
+    label = F.array(
+        ent("name", F.concat(F.lit("probe"), s(eid % 5))),
+        ent("src", F.lit("10.0.0.1")),
+        ent("dst", F.concat(F.lit("10.1."), s(eid % 9), F.lit(".1"))),
+    )
+    res = ev.select(
+        (F.lit(1_700_000_000_000) + eid * 1000).alias("ts_ms"),
+        (eid % 7 != 0).alias("valid"),
+        typ.alias("type"),
+        label.alias("label"),
+        F.lit(10).cast("int").alias("total"),
+        (eid % 11).cast("int").alias("success"),
+        (10 - eid % 11).cast("int").alias("failed"),
+        ((eid % 5).cast("double") + 0.5).alias("min_rtt_ms"),
+        ((eid % 5).cast("double") + 9.5).alias("max_rtt_ms"),
+        ((eid % 5).cast("double") + 4.25).alias("avg_rtt_ms"),
+        F.lit(100.5).alias("total_rtt_ms"),
+        F.lit(1.25).alias("stddev_rtt_ms"),
+        (eid % 300).cast("int").alias("http_rt_ms"),
+        (eid % 5000).cast("int").alias("http_response_size"),
+        (eid % 2 == 0).alias("has_https_cert"),
+        F.array(
+            ent("url", F.concat(F.lit("https://t"), s(eid % 3))),
+            ent("issuer_commmon_name", F.lit("CA")),
+        ).alias("cert_label"),
+        (eid % 90).cast("int").alias("cert_ttl_day"),
+        (eid % 2 == 0).alias("dns_success"),
+        ((eid % 30).cast("double") + 0.5).alias("dns_rt_ms"),
+    )
+    out = NetPingMetrics().apply(res)
+    return out.select(
+        "ts_ms",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+    )
+
+
+def oracle_netping_metrics() -> str:
+    return """WITH b AS (
+  SELECT event_id AS e, 1700000000000 + event_id * 1000 AS ts_ms,
+    CASE event_id % 4 WHEN 0 THEN 'ping' WHEN 1 THEN 'tcping' ELSE 'httping' END AS t,
+    'dst#$#10.1.' || (event_id % 9) || '.1|name#$#probe' || (event_id % 5)
+      || '|src#$#10.0.0.1' AS lbl
+  FROM events
+), probes AS (SELECT * FROM b WHERE e % 4 IN (0, 1, 2) AND e % 7 <> 0)
+SELECT ts_ms, t || '_total' AS name, lbl AS labels, '10' AS value FROM probes
+UNION ALL
+SELECT ts_ms, t || '_success', lbl, cast(e % 11 AS varchar) FROM probes
+UNION ALL
+SELECT ts_ms, t || '_failed', lbl, cast(10 - e % 11 AS varchar) FROM probes
+UNION ALL
+SELECT ts_ms, t || '_rtt_min_ms', lbl, (e % 5) || '.5'
+FROM probes WHERE e % 4 IN (0, 1) AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, t || '_rtt_max_ms', lbl, (e % 5 + 9) || '.5'
+FROM probes WHERE e % 4 IN (0, 1) AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, t || '_rtt_avg_ms', lbl, (e % 5 + 4) || '.25'
+FROM probes WHERE e % 4 IN (0, 1) AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, t || '_rtt_total_ms', lbl, '100.5'
+FROM probes WHERE e % 4 IN (0, 1) AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, t || '_rtt_stddev_ms', lbl, '1.25'
+FROM probes WHERE e % 4 IN (0, 1) AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, 'httping_rt_ms', lbl, cast(e % 300 AS varchar)
+FROM probes WHERE e % 4 = 2 AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, 'httping_response_bytes', lbl, cast(e % 5000 AS varchar)
+FROM probes WHERE e % 4 = 2 AND e % 11 > 0
+UNION ALL
+SELECT ts_ms, 'httping_cert_ttl_days',
+  'issuer_commmon_name#$#CA|url#$#https://t' || (e % 3), cast(e % 90 AS varchar)
+FROM probes WHERE e % 4 = 2 AND e % 2 = 0
+UNION ALL
+SELECT ts_ms, 'dns_resolve_rt_ms', lbl, (e % 30) || '.5'
+FROM b WHERE e % 4 = 3 AND e % 2 = 0
+UNION ALL
+SELECT ts_ms, 'dns_resolve_success', lbl,
+  CASE WHEN e % 2 = 0 THEN '1' ELSE '0' END FROM b WHERE e % 4 = 3
+UNION ALL
+SELECT ts_ms, 'dns_resolve_failed', lbl,
+  CASE WHEN e % 2 = 0 THEN '0' ELSE '1' END FROM b WHERE e % 4 = 3"""
+
+
+QUERIES["netping_metrics"] = q_netping_metrics
+ORACLES["netping_metrics"] = oracle_netping_metrics()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 

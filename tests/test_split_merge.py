@@ -222,3 +222,25 @@ def test_multiline_continue_end_broken_record_unmatches_all(spark):
     ).apply(ev)
     recs2 = sorted(r[FIELDS]["content"] for r in out2.collect())
     assert recs2 == [" c1", " c2\nfin DONE", "DONE", "breaker"]
+
+
+def test_command_output_logs(spark):
+    """input_command stdout conversion (input_command.go:207-231)."""
+    import hashlib
+
+    from loongcollector_spark.operators.split import command_output_logs
+
+    df = spark.createDataFrame([(1, "a||b||"), (2, "solo")], "i long, stdout string")
+    out = command_output_logs(df, "echo hi", line_split_sep="||")
+    rows = [(r["i"], dict(r["fields"])) for r in out.collect()]
+    md5 = hashlib.md5(b"echo hi").hexdigest()
+    # literal split keeps trailing empties (strings.Split semantics)
+    assert [(i, f["content"]) for i, f in rows] == [
+        (1, "a"), (1, "b"), (1, ""), (2, "solo")
+    ]
+    assert all(f["script_md5"] == md5 for _, f in rows)
+    # no separator configured → whole stdout as one log
+    one = command_output_logs(
+        spark.createDataFrame([(3, "x||y")], "i long, stdout string"), "s"
+    ).collect()
+    assert dict(one[0]["fields"])["content"] == "x||y"

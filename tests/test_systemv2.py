@@ -127,3 +127,49 @@ def test_cpu_share_factor(spark):
     vals = {dict(r["fields"])["__name__"]: dict(r["fields"])["__value__"] for r in out}
     # factor = 8/(2000/1000) = 4; Δbusy 10 / Δtotal 50 → 20% × 4 = 80
     assert vals["cpu_util"] == "80"
+
+
+# --- metric_netping (plugins/input/netping/netping.go:263-346) ---------------
+
+
+def test_netping_fanout(spark):
+    from loongcollector_spark.operators.netping import (
+        RESULTS_SCHEMA_HINT,
+        NetPingMetrics,
+    )
+
+    lbl = [("name", "p1"), ("src", "h")]
+    cert = [("url", "https://x"), ("issuer_commmon_name", "CA")]
+    rows = [
+        # valid ping with successes → counts + rtt
+        (1_000, True, "ping", lbl, 10, 8, 2, 0.5, 9.5, 4.25, 100.5, 1.25,
+         0, 0, None, None, None, None, None),
+        # valid tcping, zero successes → counts only
+        (1_000, True, "tcping", lbl, 10, 0, 10, 0.5, 9.5, 4.25, 100.5, 1.25,
+         0, 0, None, None, None, None, None),
+        # invalid → dropped
+        (1_000, False, "ping", lbl, 10, 8, 2, 0.5, 9.5, 4.25, 100.5, 1.25,
+         0, 0, None, None, None, None, None),
+        # httping with cert
+        (1_000, True, "httping", lbl, 1, 1, 0, None, None, None, None, None,
+         123, 4567, True, cert, 42, None, None),
+        # dns failure
+        (1_000, None, "dns", lbl, None, None, None, None, None, None, None,
+         None, None, None, None, None, None, False, None),
+    ]
+    df = spark.createDataFrame(rows, RESULTS_SCHEMA_HINT)
+    out = NetPingMetrics().apply(df).collect()
+    got = {}
+    for r in out:
+        f = dict(r["fields"])
+        got.setdefault(f["__name__"], []).append((f["__labels__"], f["__value__"]))
+    base = "name#$#p1|src#$#h"
+    assert got["ping_total"] == [(base, "10")]
+    assert got["ping_rtt_avg_ms"] == [(base, "4.25")]
+    assert got["tcping_failed"] == [(base, "10")]
+    assert "tcping_rtt_min_ms" not in got  # zero successes
+    assert got["httping_rt_ms"] == [(base, "123")]
+    assert got["httping_cert_ttl_days"] == [("issuer_commmon_name#$#CA|url#$#https://x", "42")]
+    assert got["dns_resolve_success"] == [(base, "0")]
+    assert got["dns_resolve_failed"] == [(base, "1")]
+    assert "dns_resolve_rt_ms" not in got
