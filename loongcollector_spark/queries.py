@@ -4687,6 +4687,107 @@ QUERIES["netping_metrics"] = q_netping_metrics
 ORACLES["netping_metrics"] = oracle_netping_metrics()
 
 
+def q_process_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metric_process_v2 (plugins/input/process/input_process.go:86-273):
+    second-observation gating, jiffy-delta cpu rates (100·Δ/userHZ/Δt),
+    cpu-or-rss threshold selection, NewMetricLog emission."""
+    from .operators.process_input import ProcessMetrics
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (F.col("user_id") % 3).cast("string")
+    base = ev.select(
+        F.concat(F.lit("h"), host).alias("hostname"),
+        F.concat(F.lit("10.0."), host, F.lit(".1")).alias("ip"),
+        eid.cast("int").alias("pid"),
+        F.concat(F.lit("p"), s(eid % 6)).alias("comm"),
+        F.lit("/bin/p").alias("exe"),
+        F.lit("p --serve").alias("cmdline"),
+        ((eid % 100) * 1024).alias("rss"),
+        F.lit(1).cast("long").alias("swap"),
+        F.lit(2).cast("long").alias("vsz"),
+        F.lit(3).cast("long").alias("data"),
+        F.lit(0).cast("long").alias("threads"),
+        F.lit(0).cast("long").alias("fds"),
+        F.lit(None).cast(
+            "struct<in_bytes:long,in_packet:long,out_bytes:long,out_packet:long>"
+        ).alias("net"),
+        F.lit(None).cast(
+            "struct<read_count:long,read_bytes:long,write_count:long,write_bytes:long>"
+        ).alias("io"),
+        eid,
+    )
+    snap = base.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1_700_000_000_000).alias("ts_ms"),
+                    F.lit(100).cast("long").alias("utime"),
+                    F.lit(50).cast("long").alias("stime"),
+                ),
+                F.struct(
+                    (F.lit(1_700_000_002_000)).alias("ts_ms"),
+                    (F.lit(100) + (eid % 40) * 2).alias("utime"),
+                    (F.lit(50) + (eid % 10) * 2).alias("stime"),
+                ),
+            )
+        ).alias("__s__"),
+    ).select(
+        "hostname", "ip", F.col("__s__.ts_ms").alias("ts_ms"), "pid", "comm",
+        "exe", "cmdline", F.col("__s__.utime").alias("utime"),
+        F.col("__s__.stime").alias("stime"), "rss", "swap", "vsz", "data",
+        "threads", "fds", "net", "io",
+    )
+    out = ProcessMetrics(
+        min_cpu_limit_percent=20.0, min_memory_limit_kb=50,
+        max_process_count=1_000_000,
+    ).apply(snap)
+    return out.select(
+        "hostname", "ts_ms", "pid",
+        fget("__name__").alias("name"),
+        fget("__labels__").alias("labels"),
+        fget("__value__").alias("value"),
+    )
+
+
+def oracle_process_metrics() -> str:
+    return """WITH k AS (
+  SELECT event_id AS e, cast(user_id % 3 AS varchar) AS h,
+    (e % 40) + (e % 10) AS cpu
+  FROM (SELECT event_id, user_id, event_id AS e FROM events)
+  WHERE (event_id % 40) + (event_id % 10) >= 20 OR (event_id % 100) >= 50
+), b AS (
+  SELECT e, 'h' || h AS hostname, cast(1700000002000 AS bigint) AS ts_ms,
+    cast(e AS int) AS pid, cpu,
+    'comm#$#p' || (e % 6) || '|hostname#$#h' || h || '|ip#$#10.0.' || h
+      || '.1|pid#$#' || e AS lbl
+  FROM k
+)
+SELECT hostname, ts_ms, pid, 'process_cpu_percent' AS name, lbl AS labels,
+  cast(cpu AS varchar) AS value FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_cpu_stime_percent', lbl,
+  cast(e % 10 AS varchar) FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_cpu_utime_percent', lbl,
+  cast(e % 40 AS varchar) FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_mem_rss', lbl,
+  cast((e % 100) * 1024 AS varchar) FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_mem_swap', lbl, '1' FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_mem_vsz', lbl, '2' FROM b
+UNION ALL
+SELECT hostname, ts_ms, pid, 'process_mem_data', lbl, '3' FROM b"""
+
+
+QUERIES["process_metrics"] = q_process_metrics
+ORACLES["process_metrics"] = oracle_process_metrics()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
