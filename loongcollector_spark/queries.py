@@ -4788,6 +4788,52 @@ QUERIES["process_metrics"] = q_process_metrics
 ORACLES["process_metrics"] = oracle_process_metrics()
 
 
+def q_snmp_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_snmp PDU variable emission (input_snmp.go:536-563 +
+    Asn1BER2String :275-323): OctetString bytes-as-text vs big-int decimal
+    values, the 7 fixed fields, the "Boolean " type-name quirk."""
+    from .operators.snmp import SnmpVariableLogs
+
+    ev = _events_raw(spark, sf_dir)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    codes = F.array(*[F.lit(c) for c in (0x02, 0x04, 0x41, 0x42, 0x46, 0x01, 0x05)])
+    df = ev.select(
+        "doc_id",
+        (eid % 3).cast("int").alias("target_index"),
+        F.concat(F.lit("10.9."), s(eid % 3), F.lit(".1")).alias("target"),
+        F.concat(F.lit("ifInOctets"), s(eid % 4)).alias("field"),
+        F.concat(F.lit(".1.3.6.1.2.1.2.2.1.10."), s(eid % 8)).alias("oid"),
+        F.lit("int").alias("conversion"),
+        F.element_at(codes, (eid % 7 + 1).cast("int")).alias("type_code"),
+        F.encode(F.concat(F.lit("txt-"), s(eid % 5)), "UTF-8").alias("value_bytes"),
+        (eid * 3 + 1).alias("value_num"),
+    )
+    out = SnmpVariableLogs().apply(df)
+    keys = ["_targetindex_", "_target_", "_field_", "_oid_", "_conversion_",
+            "_type_", "_content_"]
+    return out.select("doc_id", *[fget(k).alias(k.strip("_")) for k in keys])
+
+
+def oracle_snmp_variables() -> str:
+    return """SELECT 'doc-' || lpad(cast(event_id AS varchar), 8, '0') AS doc_id,
+  cast(event_id % 3 AS varchar) AS targetindex,
+  '10.9.' || (event_id % 3) || '.1' AS target,
+  'ifInOctets' || (event_id % 4) AS field,
+  '.1.3.6.1.2.1.2.2.1.10.' || (event_id % 8) AS oid,
+  'int' AS conversion,
+  CASE event_id % 7 WHEN 0 THEN 'Integer' WHEN 1 THEN 'OctetString'
+    WHEN 2 THEN 'Counter32' WHEN 3 THEN 'Gauge32' WHEN 4 THEN 'Counter64'
+    WHEN 5 THEN 'Boolean ' ELSE 'Null' END AS type,
+  CASE WHEN event_id % 7 = 1 THEN 'txt-' || (event_id % 5)
+       ELSE cast(event_id * 3 + 1 AS varchar) END AS content
+FROM events"""
+
+
+QUERIES["snmp_variables"] = q_snmp_variables
+ORACLES["snmp_variables"] = oracle_snmp_variables()
+
+
 def _k8s_cfg():
     from .operators.k8smeta import K8sMetaConfig
 
