@@ -79,3 +79,28 @@ def test_regex_threshold_and_topn(spark):
     res = _vals(out.collect())
     # cpu-matched {0,1,5} come first in pid order → mem-only 'fat' dropped
     assert {k[1] for k in res} == {0, 1, 5}
+
+
+# --- service_snmp (input_snmp.go:536-563) ------------------------------------
+
+
+def test_snmp_variable_logs(spark):
+    from loongcollector_spark.operators.snmp import SnmpVariableLogs
+
+    rows = [
+        (1, 0, "10.9.0.1", "sysDescr", ".1.3.6.1.2.1.1.1.0", "", 0x04,
+         bytearray(b"Linux r1"), None),
+        (2, 1, "10.9.0.2", "ifInOctets", ".1.3.6.1.2.1.2.2.1.10.1", "int", 0x41,
+         None, 123456789012345678),
+        (3, 1, "t", "f", "o", "", 0x01, None, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i long, target_index int, target string, field string, oid string, "
+        "conversion string, type_code int, value_bytes binary, value_num long",
+    )
+    out = {r["i"]: dict(r["fields"]) for r in SnmpVariableLogs().apply(df).collect()}
+    assert out[1]["_type_"] == "OctetString" and out[1]["_content_"] == "Linux r1"
+    assert out[2]["_type_"] == "Counter32"
+    assert out[2]["_content_"] == "123456789012345678"
+    assert out[3]["_type_"] == "Boolean "  # [sic] reference trailing space
