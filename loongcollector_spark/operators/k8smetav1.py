@@ -292,10 +292,8 @@ class K8sMetaV1Converter:
                 F.lit("[]").alias("parents"),
             )
 
-        out = pods.select(
-            *keep, "uid", "name", "namespace", "labels", "node_name",
-            base_attrs.alias("__attrs__"),
-        )
+        cols = list(dict.fromkeys([*keep, "uid", "name", "namespace", "labels", "node_name"]))
+        out = pods.select(*cols, base_attrs.alias("__attrs__"))
         if nodes is not None:
             nm = nodes.select(
                 F.col("name").alias("node_name"), F.col("uid").alias("__node_uid__")
@@ -322,7 +320,15 @@ class K8sMetaV1Converter:
                 & sel_match(F.col("selector"), F.col("labels")),
                 "left",
             )
-            agg = joined.groupBy("uid").agg(
+            # ONE uid-keyed partial aggregate — no join-back (the broadcast
+            # fan-out keeps every pod column, so first() recovers them)
+            firsts = [
+                F.first(c).alias(c)
+                for c in out.columns
+                if c != "uid"
+            ]
+            out = joined.groupBy("uid").agg(
+                *firsts,
                 F.array_sort(
                     F.collect_list(
                         F.when(
@@ -330,9 +336,8 @@ class K8sMetaV1Converter:
                             F.concat_ws(":", "category", "__muid__", "__mname__"),
                         )
                     )
-                ).alias("__matched__")
+                ).alias("__matched__"),
             )
-            out = out.join(agg, ["uid"], "left")
         else:
             out = out.withColumn("__matched__", F.expr("array()").cast("array<string>"))
 

@@ -505,3 +505,35 @@ def test_r4b_decoder_plans_narrow(spark, sf_dir):
     assert plan.count("Exchange") <= 2
     assert plan.count("ObjectHashAggregate") == 4
     assert "Join" not in plan
+
+
+def test_r4c_host_collector_plans(spark, sf_dir):
+    """k8smetav1 pods: dims broadcast, never SortMergeJoin; systemv2: ONE
+    window Exchange for the host lag; process_metrics: host-keyed windows
+    only, no join; netping/snmp/command: pure narrow projections."""
+    from loongcollector_spark.queries import (
+        q_command_output,
+        q_k8smetav1_pods,
+        q_netping_metrics,
+        q_process_metrics,
+        q_snmp_variables,
+        q_systemv2_metrics,
+    )
+
+    plan = _plan(q_k8smetav1_pods(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+    plan = _plan(q_systemv2_metrics(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+    plan = _plan(q_process_metrics(spark, sf_dir))
+    assert "Join" not in plan and "Window" in plan
+
+    for q in (q_netping_metrics, q_snmp_variables, q_command_output):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

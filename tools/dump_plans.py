@@ -157,6 +157,40 @@ def main() -> None:
             "partial HashAggregate pair around one (topic,key) Exchange — "
             "the per-topic batch shuffle a partitioned Kafka write needs.",
         ),
+        (
+            "redis_info — INFO body scan fold + URL tags",
+            QUERIES["redis_info"](spark, SF),
+            "ONE F.aggregate fold over the split lines inside a narrow "
+            "projection: no Exchange, no Join, no Python.",
+        ),
+        (
+            "pprof_profile — pprof wire decode → per-stack profile logs",
+            QUERIES["pprof_profile"](spark, SF),
+            "one Arrow-batched MapInPandas decode pass (per-payload "
+            "aggregation is row-local); no Exchange, no Join below it.",
+        ),
+        (
+            "flusher_es_bulk — per-sink NDJSON bulk bodies",
+            QUERIES["flusher_es_bulk"](spark, SF),
+            "serialize + action line per log, then ONE partial "
+            "ObjectHashAggregate pair around the single sink-key Exchange "
+            "(the bulk-request routing shuffle).",
+        ),
+        (
+            "k8smetav1_pods — pod MetaNodes + selector-matcher parents",
+            QUERIES["k8smetav1_pods"](spark, SF),
+            "node mapping and matcher dims broadcast (BroadcastHashJoin / "
+            "BroadcastNestedLoopJoin for the selector-containment join) — "
+            "the pod scan never shuffles on its own key; the parent "
+            "collect is a partial aggregate on the pod uid.",
+        ),
+        (
+            "systemv2_metrics — host snapshot rounds → delta metric logs",
+            QUERIES["systemv2_metrics"](spark, SF),
+            "exactly ONE host-keyed window Exchange (the lag); device "
+            "matching via in-row map lookups; emission is a Generate over "
+            "the per-row metric array.",
+        ),
     ]
 
     out = [
