@@ -401,3 +401,40 @@ class SystemV2Metrics(Operator):
         return _metric_rows_to_events(
             df, ["hostname", "ts_ms"], all_rows, (F.col("ts_ms") * F.lit(1_000_000)).cast("long")
         )
+
+
+@dataclass
+class GpuMetrics(Operator):
+    """service_gpu_metric (plugins/input/gpu/input_gpu_metric.go:88-120):
+    one NVML device reading per row (device int, power_usage_uw,
+    temperature, gpu_util, memory_util, used_memory_bytes,
+    total_memory_bytes) → the fields map with the reference's unit
+    conversions (µW→W integer division, bytes→MiB). The NVML session is
+    agent transport; zero shuffle."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .base import FIELDS
+
+        passthrough = [
+            c for c in df.columns
+            if c not in ("device", "power_usage_uw", "temperature", "gpu_util",
+                         "memory_util", "used_memory_bytes", "total_memory_bytes")
+        ]
+        mib = 1024 * 1024
+        used = (F.col("used_memory_bytes") / mib).cast("long")
+        total = (F.col("total_memory_bytes") / mib).cast("long")
+        free = ((F.col("total_memory_bytes") - F.col("used_memory_bytes")) / mib).cast("long")
+        return df.select(
+            *passthrough,
+            F.create_map(
+                F.lit("metric_type"), F.lit("gpu"),
+                F.lit("device"), F.col("device").cast("string"),
+                F.lit("gpu_power_usage"), (F.col("power_usage_uw") / 1000).cast("long").cast("string"),
+                F.lit("gpu_temperature"), F.col("temperature").cast("string"),
+                F.lit("gpu_util"), F.col("gpu_util").cast("string"),
+                F.lit("gpu_memory_util"), F.col("memory_util").cast("string"),
+                F.lit("gpu_used_memory"), used.cast("string"),
+                F.lit("gpu_total_memory"), total.cast("string"),
+                F.lit("gpu_free_memory"), free.cast("string"),
+            ).alias(FIELDS),
+        )

@@ -540,6 +540,73 @@ def compile_input(
     raise KeyError(f"unknown input type: {t}")
 
 
+def compile_metric_input(cfg: Mapping[str, Any]):
+    """Metric-input plugin → DataFrame stage over its fact/snapshot table —
+    the config factory for the r4 host-collector family (the agent-side
+    reads are out of the table model; these are the derivations). Keyed by
+    the reference's registered plugin Type strings."""
+    t = cfg["Type"]
+    if t == "metric_system_v2":
+        from ..operators.systemv2 import SystemV2Metrics
+
+        return SystemV2Metrics(
+            cpu=cfg.get("CPU", True), cpu_percent=cfg.get("CPUPercent", True),
+            mem=cfg.get("Mem", True), disk=cfg.get("Disk", True),
+            net=cfg.get("Net", True), protocol=cfg.get("Protocol", True),
+            labels=dict(cfg.get("Labels", {})),
+        ).apply
+    if t == "metric_process_v2":
+        from ..operators.process_input import ProcessMetrics
+
+        return ProcessMetrics(
+            process_names_regex=list(cfg.get("ProcessNamesRegex", [])),
+            max_process_count=int(cfg.get("MaxProcessCount", 100)),
+            top_n_cpu=int(cfg.get("TopNCPU", 0)),
+            top_n_mem=int(cfg.get("TopNMem", 0)),
+            min_cpu_limit_percent=float(cfg.get("MinCPULimitPercent", 0.0)),
+            min_memory_limit_kb=int(cfg.get("MinMemoryLimitKB", 0)),
+            thread=cfg.get("Thread", False), open_fd=cfg.get("OpenFD", False),
+            net_io=cfg.get("NetIO", False), io=cfg.get("IO", False),
+            labels=dict(cfg.get("Labels", {})),
+        ).apply
+    if t == "metric_netping":
+        from ..operators.netping import NetPingMetrics
+
+        return NetPingMetrics().apply
+    if t == "metric_redis":
+        from ..operators.statuspage import RedisInfoParser
+
+        return RedisInfoParser(url_col=cfg.get("UrlCol", "url")).apply
+    if t == "metric_nginx_status":
+        from ..operators.statuspage import NginxStatusParser
+
+        return NginxStatusParser(url_col=cfg.get("UrlCol", "url")).apply
+    if t == "service_gpu_metric":
+        from ..operators.systemv2 import GpuMetrics
+
+        return GpuMetrics().apply
+    if t == "service_snmp":
+        from ..operators.snmp import SnmpVariableLogs
+
+        return SnmpVariableLogs().apply
+    if t == "metric_meta_kubernetes":
+        from ..operators.k8smetav1 import K8sMetaV1Converter
+
+        conv = K8sMetaV1Converter(
+            labels=dict(cfg.get("Labels", {})),
+            disable_report_parents=cfg.get("DisableReportParents", False),
+        )
+        kind = cfg.get("Kind", "Pod")
+        if kind == "Pod":
+            return conv.pod_nodes
+        if kind == "Node":
+            return conv.node_nodes
+        if kind in ("Deployment", "DaemonSet", "StatefulSet", "Job", "CronJob"):
+            return lambda df: conv.workload_nodes(df, kind)
+        return lambda df: conv.simple_nodes(df, kind)
+    raise KeyError(f"unknown metric input type: {t}")
+
+
 def compile_decoder(cfg: Mapping[str, Any]):
     """HTTP/gRPC ingestion decoder factory — the table analog of
     ``pkg/protocol/decoder/decoder.go`` GetDecoderWithOptions keyed by the

@@ -369,3 +369,33 @@ def test_compile_decoder_formats(spark):
 
     with pytest.raises(KeyError):
         compile_decoder({"Format": "nope"})
+
+
+def test_compile_metric_input_factory(spark):
+    """The r4 host-collector family resolves from plugin Type strings."""
+    import pytest
+
+    from loongcollector_spark.operators.systemv2 import SNAPSHOT_SCHEMA_HINT
+    from loongcollector_spark.plans.compiler import compile_metric_input
+
+    snap = spark.createDataFrame(
+        [("h1", "ip", 1_000, None, 5, 2, None, None, None, None, [], [], [], None)],
+        SNAPSHOT_SCHEMA_HINT,
+    )
+    out = compile_metric_input({"Type": "metric_system_v2"})(snap).collect()
+    names = {dict(r["fields"])["__name__"] for r in out}
+    assert names == {"system_boot_time", "cpu_count"}
+
+    gpu = spark.createDataFrame(
+        [(0, 25_000, 61, 88, 40, 2 * 1024 * 1024 * 1024, 8 * 1024 * 1024 * 1024)],
+        "device int, power_usage_uw long, temperature long, gpu_util long, "
+        "memory_util long, used_memory_bytes long, total_memory_bytes long",
+    )
+    g = dict(compile_metric_input({"Type": "service_gpu_metric"})(gpu).collect()[0]["fields"])
+    assert g["metric_type"] == "gpu" and g["device"] == "0"
+    assert g["gpu_power_usage"] == "25"      # µW // 1000
+    assert g["gpu_used_memory"] == "2048"    # bytes → MiB
+    assert g["gpu_free_memory"] == "6144"
+
+    with pytest.raises(KeyError):
+        compile_metric_input({"Type": "nope"})
