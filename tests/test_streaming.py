@@ -400,3 +400,41 @@ def test_skywalking_decode_streaming_matches_batch(spark, tmp_path):
     q = run_available_now(read_stream(spark, inp, schema), str(tmp_path / "ckpt"), process)
     q.awaitTermination(120)
     assert sorted(collected) == batch and len(batch) == 12 * 4  # cpu + 3 threads
+
+
+def test_pprof_profile_ingestion_streaming(spark, tmp_path):
+    """Profile ingestion as a STREAM: binary pprof payload files tailed by
+    readStream → Arrow mapInPandas decode → per-stack value counts in a
+    complete-mode memory sink (the continuous-profiling pipeline shape)."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.pprof_profile import (
+        PprofBuilder,
+        PprofProfileParser,
+    )
+
+    inp = str(tmp_path / "pprof_in")
+    rows = []
+    for b in range(3):
+        bld = PprofBuilder()
+        bld.sample_type("samples", "count")
+        leaf = bld.location([bld.function(f"fn{b % 2}", "f.go")])
+        bld.sample([leaf], [b + 1])
+        rows.append((b, bytearray(bld.build(gzipped=b % 2 == 0))))
+    spark.createDataFrame(rows, "req long, payload binary").write.parquet(inp)
+
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    logs = PprofProfileParser(passthrough=["req"]).apply(stream)
+    agg = logs.groupBy("name").agg(F.sum(F.col("val").cast("double")).alias("v"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pprof_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pprof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["name"]: r["v"] for r in spark.sql("select * from pprof_counts").collect()}
+    assert got == {"fn0 f.go": 4.0, "fn1 f.go": 2.0}  # batches 0+2 vs 1
