@@ -228,3 +228,36 @@ def test_sls_group_decoder_survives_garbage_bytes(spark):
         "i long, payload binary",
     )
     assert ParseSlsLogGroup("payload", ["i"]).apply(df).count() == 0
+
+
+def test_pprof_decoder_survives_garbage_bytes(spark):
+    from loongcollector_spark.operators.pprof_profile import PprofProfileParser
+
+    garbage = [
+        b"", b"\x00", b"\xff" * 64, bytes(range(256)),
+        b"\x1f\x8b" + b"\x00" * 10,                    # gzip magic, broken stream
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x04\xff",   # truncated gzip
+        b"\x80\x80\x80\x80\x80\x80\x80\x80\x80\x80\x01",  # oversized varint
+        b"\x0a\xff\xff\xff\x7f",                       # 256MB length claim
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(g) if g is not None else None) for i, g in enumerate(garbage)],
+        "i long, payload binary",
+    )
+    out = PprofProfileParser(passthrough=["i"]).apply(df)
+    assert out.count() == 0  # every payload rejected, no exception
+
+
+def test_jfr_parser_survives_garbage_labels_pb(spark):
+    from loongcollector_spark.operators.jfr import _EVENT_T, JfrChunkParser
+
+    ev = [("execution_sample", 1, "STATE_RUNNABLE", None, None, None, None, None,
+           [("A", "m")])]
+    garbage_pb = [b"\xff\xff\xff\xff", b"\x0a\xff\x7f", b"\x80" * 12]
+    rows = [(i, ev, bytearray(g)) for i, g in enumerate(garbage_pb)]
+    rows.append((99, None, None))  # null events row
+    df = spark.createDataFrame(rows, f"i long, events {_EVENT_T}, labels_pb binary")
+    out = JfrChunkParser(passthrough=["i"]).apply(df)
+    # bad labels snapshots drop their chunk; null events row dropped
+    assert out.count() == 0
