@@ -103,12 +103,23 @@ _ASYNC_PROFILER = re.compile(
 )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def merge_jvm_generated_classes(sym: str) -> str:
-    sym = _GEN_METHOD_ACCESSOR.sub(r"\g<1>_", sym)
-    sym = _LAMBDA_ENCLOSING.sub(r"\g<1>_", sym)
-    sym = _ZSTD_JNI.sub("libzstd-jni-_.so", sym)
-    sym = _CORRETTO.sub("libamazonCorrettoCryptoProvider_.so", sym)
-    sym = _ASYNC_PROFILER.sub("libasyncProfiler-_.so", sym)
+    """Memoized like the reference, which normalizes each CONSTANT-POOL
+    symbol once (processSymbols) rather than every frame occurrence —
+    symbols repeat across thousands of stack frames per chunk. Cheap
+    prefilters skip the five regexes for the common no-match case."""
+    if "GeneratedMethodAccessor" in sym:
+        sym = _GEN_METHOD_ACCESSOR.sub(r"\g<1>_", sym)
+    if "$$Lambda$" in sym:
+        sym = _LAMBDA_ENCLOSING.sub(r"\g<1>_", sym)
+    if ".so" in sym:
+        sym = _ZSTD_JNI.sub("libzstd-jni-_.so", sym)
+        sym = _CORRETTO.sub("libamazonCorrettoCryptoProvider_.so", sym)
+        sym = _ASYNC_PROFILER.sub("libasyncProfiler-_.so", sym)
     return sym
 
 
