@@ -94,3 +94,60 @@ def test_csv_parser_matches_go_csv_fsm_on_generated_inputs(spark):
         else:
             expect = {k: cols[j] for j, k in enumerate(keys) if j < len(cols)}
         assert got[i] == expect, (line, got[i], expect)
+
+
+# --- r4 wire codec roundtrips (pure Python, no Spark) ------------------------
+
+_sym = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=20
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_sym.filter(bool), _sym,
+                  st.lists(st.integers(1, 5), min_size=1, max_size=3)),
+        min_size=0, max_size=5,
+    ),
+    st.lists(st.integers(1, 2**40), min_size=1, max_size=3),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pprof_builder_decode_roundtrip(funcs, values, gz):
+    """PprofBuilder encode → decode_pprof recovers the structure."""
+    from loongcollector_spark.operators.pprof_profile import PprofBuilder, decode_pprof
+
+    b = PprofBuilder()
+    b.sample_type("samples", "count")
+    locs = []
+    for name, filename, _ in funcs:
+        locs.append(b.location([b.function(name, filename)]))
+    if locs:
+        b.sample(locs, values)
+    p = decode_pprof(b.build(time_nanos=123, period=7, period_type=("t", "u"), gzipped=gz))
+    st_tab = p["strtab"]
+    assert p["time_nanos"] == 123 and p["period"] == 7
+    assert [st_tab[t] for t, _ in p["sample_type"]] == ["samples"]
+    if locs:
+        assert len(p["samples"]) == 1
+        loc_ids, vals, _ = p["samples"][0]
+        assert vals == values
+        # every location resolves to its function name
+        got = [st_tab[p["functions"][p["locations"][l][0]][0]] for l in loc_ids]
+        assert got == [n for n, _f, _v in funcs]
+
+
+@given(
+    st.dictionaries(st.integers(1, 2**31), st.dictionaries(st.integers(1, 100),
+                    st.integers(1, 100), max_size=4), max_size=4),
+    st.dictionaries(st.integers(1, 200), _sym, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_labels_snapshot_roundtrip_property(contexts, strings):
+    from loongcollector_spark.operators.jfr import (
+        decode_labels_snapshot,
+        encode_labels_snapshot,
+    )
+
+    snap = decode_labels_snapshot(encode_labels_snapshot(contexts, strings))
+    assert snap == {"contexts": contexts, "strings": strings}
