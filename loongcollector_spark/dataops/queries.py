@@ -1365,3 +1365,130 @@ DATAOPS_QUERIES["line_dedup"] = q_line_dedup
 DATAOPS_QUERIES["semdedup"] = q_semdedup
 DATAOPS_ORACLES["line_dedup"] = oracle_line_dedup()
 DATAOPS_ORACLES["semdedup"] = oracle_semdedup()
+
+
+def q_semdedup_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a corpus with a 1000-copy hot cell: exact copies of the
+    lowest-id embedding planted at vec_id 30000000+i all quantize to one
+    cell, so an UNCAPPED per-cell pairwise join would be O(10⁶) pairs for
+    that cell alone. Exercises semdedup's anchor-sample cap (max_cell=128,
+    n_anchors=16 — candidates bounded at O(16·cell)); every copy still pairs
+    with an anchor ≥0.99 and comes back keep=0. Codebook = the 8 lowest-id
+    base vectors (deterministic stand-in, same as embed_ivf)."""
+    from . import similarity
+
+    base = _embs(spark, sf_dir).select("vec_id", "embedding")
+    seed = base.orderBy("vec_id").limit(1).select("embedding")
+    copies = (
+        spark.range(1000)
+        .crossJoin(F.broadcast(seed))
+        .select((F.col("id") + 30000000).alias("vec_id"), "embedding")
+    )
+    aug = base.unionByName(copies)
+    cents = [
+        [float(x) for x in r["e"]]
+        for r in base.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = similarity.semdedup(aug, cents, threshold=0.99, max_cell=128, n_anchors=16)
+    return out.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("members"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+    )
+
+
+def oracle_semdedup_hot() -> str:
+    cell_cos = _COS_SQL.format(a="v.e", b="c.e")
+    pair_cos = (
+        "(list_dot_product(va.e, vb.e) / "
+        "(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))))"
+    )
+    capped = _capped_cand_sql(
+        keys="cell", id_col="vec_id", cap=128, anchors=16, src="cells"
+    )
+    return f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT 30000000 + i AS vec_id,
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1) AS e
+  FROM range(0, 1000) t(i)
+),
+cents AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT v.vec_id, v.e, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {cell_cos} DESC, c.cid) AS rn
+  FROM v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, e, cid AS cell FROM assign WHERE rn = 1),
+{capped},
+dups AS (
+  SELECT DISTINCT c.id_b AS vec_id
+  FROM cand c
+  JOIN v va ON va.vec_id = c.id_a
+  JOIN v vb ON vb.vec_id = c.id_b
+  WHERE {pair_cos} >= 0.99
+)
+SELECT CAST(cells.cell AS INT) AS cell, count(*) AS members,
+       CAST(sum(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM cells LEFT JOIN dups ON cells.vec_id = dups.vec_id
+GROUP BY cells.cell"""
+
+
+def q_embed_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): exact top-5 within each query's
+    TWO nearest codebook cells — the recall/cost dial beyond the single-cell
+    probe (embed_ivf). Recall@10 per nprobe is measured by
+    tools/ann_recall.py on the same table."""
+    from . import similarity
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r["e"]]
+        for r in embs.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(embs, queries, cents, k=5, nprobe=2)
+
+
+def oracle_embed_ivf_probe() -> str:
+    cos = _COS_SQL.format(a="v.e", b="q.qe")
+    cell_cos = _COS_SQL.format(a="v.e", b="c.e")
+    qcell_cos = _COS_SQL.format(a="qv.e", b="c.e")
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT v.vec_id, v.e, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {cell_cos} DESC, c.cid) AS rn
+  FROM v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, e, cid AS cell FROM assign WHERE rn = 1),
+qassign AS (
+  SELECT qv.vec_id AS qid, qv.e AS qe, c.cid AS qcell,
+         row_number() OVER (PARTITION BY qv.vec_id ORDER BY {qcell_cos} DESC, c.cid) AS rn
+  FROM v qv CROSS JOIN cents c
+  WHERE qv.vec_id < 3
+),
+q AS (SELECT qid, qe, qcell FROM qassign WHERE rn <= 2),
+scored AS (
+  SELECT q.qid, v.vec_id, {cos} AS cos
+  FROM cells v JOIN q ON v.cell = q.qcell AND v.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5"""
+
+
+DATAOPS_QUERIES["semdedup_hot"] = q_semdedup_hot
+DATAOPS_QUERIES["embed_ivf_probe"] = q_embed_ivf_probe
+DATAOPS_ORACLES["semdedup_hot"] = oracle_semdedup_hot()
+DATAOPS_ORACLES["embed_ivf_probe"] = oracle_embed_ivf_probe()

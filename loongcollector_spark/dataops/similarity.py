@@ -262,6 +262,21 @@ def kmeans_centroids(
     return cents
 
 
+def top_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids by cosine (ties → lower
+    id first, matching argmax_cell): build (cos, -id) structs, sort
+    descending, slice, recover ids. Plan-time unrolled; k is small."""
+    entries = [
+        F.struct(
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(-i).alias("nid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["nid"])
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -271,16 +286,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe: assign every vector and query to its codebook cell, exact
-    top-k within the query's cell. At scale the table is written partitioned
-    by cell id, so the probe scans one cell's partition."""
+    """IVF probe: assign every vector to its codebook cell, exact top-k
+    within the query's ``nprobe`` nearest cells (the standard IVF recall/cost
+    dial — recall@10 on the driver embeddings is measured per nprobe by
+    tools/ann_recall.py). At scale the table is written partitioned by cell
+    id, so the probe scans nprobe cells' partitions."""
     from pyspark.sql import Window
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = F.transform(F.col(qvec_col), lambda x: x.cast("double"))
     vb = vectors.withColumn("__cell__", argmax_cell(v, centroids))
-    qb = queries.withColumn("__qcell__", argmax_cell(q, centroids))
+    if nprobe > 1:
+        qb = queries.withColumn(
+            "__qcell__", F.explode(top_cells(q, centroids, nprobe))
+        )
+    else:
+        qb = queries.withColumn("__qcell__", argmax_cell(q, centroids))
     joined = vb.join(broadcast(qb), F.col("__cell__") == F.col("__qcell__")).filter(
         F.col(id_col) != F.col(qid_col)
     )
@@ -301,6 +324,8 @@ def semdedup(
     threshold: float = 0.97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 256,
+    n_anchors: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     with a k-means codebook, then drop semantic duplicates WITHIN each
@@ -310,34 +335,58 @@ def semdedup(
 
     Scale shape: the pairwise pass is cell-scoped — a self-equi-join on the
     cell id, never a global cross join. The paper sizes k with the corpus
-    (k ≈ √N), keeping per-cell populations bounded, so per-cell pair cost
-    stays O(cell²) with a bounded cell; the join shuffles each side once on
-    the cell key. Codebook training is `kmeans_centroids` (only k·dim means
-    ever reach the driver).
+    (k ≈ √N), keeping per-cell populations bounded — but k-means gives no
+    HARD bound: a boilerplate-heavy corpus can put a million near-identical
+    vectors in one cell, and an uncapped self-join there is O(cell²). So the
+    candidate generation goes through the same anchor-sample cap as MinHash
+    (text.capped_bucket_pairs) and embedding_near_dup_pairs: cells larger
+    than ``max_cell`` only pair against their ``n_anchors`` lowest-id
+    members, bounding per-cell candidates at O(n_anchors·cell). For a true
+    duplicate cluster every copy still pairs with an anchor, so the dup/keep
+    verdict is unchanged; cells ≤ ``max_cell`` are exact all-pairs.
+    Codebook training is `kmeans_centroids` (only k·dim means ever reach
+    the driver).
 
     Returns (id_col, cell, keep) for every input vector."""
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v__"),
     ).withColumn("__cell__", argmax_cell(F.col("__v__"), centroids))
-    left = v.select(
-        F.col("__cell__"),
-        F.col(id_col).alias("__ida__"),
-        F.col("__v__").alias("__va__"),
-    )
-    right = v.select(
-        F.col("__cell__"),
-        F.col(id_col).alias("__idb__"),
-        F.col("__v__").alias("__vb__"),
-    )
-    dups = (
-        left.join(right, "__cell__")
-        .where(F.col("__ida__") < F.col("__idb__"))
-        .where(cosine(F.col("__va__"), F.col("__vb__")) >= F.lit(threshold))
-        .select(F.col("__idb__").alias(id_col))
-        .distinct()
-        .withColumn("__dup__", F.lit(True))
-    )
+    if max_cell is not None:
+        from .text import capped_bucket_pairs
+
+        cands = capped_bucket_pairs(
+            v.select(id_col, "__cell__"), ["__cell__"], id_col, max_cell, n_anchors
+        )
+        va_df = v.select(F.col(id_col).alias("__ida__"), F.col("__v__").alias("__va__"))
+        vb_df = v.select(F.col(id_col).alias("__idb__"), F.col("__v__").alias("__vb__"))
+        dups = (
+            cands.join(va_df, F.col("id_a") == F.col("__ida__"))
+            .join(vb_df, F.col("id_b") == F.col("__idb__"))
+            .where(cosine(F.col("__va__"), F.col("__vb__")) >= F.lit(threshold))
+            .select(F.col("__idb__").alias(id_col))
+            .distinct()
+            .withColumn("__dup__", F.lit(True))
+        )
+    else:
+        left = v.select(
+            F.col("__cell__"),
+            F.col(id_col).alias("__ida__"),
+            F.col("__v__").alias("__va__"),
+        )
+        right = v.select(
+            F.col("__cell__"),
+            F.col(id_col).alias("__idb__"),
+            F.col("__v__").alias("__vb__"),
+        )
+        dups = (
+            left.join(right, "__cell__")
+            .where(F.col("__ida__") < F.col("__idb__"))
+            .where(cosine(F.col("__va__"), F.col("__vb__")) >= F.lit(threshold))
+            .select(F.col("__idb__").alias(id_col))
+            .distinct()
+            .withColumn("__dup__", F.lit(True))
+        )
     return v.join(dups, id_col, "left").select(
         F.col(id_col),
         F.col("__cell__").alias("cell"),

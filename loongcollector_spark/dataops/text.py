@@ -435,7 +435,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
-    algorithm: str = "label",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster)
     with cluster = min doc_id of the component (the canonical survivor).
@@ -444,14 +444,15 @@ def near_dup_clusters(
     label among itself and its neighbors; converges in O(component diameter)
     rounds (checked per round, early exit). Per round: one shuffle join on
     node id + one aggregate — the standard large-graph CC shape (dup
-    components are tiny in practice, so rounds ≈ 2-3). A component with
-    diameter > max_iter would return unconverged labels — that is surfaced
-    as a warning instead of silently wrong clusters.
+    components are tiny in practice, so rounds ≈ 2-3).
 
-    ``algorithm='star'`` switches to large-star/small-star contraction
-    (star_contraction_components): O(log n) rounds on pathological chain
-    graphs, at the cost of ~2× the per-round shuffles — pick it when
-    components may have large diameter."""
+    ``algorithm='auto'`` (default): min-label propagation, and if a
+    component's diameter exceeds ``max_iter`` (non-convergence detected by
+    the per-round changed-count), finish with large-star/small-star
+    contraction instead of returning unmerged labels — correctness never
+    depends on the diameter guess. ``'star'`` forces contraction up front
+    (O(log n) rounds on ANY graph, ~2× the per-round shuffles);
+    ``'label'`` is pure min-label and warns on non-convergence."""
     if algorithm == "star":
         edges = pairs.select(
             F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -494,6 +495,25 @@ def near_dup_clusters(
         if changed == 0:
             break
     if changed != 0:
+        if algorithm == "auto":
+            # long-diameter component: finish with star contraction over the
+            # original edges AUGMENTED with (id → current label) shortcuts —
+            # the originals guarantee connectivity, the shortcuts collapse
+            # the already-propagated subchains so the O(log n) phase starts
+            # from the label-prop progress instead of scratch
+            lab_edges = labels.select(
+                F.col("id").cast("long").alias("src"),
+                F.col("label").cast("long").alias("dst"),
+            ).unionByName(
+                edges.select(
+                    F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"),
+                )
+            )
+            star_labels, _ = star_contraction_components(lab_edges, max_rounds=50)
+            return star_labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+            )
         import warnings
 
         warnings.warn(

@@ -528,16 +528,25 @@ def compile_input(
                 "kafka.fetch.max.bytes", str(cfg["MaxMessageLen"])
             )
         raw = reader.load()
-        import pyspark.sql.functions as F  # noqa: F811
-
-        return raw.select(
-            "topic",
-            "partition",
-            "offset",
-            "timestamp",
-            F.col("value").cast("string").alias("content"),
-        )
+        return kafka_records_to_events(raw)
     raise KeyError(f"unknown input type: {t}")
+
+
+def kafka_records_to_events(raw):
+    """The service_kafka record→event projection (input_kafka.go:58-76: each
+    record's value becomes the log ``content``; topic/partition/offset/
+    timestamp ride along as the reference's tag fields). Shared by the
+    production readStream path and batch replay over a kafka-record-shaped
+    table (e.g. a Connect/archive dump) — the mapping is identical."""
+    import pyspark.sql.functions as F
+
+    return raw.select(
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        F.col("value").cast("string").alias("content"),
+    )
 
 
 def compile_metric_input(cfg: Mapping[str, Any]):

@@ -5726,3 +5726,8 @@ ORDER BY event_id LIMIT 500"""
 
 QUERIES["rdb_incremental"] = q_rdb_incremental
 ORACLES["rdb_incremental"] = oracle_rdb_incremental()
+
+from .queries_r5 import R5_ORACLES, R5_QUERIES  # noqa: E402
+
+QUERIES.update(R5_QUERIES)
+ORACLES.update(R5_ORACLES)

@@ -57,6 +57,13 @@ def main() -> None:
                 f"lsh planes={n_planes} buckets={2 ** n_planes} "
                 f"probe_hamming={probe}: recall@{k} = {r:.3f}"
             )
+
+    # IVF nprobe dial: k-means codebook (the production coarse quantizer),
+    # probe the nprobe nearest cells per query
+    cents = similarity.kmeans_centroids(embs, k=8, iters=2, round_to=6)
+    for nprobe in (1, 2, 4):
+        r = recall(similarity.ivf_topk(embs, queries, cents, k=k, nprobe=nprobe))
+        print(f"ivf cells=8 nprobe={nprobe}: recall@{k} = {r:.3f}")
     spark.stop()
 
 
