@@ -128,3 +128,28 @@ class RateLimit(Operator):
             .filter(F.col("__rn__") <= self.limit)
             .drop("__rn__")
         )
+
+
+@dataclass
+class GroupInfoFilter(Operator):
+    """extension/group_info_filter (plugins/extension/group_info_filter/
+    group_info_filter.go:29-100 ExtensionGroupInfoFilter.Intercept): keep a
+    group iff EVERY configured condition holds — for each (key, pattern,
+    reverse), the group's tag/meta value (missing → "") must satisfy
+    ``regex-match == !reverse`` (Go MatchString is an unanchored search ≙
+    rlike). Spark shape: group metadata ride as ``tags``/``metas`` map
+    columns, so the interceptor is one pushdown-able Filter — no shuffle."""
+
+    tags: Mapping[str, tuple[str, bool]] = field(default_factory=dict)
+    metas: Mapping[str, tuple[str, bool]] = field(default_factory=dict)
+    tags_col: str = "tags"
+    metas_col: str = "metas"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for col, spec in ((self.metas_col, self.metas), (self.tags_col, self.tags)):
+            for k, (pattern, reverse) in spec.items():
+                v = F.coalesce(F.element_at(F.col(col), F.lit(k)), F.lit(""))
+                matched = v.rlike(pattern)
+                cond = cond & (matched != F.lit(reverse))
+        return df.filter(cond)

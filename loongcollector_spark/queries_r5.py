@@ -538,3 +538,171 @@ R5_ORACLES = {
     "kafka_input_wiring": oracle_kafka_input_wiring(),
     "metric_input_factory": oracle_metric_input_factory(),
 }
+
+
+# --- ext_groupinfo_filter -------------------------------------------------------
+
+
+def q_group_info_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extension/group_info_filter (plugins/extension/group_info_filter/
+    group_info_filter.go:29-100): keep groups where every tag/meta condition
+    holds (regex-search == !reverse; missing key matches against "")."""
+    from .operators.filters import GroupInfoFilter
+
+    ev = _ev(spark, sf_dir)
+    groups = ev.select(
+        "doc_id",
+        F.create_map(
+            F.lit("app"), F.concat(F.lit("app-"), F.col("event_type")),
+            F.lit("env"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("prod")).otherwise(F.lit("dev")),
+        ).alias("tags"),
+        F.create_map(
+            F.lit("source"), F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string"))
+        ).alias("metas"),
+    )
+    out = GroupInfoFilter(
+        tags={"app": ("app-(click|view)", False), "env": ("^prod$", False)},
+        metas={"source": ("s[01]", True)},
+    ).apply(groups)
+    return out.select(
+        "doc_id",
+        F.element_at("tags", F.lit("app")).alias("app"),
+        F.element_at("tags", F.lit("env")).alias("env"),
+        F.element_at("metas", F.lit("source")).alias("source"),
+    )
+
+
+def oracle_group_info_filter() -> str:
+    return f"""SELECT {_DOC} AS doc_id, 'app-' || event_type AS app, 'prod' AS env,
+  's' || (user_id % 3) AS source
+FROM events
+WHERE event_type IN ('click', 'view') AND event_id % 2 = 0 AND user_id % 3 = 2"""
+
+
+# --- service_docker_event -------------------------------------------------------
+
+
+def q_docker_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_docker_event (plugins/input/docker/event/
+    input_docker_event.go:60-81 fire): docker event → log with _time_nano_/
+    _action_/_type_/_id_ plus actor attributes; event time = TimeNano."""
+    from .operators.journal import DockerEventLogs
+
+    ev = _ev(spark, sf_dir)
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("name"), F.concat(F.lit("c"), F.col("user_id").cast("string")),
+            F.lit("image"), F.concat(F.lit("img:"), (F.col("event_id") % 5).cast("string")),
+            F.lit("exitCode"),
+            F.when(F.col("event_type") == "error", F.lit("137")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    frame = ev.select(
+        "doc_id",
+        (F.lit(1_700_000_000_000_000_000) + F.col("event_id") * 1_000_000).alias(
+            "time_nano"
+        ),
+        F.col("event_type").alias("action"),
+        F.lit("container").alias("type"),
+        F.concat(F.lit("id-"), F.col("event_id").cast("string")).alias("actor_id"),
+        attrs.alias("attributes"),
+    )
+    out = DockerEventLogs().apply(frame)
+    return out.select(
+        "doc_id",
+        fget("_time_nano_").alias("time_nano"),
+        fget("_action_").alias("action"),
+        fget("_type_").alias("type"),
+        fget("_id_").alias("id"),
+        fget("name").alias("name"),
+        fget("image").alias("image"),
+        fget("exitCode").alias("exit_code"),
+        F.col("event_time_ns"),
+    )
+
+
+def oracle_docker_events() -> str:
+    return f"""SELECT {_DOC} AS doc_id,
+  CAST(1700000000000000000 + event_id * 1000000 AS VARCHAR) AS time_nano,
+  event_type AS action, 'container' AS type, 'id-' || event_id AS id,
+  'c' || user_id AS name, 'img:' || (event_id % 5) AS image,
+  CASE WHEN event_type = 'error' THEN '137' END AS exit_code,
+  1700000000000000000 + event_id * 1000000 AS event_time_ns
+FROM events"""
+
+
+# --- service_journal field slice --------------------------------------------------
+
+
+def q_journal_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_journal entry conversion (plugins/input/journal/
+    input_journal.go:339-373): fields map + PRIORITY/SYSLOG_FACILITY textual
+    mapping (unknown value → ""), _realtime_timestamp_/_monotonic_timestamp_
+    columns, event time from RealtimeTimestamp·1000."""
+    from .operators.journal import JournalEntryLogs
+
+    ev = _ev(spark, sf_dir)
+    fields = F.create_map(
+        F.lit("MESSAGE"), F.concat(F.lit("m-"), F.col("event_id").cast("string")),
+        F.lit("PRIORITY"), (F.col("event_id") % 9).cast("string"),
+        F.lit("SYSLOG_FACILITY"), (F.col("user_id") % 25).cast("string"),
+        F.lit("_TRANSPORT"), F.lit("journal"),
+    )
+    frame = ev.select(
+        "doc_id",
+        fields.alias("fields"),
+        (F.lit(1_700_000_000_000_000) + F.col("event_id")).alias("realtime_ts"),
+        (F.col("event_id") * 7).alias("monotonic_ts"),
+    )
+    out = JournalEntryLogs(
+        parse_priority=True, parse_syslog_facility=True, use_journal_event_time=True
+    ).apply(frame)
+    return out.select(
+        "doc_id",
+        fget("MESSAGE").alias("message"),
+        fget("PRIORITY").alias("priority"),
+        fget("SYSLOG_FACILITY").alias("facility"),
+        fget("_TRANSPORT").alias("transport"),
+        fget("_realtime_timestamp_").alias("realtime"),
+        fget("_monotonic_timestamp_").alias("monotonic"),
+        F.col("event_time_ns"),
+    )
+
+
+def oracle_journal_fields() -> str:
+    pri = "', '".join(
+        ["emergency", "alert", "critical", "error", "warning", "notice",
+         "informational", "debug"]
+    )
+    fac = "', '".join(
+        ["kernel", "user", "mail", "daemon", "auth", "syslog", "line printer",
+         "network news", "uucp", "clock daemon", "security/auth", "ftp", "ntp",
+         "log audit", "log alert", "clock daemon", "local0", "local1", "local2",
+         "local3", "local4", "local5", "local6", "local7"]
+    )
+    return f"""SELECT {_DOC} AS doc_id, 'm-' || event_id AS message,
+  coalesce((['{pri}'])[CAST(event_id % 9 AS INT) + 1], '') AS priority,
+  coalesce((['{fac}'])[CAST(user_id % 25 AS INT) + 1], '') AS facility,
+  'journal' AS transport,
+  CAST(1700000000000000 + event_id AS VARCHAR) AS realtime,
+  CAST(event_id * 7 AS VARCHAR) AS monotonic,
+  (1700000000000000 + event_id) * 1000 AS event_time_ns
+FROM events"""
+
+
+R5_QUERIES.update(
+    {
+        "group_info_filter": q_group_info_filter,
+        "docker_events": q_docker_events,
+        "journal_fields": q_journal_fields,
+    }
+)
+R5_ORACLES.update(
+    {
+        "group_info_filter": oracle_group_info_filter(),
+        "docker_events": oracle_docker_events(),
+        "journal_fields": oracle_journal_fields(),
+    }
+)
