@@ -298,3 +298,379 @@ def otlp_logs_descriptor_set() -> bytes:
          resource_logs, logs_data],
         syntax="proto3",
     )
+
+
+T_INT32, T_SFIXED64, T_SINT32 = 5, 16, 17
+
+
+def _otlp_common(pkg: str = ".otlp") -> list[bytes]:
+    """The common.proto + resource.proto subset every OTLP signal shares:
+    full AnyValue oneof (string/bool/int/double/array/kvlist/bytes —
+    common.proto:28-41), KeyValue, ArrayValue, KeyValueList, Resource,
+    InstrumentationScope. AnyValue is mutually recursive through
+    ArrayValue/KeyValueList; consumers pass
+    ``recursive.fields.max.depth`` to from_protobuf."""
+    any_value = message_desc(
+        "AnyValue",
+        [
+            field_desc("string_value", 1, T_STRING),
+            field_desc("bool_value", 2, T_BOOL),
+            field_desc("int_value", 3, T_INT64),
+            field_desc("double_value", 4, T_DOUBLE),
+            field_desc("array_value", 5, T_MESSAGE, L_OPTIONAL, f"{pkg}.ArrayValue"),
+            field_desc("kvlist_value", 6, T_MESSAGE, L_OPTIONAL, f"{pkg}.KeyValueList"),
+            field_desc("bytes_value", 7, T_BYTES),
+        ],
+    )
+    array_value = message_desc(
+        "ArrayValue",
+        [field_desc("values", 1, T_MESSAGE, L_REPEATED, f"{pkg}.AnyValue")],
+    )
+    kv_list = message_desc(
+        "KeyValueList",
+        [field_desc("values", 1, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue")],
+    )
+    key_value = message_desc(
+        "KeyValue",
+        [
+            field_desc("key", 1, T_STRING),
+            field_desc("value", 2, T_MESSAGE, L_OPTIONAL, f"{pkg}.AnyValue"),
+        ],
+    )
+    resource = message_desc(
+        "Resource",
+        [field_desc("attributes", 1, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue")],
+    )
+    scope = message_desc(
+        "InstrumentationScope",
+        [field_desc("name", 1, T_STRING), field_desc("version", 2, T_STRING)],
+    )
+    return [any_value, array_value, kv_list, key_value, resource, scope]
+
+
+@lru_cache(maxsize=None)
+def otlp_traces_descriptor_set() -> bytes:
+    """FileDescriptorSet for the OTLP traces wire schema (public
+    opentelemetry/proto trace.proto subset decode_traces reads:
+    otlp_pb.py:167-245 — span core fields, events, links, status)."""
+    pkg = ".otlp"
+    event = message_desc(
+        "Event",
+        [
+            field_desc("time_unix_nano", 1, T_FIXED64),
+            field_desc("name", 2, T_STRING),
+            field_desc("attributes", 3, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+    )
+    link = message_desc(
+        "Link",
+        [
+            field_desc("trace_id", 1, T_BYTES),
+            field_desc("span_id", 2, T_BYTES),
+            field_desc("attributes", 4, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+    )
+    status = message_desc(
+        "Status",
+        [field_desc("message", 2, T_STRING), field_desc("code", 3, T_INT32)],
+    )
+    span = message_desc(
+        "Span",
+        [
+            field_desc("trace_id", 1, T_BYTES),
+            field_desc("span_id", 2, T_BYTES),
+            field_desc("trace_state", 3, T_STRING),
+            field_desc("parent_span_id", 4, T_BYTES),
+            field_desc("name", 5, T_STRING),
+            field_desc("kind", 6, T_INT32),
+            field_desc("start_time_unix_nano", 7, T_FIXED64),
+            field_desc("end_time_unix_nano", 8, T_FIXED64),
+            field_desc("attributes", 9, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+            field_desc("events", 11, T_MESSAGE, L_REPEATED, f"{pkg}.Span.Event"),
+            field_desc("links", 13, T_MESSAGE, L_REPEATED, f"{pkg}.Span.Link"),
+            field_desc("status", 15, T_MESSAGE, L_OPTIONAL, f"{pkg}.Status"),
+        ],
+        nested=[event, link],
+    )
+    scope_spans = message_desc(
+        "ScopeSpans",
+        [
+            field_desc("scope", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.InstrumentationScope"),
+            field_desc("spans", 2, T_MESSAGE, L_REPEATED, f"{pkg}.Span"),
+        ],
+    )
+    resource_spans = message_desc(
+        "ResourceSpans",
+        [
+            field_desc("resource", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.Resource"),
+            field_desc("scope_spans", 2, T_MESSAGE, L_REPEATED, f"{pkg}.ScopeSpans"),
+        ],
+    )
+    traces_data = message_desc(
+        "TracesData",
+        [field_desc("resource_spans", 1, T_MESSAGE, L_REPEATED, f"{pkg}.ResourceSpans")],
+    )
+    return file_descriptor_set(
+        "trace.proto",
+        "otlp",
+        _otlp_common() + [status, span, scope_spans, resource_spans, traces_data],
+        syntax="proto3",
+    )
+
+
+@lru_cache(maxsize=None)
+def otlp_metrics_descriptor_set() -> bytes:
+    """FileDescriptorSet for the OTLP metrics wire schema (public
+    opentelemetry/proto metrics.proto subset decode_metrics reads:
+    otlp_pb.py:247-460 — gauge/sum/histogram/exp-histogram/summary with
+    exemplars)."""
+    pkg = ".otlp"
+    exemplar = message_desc(
+        "Exemplar",
+        [
+            field_desc("time_unix_nano", 2, T_FIXED64),
+            field_desc("as_double", 3, T_DOUBLE),
+            field_desc("span_id", 4, T_BYTES),
+            field_desc("trace_id", 5, T_BYTES),
+            field_desc("as_int", 6, T_SFIXED64),
+            field_desc("filtered_attributes", 7, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+    )
+    number_dp = message_desc(
+        "NumberDataPoint",
+        [
+            field_desc("start_time_unix_nano", 2, T_FIXED64),
+            field_desc("time_unix_nano", 3, T_FIXED64),
+            field_desc("as_double", 4, T_DOUBLE),
+            field_desc("exemplars", 5, T_MESSAGE, L_REPEATED, f"{pkg}.Exemplar"),
+            field_desc("as_int", 6, T_SFIXED64),
+            field_desc("attributes", 7, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+    )
+    hist_dp = message_desc(
+        "HistogramDataPoint",
+        [
+            field_desc("start_time_unix_nano", 2, T_FIXED64),
+            field_desc("time_unix_nano", 3, T_FIXED64),
+            field_desc("count", 4, T_FIXED64),
+            field_desc("sum", 5, T_DOUBLE),
+            field_desc("bucket_counts", 6, T_FIXED64, L_REPEATED),
+            field_desc("explicit_bounds", 7, T_DOUBLE, L_REPEATED),
+            field_desc("exemplars", 8, T_MESSAGE, L_REPEATED, f"{pkg}.Exemplar"),
+            field_desc("attributes", 9, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+            field_desc("min", 11, T_DOUBLE),
+            field_desc("max", 12, T_DOUBLE),
+        ],
+    )
+    exp_buckets = message_desc(
+        "Buckets",
+        [
+            field_desc("offset", 1, T_SINT32),
+            field_desc("bucket_counts", 2, T_UINT64, L_REPEATED),
+        ],
+    )
+    exp_dp = message_desc(
+        "ExponentialHistogramDataPoint",
+        [
+            field_desc("attributes", 1, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+            field_desc("start_time_unix_nano", 2, T_FIXED64),
+            field_desc("time_unix_nano", 3, T_FIXED64),
+            field_desc("count", 4, T_FIXED64),
+            field_desc("sum", 5, T_DOUBLE),
+            field_desc("scale", 6, T_SINT32),
+            field_desc("zero_count", 7, T_FIXED64),
+            field_desc(
+                "positive", 8, T_MESSAGE, L_OPTIONAL,
+                f"{pkg}.ExponentialHistogramDataPoint.Buckets",
+            ),
+            field_desc(
+                "negative", 9, T_MESSAGE, L_OPTIONAL,
+                f"{pkg}.ExponentialHistogramDataPoint.Buckets",
+            ),
+            field_desc("exemplars", 11, T_MESSAGE, L_REPEATED, f"{pkg}.Exemplar"),
+            field_desc("min", 12, T_DOUBLE),
+            field_desc("max", 13, T_DOUBLE),
+        ],
+        nested=[exp_buckets],
+    )
+    quantile = message_desc(
+        "ValueAtQuantile",
+        [field_desc("quantile", 1, T_DOUBLE), field_desc("value", 2, T_DOUBLE)],
+    )
+    summary_dp = message_desc(
+        "SummaryDataPoint",
+        [
+            field_desc("start_time_unix_nano", 2, T_FIXED64),
+            field_desc("time_unix_nano", 3, T_FIXED64),
+            field_desc("count", 4, T_FIXED64),
+            field_desc("sum", 5, T_DOUBLE),
+            field_desc(
+                "quantile_values", 6, T_MESSAGE, L_REPEATED,
+                f"{pkg}.SummaryDataPoint.ValueAtQuantile",
+            ),
+            field_desc("attributes", 7, T_MESSAGE, L_REPEATED, f"{pkg}.KeyValue"),
+        ],
+        nested=[quantile],
+    )
+    gauge = message_desc(
+        "Gauge",
+        [field_desc("data_points", 1, T_MESSAGE, L_REPEATED, f"{pkg}.NumberDataPoint")],
+    )
+    msum = message_desc(
+        "Sum",
+        [
+            field_desc("data_points", 1, T_MESSAGE, L_REPEATED, f"{pkg}.NumberDataPoint"),
+            field_desc("aggregation_temporality", 2, T_INT32),
+            field_desc("is_monotonic", 3, T_BOOL),
+        ],
+    )
+    histogram = message_desc(
+        "Histogram",
+        [
+            field_desc("data_points", 1, T_MESSAGE, L_REPEATED, f"{pkg}.HistogramDataPoint"),
+            field_desc("aggregation_temporality", 2, T_INT32),
+        ],
+    )
+    exp_histogram = message_desc(
+        "ExponentialHistogram",
+        [
+            field_desc(
+                "data_points", 1, T_MESSAGE, L_REPEATED,
+                f"{pkg}.ExponentialHistogramDataPoint",
+            ),
+            field_desc("aggregation_temporality", 2, T_INT32),
+        ],
+    )
+    summary = message_desc(
+        "Summary",
+        [field_desc("data_points", 1, T_MESSAGE, L_REPEATED, f"{pkg}.SummaryDataPoint")],
+    )
+    metric = message_desc(
+        "Metric",
+        [
+            field_desc("name", 1, T_STRING),
+            field_desc("description", 2, T_STRING),
+            field_desc("unit", 3, T_STRING),
+            field_desc("gauge", 5, T_MESSAGE, L_OPTIONAL, f"{pkg}.Gauge"),
+            field_desc("sum", 7, T_MESSAGE, L_OPTIONAL, f"{pkg}.Sum"),
+            field_desc("histogram", 9, T_MESSAGE, L_OPTIONAL, f"{pkg}.Histogram"),
+            field_desc(
+                "exponential_histogram", 10, T_MESSAGE, L_OPTIONAL,
+                f"{pkg}.ExponentialHistogram",
+            ),
+            field_desc("summary", 11, T_MESSAGE, L_OPTIONAL, f"{pkg}.Summary"),
+        ],
+    )
+    scope_metrics = message_desc(
+        "ScopeMetrics",
+        [
+            field_desc("scope", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.InstrumentationScope"),
+            field_desc("metrics", 2, T_MESSAGE, L_REPEATED, f"{pkg}.Metric"),
+        ],
+    )
+    resource_metrics = message_desc(
+        "ResourceMetrics",
+        [
+            field_desc("resource", 1, T_MESSAGE, L_OPTIONAL, f"{pkg}.Resource"),
+            field_desc("scope_metrics", 2, T_MESSAGE, L_REPEATED, f"{pkg}.ScopeMetrics"),
+        ],
+    )
+    metrics_data = message_desc(
+        "MetricsData",
+        [field_desc("resource_metrics", 1, T_MESSAGE, L_REPEATED, f"{pkg}.ResourceMetrics")],
+    )
+    return file_descriptor_set(
+        "metrics.proto",
+        "otlp",
+        _otlp_common()
+        + [exemplar, number_dp, hist_dp, exp_dp, quantile, summary_dp, gauge,
+           msum, histogram, exp_histogram, summary, metric, scope_metrics,
+           resource_metrics, metrics_data],
+        syntax="proto3",
+    )
+
+
+@lru_cache(maxsize=None)
+def pprof_descriptor_set() -> bytes:
+    """FileDescriptorSet for pprof profile.proto (public
+    github.com/google/pprof/proto/profile.proto subset
+    pprof_profile.py decodes — sample/location/function/string_table/
+    period/time)."""
+    pkg = ".perftools.profiles"
+    value_type = message_desc(
+        "ValueType",
+        [field_desc("type", 1, T_INT64), field_desc("unit", 2, T_INT64)],
+    )
+    label = message_desc(
+        "Label",
+        [
+            field_desc("key", 1, T_INT64),
+            field_desc("str", 2, T_INT64),
+            field_desc("num", 3, T_INT64),
+            field_desc("num_unit", 4, T_INT64),
+        ],
+    )
+    sample = message_desc(
+        "Sample",
+        [
+            field_desc("location_id", 1, T_UINT64, L_REPEATED),
+            field_desc("value", 2, T_INT64, L_REPEATED),
+            field_desc("label", 3, T_MESSAGE, L_REPEATED, f"{pkg}.Label"),
+        ],
+    )
+    mapping = message_desc(
+        "Mapping",
+        [
+            field_desc("id", 1, T_UINT64),
+            field_desc("memory_start", 2, T_UINT64),
+            field_desc("memory_limit", 3, T_UINT64),
+            field_desc("file_offset", 4, T_UINT64),
+            field_desc("filename", 5, T_INT64),
+            field_desc("build_id", 6, T_INT64),
+        ],
+    )
+    line = message_desc(
+        "Line",
+        [field_desc("function_id", 1, T_UINT64), field_desc("line", 2, T_INT64)],
+    )
+    location = message_desc(
+        "Location",
+        [
+            field_desc("id", 1, T_UINT64),
+            field_desc("mapping_id", 2, T_UINT64),
+            field_desc("address", 3, T_UINT64),
+            field_desc("line", 4, T_MESSAGE, L_REPEATED, f"{pkg}.Line"),
+        ],
+    )
+    function = message_desc(
+        "Function",
+        [
+            field_desc("id", 1, T_UINT64),
+            field_desc("name", 2, T_INT64),
+            field_desc("system_name", 3, T_INT64),
+            field_desc("filename", 4, T_INT64),
+            field_desc("start_line", 5, T_INT64),
+        ],
+    )
+    profile = message_desc(
+        "Profile",
+        [
+            field_desc("sample_type", 1, T_MESSAGE, L_REPEATED, f"{pkg}.ValueType"),
+            field_desc("sample", 2, T_MESSAGE, L_REPEATED, f"{pkg}.Sample"),
+            field_desc("mapping", 3, T_MESSAGE, L_REPEATED, f"{pkg}.Mapping"),
+            field_desc("location", 4, T_MESSAGE, L_REPEATED, f"{pkg}.Location"),
+            field_desc("function", 5, T_MESSAGE, L_REPEATED, f"{pkg}.Function"),
+            field_desc("string_table", 6, T_STRING, L_REPEATED),
+            field_desc("time_nanos", 9, T_INT64),
+            field_desc("duration_nanos", 10, T_INT64),
+            field_desc("period_type", 11, T_MESSAGE, L_OPTIONAL, f"{pkg}.ValueType"),
+            field_desc("period", 12, T_INT64),
+            field_desc("default_sample_type", 14, T_INT64),
+        ],
+    )
+    return file_descriptor_set(
+        "profile.proto",
+        "perftools.profiles",
+        [value_type, label, sample, mapping, line, location, function, profile],
+        syntax="proto3",
+    )

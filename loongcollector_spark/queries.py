@@ -1917,10 +1917,12 @@ def _otel_pb_payload_udf(signal: str):
 
 def q_otel_pb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_otel_trace Format=protobuf (processor_otel_trace.go:31):
-    OTLP TracesData WIRE bytes → OtelPbToJson → the same OtelTraceParser and
+    OTLP TracesData WIRE bytes → the tier-auto wire decode (JVM
+    from_protobuf when spark-protobuf is on the classpath, the Python codec
+    otherwise — operators/jvm_otlp.py) → the same OtelTraceParser and
     oracle as the Format=json query."""
+    from .operators.jvm_otlp import otel_pb_to_json_auto
     from .operators.otel import OtelTraceParser
-    from .operators.otlp_pb import OtelPbToJson
 
     ev = _events_raw(spark, sf_dir)
     build = _otel_pb_payload_udf("trace")
@@ -1930,7 +1932,7 @@ def q_otel_pb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             build("doc_id", "event_id", "event_type", "user_id").alias("content"),
         )
     )
-    out = OtelTraceParser().apply(OtelPbToJson("trace").apply(df))
+    out = OtelTraceParser().apply(otel_pb_to_json_auto(df, "trace"))
     return out.select(
         "doc_id",
         *[fget(k).alias(k.replace(".", "_")) for k in [
@@ -1942,9 +1944,10 @@ def q_otel_pb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_otel_pb_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_otel_metric Format=protobuf: MetricsData wire bytes through
-    the shared converter, then the Format=json parser + oracle."""
+    the tier-auto wire decode (jvm_otlp.py), then the Format=json parser +
+    oracle."""
+    from .operators.jvm_otlp import otel_pb_to_json_auto
     from .operators.otel import OtelMetricParser
-    from .operators.otlp_pb import OtelPbToJson
 
     ev = _events_raw(spark, sf_dir)
     build = _otel_pb_payload_udf("metric")
@@ -1954,7 +1957,7 @@ def q_otel_pb_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             build("doc_id", "event_id", "event_type", "user_id").alias("content"),
         )
     )
-    out = OtelMetricParser().apply(OtelPbToJson("metric").apply(df))
+    out = OtelMetricParser().apply(otel_pb_to_json_auto(df, "metric"))
     return out.select(
         "doc_id",
         fget("__name__").alias("name"),
@@ -2470,7 +2473,7 @@ FROM events"""
 
 def q_otel_pb_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fixture over the LogsData WIRE bytes (logs.proto) through
-    OtelPbToJson('log') — the Format=protobuf path; shares oracle_otel_log."""
+    the tier-auto wire decode (jvm_otlp.py) — the Format=protobuf path; shares oracle_otel_log."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -2499,9 +2502,9 @@ def q_otel_pb_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = to_events(
         ev.select("doc_id", build("doc_id", "event_id", "event_type", "user_id").alias("content"))
     )
-    from .operators.otlp_pb import OtelPbToJson
+    from .operators.jvm_otlp import otel_pb_to_json_auto
 
-    return _otel_log_cols(OtelLogParser().apply(OtelPbToJson("log").apply(df)))
+    return _otel_log_cols(OtelLogParser().apply(otel_pb_to_json_auto(df, "log")))
 
 
 QUERIES["otel_log"] = q_otel_log
@@ -3095,7 +3098,7 @@ def q_flusher_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributes minus content/level, tag overlay, and ts·1e9."""
     from .operators.convert import otlp_logs_sink_frames
     from .operators.otel import OtelLogParser
-    from .operators.otlp_pb import OtelPbToJson
+    from .operators.jvm_otlp import otel_pb_to_json_auto
 
     ev = _events_raw(spark, sf_dir)
     eid = F.col("event_id")
@@ -3136,7 +3139,7 @@ def q_flusher_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec_in = to_events(
         enc.select("sink", F.lower(F.hex("payload")).alias("content"))
     )
-    out = OtelLogParser().apply(OtelPbToJson("log").apply(dec_in))
+    out = OtelLogParser().apply(otel_pb_to_json_auto(dec_in, "log"))
     return out.select(
         "sink",
         fget("time_unix_nano").alias("time_unix_nano"),
@@ -3620,7 +3623,7 @@ def q_flusher_otlp_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     through otlp_pb.decode_metrics + OtelMetricParser."""
     from .operators.convert import otlp_metrics_sink_frames
     from .operators.otel import OtelMetricParser
-    from .operators.otlp_pb import OtelPbToJson
+    from .operators.jvm_otlp import otel_pb_to_json_auto
 
     ev = _events_raw(spark, sf_dir)
     eid = F.col("event_id")
@@ -3645,7 +3648,7 @@ def q_flusher_otlp_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id",
     )
     dec_in = to_events(enc.select("sink", F.lower(F.hex("payload")).alias("content")))
-    out = OtelMetricParser().apply(OtelPbToJson("metric").apply(dec_in))
+    out = OtelMetricParser().apply(otel_pb_to_json_auto(dec_in, "metric"))
     return out.select(
         "sink",
         fget("__name__").alias("name"),
@@ -3753,7 +3756,7 @@ def q_flusher_otlp_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     OtelTraceParser."""
     from .operators.convert import otlp_traces_sink_frames
     from .operators.otel import OtelTraceParser
-    from .operators.otlp_pb import OtelPbToJson
+    from .operators.jvm_otlp import otel_pb_to_json_auto
 
     ev = _events_raw(spark, sf_dir)
     eid = F.col("event_id")
@@ -3793,7 +3796,7 @@ def q_flusher_otlp_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id",
     )
     dec_in = to_events(enc.select("sink", F.lower(F.hex("payload")).alias("content")))
-    out = OtelTraceParser().apply(OtelPbToJson("trace").apply(dec_in))
+    out = OtelTraceParser().apply(otel_pb_to_json_auto(dec_in, "trace"))
     keys = ["host", "service", "traceID", "spanID", "parentSpanID", "kind",
             "name", "start", "end", "duration", "attribute", "statusCode",
             "statusMessage", "resource"]

@@ -196,3 +196,88 @@ def test_jvm_otlp_and_prompb_paths_when_module_present(spark):
     ).collect()
     lr = out[0]["d"]["resource_logs"][0]["scope_logs"][0]["log_records"][0]
     assert lr["severity_text"] == "I"
+
+
+def test_otlp_traces_descriptor_set_shape():
+    from loongcollector_spark.operators.jvm_decode import otlp_traces_descriptor_set
+
+    name, package, syntax, msgs = _file_shape(otlp_traces_descriptor_set())
+    assert (name, package, syntax) == ("trace.proto", "otlp", "proto3")
+    sp = msgs["Span"]["fields"]
+    # field numbers must match the wire the Python codec reads
+    # (otlp_pb.py _span: 1/2/3/4/5/6/7/8/9/11/13/15)
+    assert [sp[k]["number"] for k in
+            ("trace_id", "span_id", "trace_state", "parent_span_id", "name",
+             "kind", "start_time_unix_nano", "end_time_unix_nano", "attributes",
+             "events", "links", "status")] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 13, 15]
+    assert sp["trace_id"]["type"] == 12  # bytes
+    assert sp["start_time_unix_nano"]["type"] == 6  # fixed64
+    assert msgs["Span"]["nested"][0]["name"] == "Event"
+    assert msgs["Span"]["nested"][1]["name"] == "Link"
+    assert msgs["Status"]["fields"]["message"]["number"] == 2
+    assert msgs["Status"]["fields"]["code"]["number"] == 3
+    # full AnyValue oneof incl. the recursive kinds
+    av = msgs["AnyValue"]["fields"]
+    assert [av[k]["number"] for k in
+            ("string_value", "bool_value", "int_value", "double_value",
+             "array_value", "kvlist_value", "bytes_value")] == [1, 2, 3, 4, 5, 6, 7]
+    assert av["array_value"]["type_name"] == ".otlp.ArrayValue"
+    assert msgs["ArrayValue"]["fields"]["values"]["type_name"] == ".otlp.AnyValue"
+
+
+def test_otlp_metrics_descriptor_set_shape():
+    from loongcollector_spark.operators.jvm_decode import otlp_metrics_descriptor_set
+
+    name, package, syntax, msgs = _file_shape(otlp_metrics_descriptor_set())
+    assert (name, package, syntax) == ("metrics.proto", "otlp", "proto3")
+    m = msgs["Metric"]["fields"]
+    # otlp_pb.py _metric reads 1/5/7/9/10/11
+    assert [m[k]["number"] for k in
+            ("name", "gauge", "sum", "histogram", "exponential_histogram",
+             "summary")] == [1, 5, 7, 9, 10, 11]
+    ndp = msgs["NumberDataPoint"]["fields"]
+    assert (ndp["time_unix_nano"]["number"], ndp["as_double"]["number"],
+            ndp["exemplars"]["number"], ndp["as_int"]["number"],
+            ndp["attributes"]["number"]) == (3, 4, 5, 6, 7)
+    assert ndp["as_int"]["type"] == 16  # sfixed64
+    hdp = msgs["HistogramDataPoint"]["fields"]
+    assert (hdp["count"]["number"], hdp["bucket_counts"]["number"],
+            hdp["explicit_bounds"]["number"], hdp["attributes"]["number"],
+            hdp["min"]["number"], hdp["max"]["number"]) == (4, 6, 7, 9, 11, 12)
+    assert hdp["bucket_counts"]["label"] == 3 and hdp["bucket_counts"]["type"] == 6
+    edp = msgs["ExponentialHistogramDataPoint"]["fields"]
+    assert (edp["attributes"]["number"], edp["scale"]["number"],
+            edp["zero_count"]["number"], edp["positive"]["number"],
+            edp["negative"]["number"]) == (1, 6, 7, 8, 9)
+    assert edp["scale"]["type"] == 17  # sint32 (zigzag)
+    assert msgs["ExponentialHistogramDataPoint"]["nested"][0]["name"] == "Buckets"
+    ex = msgs["Exemplar"]["fields"]
+    assert (ex["time_unix_nano"]["number"], ex["as_double"]["number"],
+            ex["span_id"]["number"], ex["trace_id"]["number"],
+            ex["as_int"]["number"]) == (2, 3, 4, 5, 6)
+    sdp = msgs["SummaryDataPoint"]["fields"]
+    assert sdp["quantile_values"]["number"] == 6
+
+
+def test_pprof_descriptor_set_shape():
+    from loongcollector_spark.operators.jvm_decode import pprof_descriptor_set
+
+    name, package, syntax, msgs = _file_shape(pprof_descriptor_set())
+    assert (name, package, syntax) == ("profile.proto", "perftools.profiles", "proto3")
+    p = msgs["Profile"]["fields"]
+    # public profile.proto numbers (the wire pprof_profile.py decodes)
+    assert [p[k]["number"] for k in
+            ("sample_type", "sample", "mapping", "location", "function",
+             "string_table", "time_nanos", "duration_nanos", "period_type",
+             "period", "default_sample_type")] == [1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 14]
+    assert p["string_table"]["label"] == 3 and p["string_table"]["type"] == 9
+    s = msgs["Sample"]["fields"]
+    assert (s["location_id"]["number"], s["value"]["number"],
+            s["label"]["number"]) == (1, 2, 3)
+    assert s["location_id"]["label"] == 3 and s["location_id"]["type"] == 4  # rep uint64
+    loc = msgs["Location"]["fields"]
+    assert (loc["id"]["number"], loc["line"]["number"]) == (1, 4)
+    assert msgs["Line"]["fields"]["function_id"]["number"] == 1
+    fn = msgs["Function"]["fields"]
+    assert (fn["id"]["number"], fn["name"]["number"], fn["system_name"]["number"],
+            fn["filename"]["number"]) == (1, 2, 3, 4)
