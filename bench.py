@@ -277,21 +277,50 @@ def run_bench() -> dict:
     n_tokens = seq.agg({"n_tok": "sum"}).collect()[0][0]
     spark.stop()
 
-    queries = _bench_session(sf_dir, cpus)
-    e2e = queries["pipeline_e2e"]
-
     result = {
         "metric": "pipeline_e2e_sec",
-        "value": round(e2e, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "rows": n_rows,
         "tokens": int(n_tokens),
-        "seq_per_sec": round(n_rows / e2e, 1),
-        "tokens_per_sec": round(n_tokens / e2e, 1),
         "cpus": cpus,
     }
+
+    # scaling FIRST (VERDICT r4 item 1b): the per-level sanity retries need
+    # wall-clock budget to actually fire — r4 ran scaling last and the retry
+    # gate was budget-skipped, publishing a noisy 32-wide level as the
+    # at-scale headline. The query suite + parse bench below are reserved
+    # ~250 s via the pass-loop budget check inside _scaling_bench.
+    #
+    # Protocol: same job, same input, at cpus/8 vs cpus/2 vs cpus (the N→4N
+    # criterion, in-sandbox). The input is replicated so the job is
+    # CPU-bound rather than overhead-bound at test scale — throughput is per
+    # REPLICATED row. The sandbox host is SHARED (external load), so the
+    # evidence is a probe-job-probe protocol over interleaved passes:
+    # pure-CPU + memory-bandwidth probes bound what 4× parallelism can
+    # deliver on the box (machine/memory ceiling), PLUS a load-independent
+    # process-tree CPU-seconds-per-row metric at every level (ideal scaling
+    # = flat CPU/row).
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and cpus >= 8:
+        if _budget_left() < 150:
+            result["scaling"] = {"skipped": "wall-clock budget exhausted"}
+        else:
+            result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
+            # the sf0.1 headline is Spark-startup-bound (~2s fixed on 100k
+            # rows); the CPU-bound rate is the scaling block's widest run
+            result["seq_per_sec_at_scale"] = result["scaling"].get(
+                "seq_per_sec_top", result["scaling"]["seq_per_sec_high"]
+            )
+            result["tokens_per_sec_at_scale"] = round(
+                result["scaling"]["seq_per_sec_high"] * n_tokens / n_rows, 1
+            )
+
+    queries = _bench_session(sf_dir, cpus)
+    e2e = queries["pipeline_e2e"]
+    result["value"] = round(e2e, 3)
+    result["unit"] = "sec"
+    result["queries"] = {k: round(v, 3) for k, v in queries.items()}
+    result["seq_per_sec"] = round(n_rows / e2e, 1)
+    result["tokens_per_sec"] = round(n_tokens / e2e, 1)
 
     # like-for-like parse throughput (reference README.md:66 — 68 MB/s regex
     # parse on ONE native thread): nginx regex parse over PRE-DECODED content
@@ -303,30 +332,6 @@ def run_bench() -> dict:
     # per-query noise evidence (VERDICT r3 item 6): co-tenant busy cores +
     # hypervisor steal cores sampled over each query's timed window
     result["queries_noise"] = dict(_QUERY_NOISE)
-
-    # scaling: same job, same input, at cpus/4 vs cpus (the N→4N criterion,
-    # in-sandbox). The input is replicated so the job is CPU-bound rather
-    # than overhead-bound at test scale — throughput is per REPLICATED row.
-    # The sandbox host is SHARED (external load), so the evidence is a
-    # probe-job-probe protocol over ≥3 interleaved passes (VERDICT r1 item 1):
-    #   probe → low run → high run → probe, per pass, with a pure-CPU
-    #   multiprocessing probe measuring what 4× parallelism can actually
-    #   deliver on the box at that moment (machine ceiling), PLUS a
-    #   load-independent process-tree CPU-seconds-per-row metric at both
-    #   levels (ideal scaling = flat CPU/row).
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" and cpus >= 8:
-        if _budget_left() < 150:
-            result["scaling"] = {"skipped": "wall-clock budget exhausted"}
-            return result
-        result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
-        # the sf0.1 headline is Spark-startup-bound (~2s fixed on 100k rows);
-        # the CPU-bound per-second rate is the scaling block's widest run
-        result["seq_per_sec_at_scale"] = result["scaling"].get(
-            "seq_per_sec_top", result["scaling"]["seq_per_sec_high"]
-        )
-        result["tokens_per_sec_at_scale"] = round(
-            result["scaling"]["seq_per_sec_high"] * n_tokens / n_rows, 1
-        )
 
     return result
 
@@ -349,7 +354,7 @@ def _parse_throughput_bench(sf_dir: str, cpus: int) -> dict:
 
     run_full_decode = (
         os.environ.get("SPARK_GRAFT_FULL_DECODE_BENCH", "1") == "1"
-        and _budget_left() > 180
+        and _budget_left() > 110  # smoke is ~15-25 s on the cached x48 table
     )
     # one-time: materialize the DECODED nginx lines (decode is fixture prep —
     # the agent reads raw strings from the file; parquet is the stand-in)
@@ -577,10 +582,13 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
             _wait_ready(w)
         runs = []
         budget_left = quiet_budget
+        # scaling now runs FIRST: reserve wall-clock for the query suite +
+        # parse bench that follow (≈250 s at sf0.1/local[32])
+        reserve = float(os.environ.get("SPARK_GRAFT_SCALE_RESERVE_S", "250"))
         for _ in range(passes):
-            if runs and _budget_left() < 60:
-                break  # keep completed passes over getting killed mid-pass
-            waited = _wait_quiet(min(budget_left, max(0.0, _budget_left() - 90)))
+            if runs and _budget_left() < reserve + 60:
+                break  # keep completed passes over starving the query suite
+            waited = _wait_quiet(min(budget_left, max(0.0, _budget_left() - reserve - 30)))
             budget_left = max(0.0, budget_left - waited)
             r = {n: _run(workers[n]) for n in levels}
             # Per-level sanity gate (VERDICT r3 item 1): for this plan shape a
@@ -597,15 +605,33 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
                     cpu_floor = min(r[m]["cpu"] for m in levels)
                     bad_wall = i > 0 and r[n]["wall"] > r[levels[i - 1]]["wall"]
                     bad_cpu = cpu_floor > 0 and r[n]["cpu"] > 2.2 * cpu_floor
-                    if not (bad_wall or bad_cpu) or _budget_left() < 60 + r[n]["wall"]:
+                    if not (bad_wall or bad_cpu) or _budget_left() < reserve + r[n]["wall"]:
                         break
                     retries.setdefault(n, []).append(r[n])
                     r2 = _run(workers[n])
                     if r2["wall"] < r[n]["wall"]:
                         r[n] = r2
-            eff = (r[mid_cpus]["wall"] and r[low_cpus]["wall"] / r[mid_cpus]["wall"]) / (
-                mid_cpus / low_cpus
-            )
+            # Narrow-level sanity gate (VERDICT r4 item 1c): efficiency > 1.05
+            # is non-physical for this plan shape and means the LOW level was
+            # the slow one (noise inflating the numerator sails through the
+            # wide-level gates — r4 published 1.195). Re-run the low level,
+            # keep the faster attempt, recompute.
+            def _eff() -> float:
+                return (
+                    r[mid_cpus]["wall"] and r[low_cpus]["wall"] / r[mid_cpus]["wall"]
+                ) / (mid_cpus / low_cpus)
+
+            retries_low: list[dict] = []
+            for _ in range(2):
+                if _eff() <= 1.05 or _budget_left() < reserve + r[low_cpus]["wall"]:
+                    break
+                retries_low.append(r[low_cpus])
+                r2 = _run(workers[low_cpus])
+                if r2["wall"] < r[low_cpus]["wall"]:
+                    r[low_cpus] = r2
+            if retries_low:
+                retries.setdefault(low_cpus, []).extend(retries_low)
+            eff = _eff()
             row = {"quiet_wait_s": waited, "efficiency": round(eff, 3)}
             for n, attempts in retries.items():
                 row[f"retry_{n}c"] = [
@@ -746,5 +772,83 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     return out
 
 
+def _compact(full: dict) -> dict:
+    """Headline summary ≤2 KB — the FINAL stdout line the driver tail-parses
+    (VERDICT r4 item 1a: the full per-query JSON outgrew the driver's tail
+    capture and BENCH_r04.json recorded parsed:null). Carries every driver
+    contract field plus the at-scale + noise/retry evidence; the complete
+    record is the penultimate stdout line AND bench_full.json."""
+    out = {
+        k: full.get(k)
+        for k in ("metric", "value", "unit", "queries", "sf", "rows", "tokens",
+                  "seq_per_sec", "tokens_per_sec", "cpus",
+                  "seq_per_sec_at_scale", "tokens_per_sec_at_scale")
+        if k in full
+    }
+    pb = full.get("parse_bench") or {}
+    if pb:
+        out["parse_mb_per_sec"] = pb.get("mb_per_sec")
+        dec = pb.get("decode_parse_all_sources") or {}
+        if dec:
+            out["decode_all_sources_seq_per_sec"] = dec.get("seq_per_sec")
+    qn = full.get("queries_noise") or {}
+    if qn:
+        out["queries_noise_max"] = {
+            "ext_cores": max(v["ext_cores"] for v in qn.values()),
+            "steal_cores": max(v["steal_cores"] for v in qn.values()),
+        }
+    sc = full.get("scaling") or {}
+    if sc and "skipped" not in sc:
+        passes = sc.get("passes", [])
+        retried = {}
+        for p in passes:
+            for k in p:
+                if k.startswith("retry_"):
+                    retried[k] = retried.get(k, 0) + len(p[k])
+        summary = {
+            k: sc.get(k)
+            for k in ("cpus_low", "cpus_high", "cpus_top", "rows", "sec_low",
+                      "sec_high", "sec_top", "seq_per_sec_top", "efficiency",
+                      "efficiency_best", "efficiency_flat_cycles",
+                      "efficiency_mid_to_top", "machine_ceiling",
+                      "memory_ceiling", "cpu_per_row_ratio",
+                      "steal_cores_top_max")
+            if k in sc
+        }
+        summary["passes_total"] = len(passes)
+        summary["passes_clean"] = sum(1 for p in passes if p.get("clean"))
+        if retried:
+            summary["retries"] = retried
+        out["scaling"] = summary
+    elif sc:
+        out["scaling"] = sc
+    if "window_noise" in full:
+        out["window_noise"] = full["window_noise"]
+    out["full_record"] = "bench_full.json"
+    return out
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    # whole-window noise ledger (VERDICT r4 item 8): host busy/steal over the
+    # ENTIRE bench, minus this tree's own CPU — a reviewer can bound window-
+    # wide walltime inflation from the artifact alone
+    _h0, _st0 = _host_cpu_s()
+    _c0 = _tree_cpu_s()
+    full = run_bench()
+    _wall = max(time.monotonic() - _BENCH_T0, 1e-9)
+    _h1, _st1 = _host_cpu_s()
+    full["window_noise"] = {
+        "wall_s": round(_wall, 1),
+        "ext_cores": round(max(0.0, (_h1 - _h0) - (_tree_cpu_s() - _c0)) / _wall, 2),
+        "steal_cores": round((_st1 - _st0) / _wall, 2),
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "bench_full.json"), "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full))
+    compact = _compact(full)
+    line = json.dumps(compact)
+    if len(line) > 2048:  # hard guarantee for the driver's tail capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
