@@ -399,3 +399,16 @@ def test_compile_metric_input_factory(spark):
 
     with pytest.raises(KeyError):
         compile_metric_input({"Type": "nope"})
+
+
+def test_processor_default_is_identity(spark):
+    """processor_default (plugins/processor/defaultone/processor_default.go:35-41)
+    dispatches from the registry to an identity pass-through."""
+    df = to_events(spark.createDataFrame([(0, "x"), (1, "y")], ["i", "content"]))
+    out = compile_pipeline(
+        {"processors": [{"Type": "processor_default"}]}
+    ).apply(df)
+    assert sorted((r["i"], dict(r[FIELDS])) for r in out.collect()) == [
+        (0, {"content": "x"}),
+        (1, {"content": "y"}),
+    ]
