@@ -537,3 +537,38 @@ def test_r4c_host_collector_plans(spark, sf_dir):
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_is_broadcast_cell_join(spark):
+    """IVF multi-probe: the query side (exploded into nprobe cells) is
+    broadcast; the vector side joins on the cell key — no cartesian, no
+    sort-merge."""
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.dataops import similarity
+
+    rows = [(i, [float((i * 5 + d) % 11) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[i][1] for i in range(4)]
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = _plan(similarity.ivf_topk(df, qs, cents, k=5, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_journal_conversion_is_narrow(spark):
+    """Journal entry conversion: literal-map lookups inside transform_values
+    — a single narrow projection."""
+    from loongcollector_spark.operators.journal import JournalEntryLogs
+
+    df = spark.createDataFrame(
+        [(1, {"PRIORITY": "3"}, 10, 20)],
+        "i long, fields map<string,string>, realtime_ts long, monotonic_ts long",
+    )
+    plan = _plan(
+        JournalEntryLogs(parse_priority=True, parse_syslog_facility=True).apply(df)
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

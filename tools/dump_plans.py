@@ -191,6 +191,35 @@ def main() -> None:
             "matching via in-row map lookups; emission is a Generate over "
             "the per-row metric array.",
         ),
+        (
+            "semdedup_hot — 1000-copy hot cell through the anchor cap",
+            QUERIES["semdedup_hot"](spark, SF),
+            "the per-cell pairwise pass routes through capped_bucket_pairs: "
+            "the anchor rank (__rk__ Window, bounded by the hot-cell size) "
+            "caps candidates at O(n_anchors·cell); joins back to the vector "
+            "frame are id equi-joins; never CartesianProduct.",
+        ),
+        (
+            "embed_ivf_probe — IVF multi-probe (nprobe=2)",
+            QUERIES["embed_ivf_probe"](spark, SF),
+            "query side explodes into its nprobe nearest cells and "
+            "broadcasts; the vector side joins on the cell key "
+            "(BroadcastHashJoin) — the scan prunes to nprobe cell "
+            "partitions when the table is partitioned by cell.",
+        ),
+        (
+            "group_info_filter — group-metadata include/exclude extension",
+            QUERIES["group_info_filter"](spark, SF),
+            "the interceptor is ONE Filter over the group frame (pushdown-"
+            "able to the scan): no Exchange, no Join, no Python.",
+        ),
+        (
+            "journal_fields — journald entry conversion",
+            QUERIES["journal_fields"](spark, SF),
+            "priority/facility maps are plan-time literal maps inside "
+            "transform_values — one narrow projection, no Exchange, no "
+            "Python.",
+        ),
     ]
 
     out = [
