@@ -163,10 +163,34 @@ def _timeit(fn, warm: int = 1, runs: int = 2, noise_key: str | None = None) -> f
         window = max(time.perf_counter() - w0, 1e-9)
         h1, st1 = _host_cpu_s()
         ext = max(0.0, (h1 - h0) - (_tree_cpu_s() - c0))
-        _QUERY_NOISE[noise_key] = {
+        entry = {
             "ext_cores": round(ext / window, 1),
             "steal_cores": round((st1 - st0) / window, 1),
         }
+        # Noise-gated retry (same defensibility pattern as the scaling-level
+        # gates): a co-tenant burst over this query's timed window inflates
+        # the wall — if budget allows, re-time ONCE on a fresh window, keep
+        # the faster wall, and record BOTH windows so the artifact shows the
+        # retry rather than laundering it.
+        if (
+            max(entry["ext_cores"], entry["steal_cores"]) > 0.8
+            and _budget_left() > 60 + 2 * best
+        ):
+            h0r, st0r = _host_cpu_s()
+            c0r = _tree_cpu_s()
+            t0 = time.perf_counter()
+            fn()
+            wall_r = max(time.perf_counter() - t0, 1e-9)
+            h1r, st1r = _host_cpu_s()
+            extr = max(0.0, (h1r - h0r) - (_tree_cpu_s() - c0r))
+            entry["retry"] = {
+                "first_wall": round(best, 3),
+                "retry_wall": round(wall_r, 3),
+                "ext_cores": round(extr / wall_r, 1),
+                "steal_cores": round((st1r - st0r) / wall_r, 1),
+            }
+            best = min(best, wall_r)
+        _QUERY_NOISE[noise_key] = entry
     return best
 
 
@@ -797,6 +821,9 @@ def _compact(full: dict) -> dict:
             "ext_cores": max(v["ext_cores"] for v in qn.values()),
             "steal_cores": max(v["steal_cores"] for v in qn.values()),
         }
+        n_retried = sum(1 for v in qn.values() if "retry" in v)
+        if n_retried:
+            out["queries_noise_max"]["retried"] = n_retried
     sc = full.get("scaling") or {}
     if sc and "skipped" not in sc:
         passes = sc.get("passes", [])
@@ -828,18 +855,57 @@ def _compact(full: dict) -> dict:
     return out
 
 
+class _TreeCpuSampler:
+    """Positive-delta integrator over _tree_cpu_s, sampled every `period` s
+    on a daemon thread. A one-shot end-minus-start tree delta UNDERCOUNTS
+    the bench's own CPU whenever a descendant dies without its time
+    propagating through cutime (the scaling workers' Spark JVMs are
+    reparented on quit): r4/r5 window ledgers charged ~13-15 avg cores of
+    the bench's OWN scaling workers to "external load" on an otherwise idle
+    box. Accumulating max(0, Δtree) keeps a vanished subtree's CPU counted
+    (its contribution stays in `acc` from the last sample before death) and
+    never double-counts cutime propagation (propagation leaves the cumulative
+    tree total ~flat). Residual error: ≤ period·ncores per worker death."""
+
+    def __init__(self, period: float = 2.0):
+        self.period = period
+        self.acc = 0.0
+        self._prev = _tree_cpu_s()
+        self.acc = self._prev
+        import threading
+
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.period):
+            self._sample()
+
+    def _sample(self) -> None:
+        now = _tree_cpu_s()
+        self.acc += max(0.0, now - self._prev)
+        self._prev = now
+
+    def total(self) -> float:
+        self._stop.set()
+        self._sample()
+        return self.acc
+
+
 if __name__ == "__main__":
     # whole-window noise ledger (VERDICT r4 item 8): host busy/steal over the
     # ENTIRE bench, minus this tree's own CPU — a reviewer can bound window-
     # wide walltime inflation from the artifact alone
     _h0, _st0 = _host_cpu_s()
-    _c0 = _tree_cpu_s()
+    _sampler = _TreeCpuSampler()
+    _c0 = _sampler.acc
     full = run_bench()
     _wall = max(time.monotonic() - _BENCH_T0, 1e-9)
     _h1, _st1 = _host_cpu_s()
     full["window_noise"] = {
         "wall_s": round(_wall, 1),
-        "ext_cores": round(max(0.0, (_h1 - _h0) - (_tree_cpu_s() - _c0)) / _wall, 2),
+        "ext_cores": round(max(0.0, (_h1 - _h0) - (_sampler.total() - _c0)) / _wall, 2),
         "steal_cores": round((_st1 - _st0) / _wall, 2),
     }
     repo = os.path.dirname(os.path.abspath(__file__))

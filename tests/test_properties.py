@@ -151,3 +151,91 @@ def test_labels_snapshot_roundtrip_property(contexts, strings):
 
     snap = decode_labels_snapshot(encode_labels_snapshot(contexts, strings))
     assert snap == {"contexts": contexts, "strings": strings}
+
+# ---------------------------------------------------------------------------
+# prom remote-write wire codec (operators/prom_rw.py)
+# ---------------------------------------------------------------------------
+
+_label = st.tuples(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+)
+_sample = st.tuples(
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.integers(0, 2**62),
+)
+
+
+@given(st.lists(
+    st.fixed_dictionaries({
+        "labels": st.lists(_label, max_size=5),
+        "samples": st.lists(_sample, max_size=5),
+    }),
+    max_size=6,
+))
+@settings(max_examples=100, deadline=None)
+def test_prompb_write_request_roundtrip(series):
+    """encode_write_request → decode_write_request is the identity on the
+    (labels, samples) shape — any finite float value, any uint62 timestamp,
+    any non-surrogate unicode label."""
+    from loongcollector_spark.operators.prom_rw import (
+        decode_write_request,
+        encode_write_request,
+    )
+
+    assert decode_write_request(encode_write_request(series)) == series
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_snappy_literal_roundtrip(data):
+    from loongcollector_spark.operators.prom_rw import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@given(
+    st.binary(min_size=1, max_size=64),
+    st.lists(st.tuples(st.integers(1, 80), st.integers(4, 64)), max_size=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_snappy_copy_elements_roundtrip(prefix, copies):
+    """Hand-built streams with copy elements (1/2/4-byte offsets, including
+    overlapping offset<length copies) decode to the reference expansion.
+    snappy_compress is literal-only, so this is the only generator that
+    exercises the decoder's copy paths systematically."""
+    from loongcollector_spark.operators.prom_rw import snappy_decompress
+    from loongcollector_spark.operators.pb import write_varint
+
+    # reference model: literal prefix, then each (offset, length) copy
+    # repeats bytes from `offset` back, byte-at-a-time (overlap semantics)
+    expected = bytearray(prefix)
+    stream = bytearray()
+    # literal element for the prefix
+    ln = len(prefix) - 1
+    if ln < 60:
+        stream.append(ln << 2)
+    else:
+        stream.append(60 << 2)
+        stream += ln.to_bytes(1, "little")
+    stream += prefix
+    for off_raw, length in copies:
+        offset = min(off_raw, len(expected))  # keep in range
+        start = len(expected) - offset
+        for k in range(length):
+            expected.append(expected[start + k])
+        # choose the narrowest encodable copy element
+        if 4 <= length <= 11 and offset < (1 << 11):
+            stream.append(((offset >> 8) << 5) | ((length - 4) << 2) | 1)
+            stream += (offset & 0xFF).to_bytes(1, "little")
+        elif length <= 64 and offset < (1 << 16):
+            stream.append(((length - 1) << 2) | 2)
+            stream += offset.to_bytes(2, "little")
+        else:
+            stream.append(((length - 1) << 2) | 3)
+            stream += offset.to_bytes(4, "little")
+    payload = write_varint(len(expected)) + bytes(stream)
+    assert snappy_decompress(payload) == bytes(expected)
