@@ -170,3 +170,102 @@ def test_malformed_line_dropped_not_job(spark):
     out = InfluxDecoder().apply(_events(spark, lines))
     rows = _rows(out)
     assert len(rows) == 1 and rows[0]["__value__"] == "1"
+
+
+def test_influx_serialize_decode_roundtrip_generated(spark):
+    """Property check: InfluxMetricSerializer (converter_sls_metric.go
+    readValue/readNames semantics) and InfluxDecoder (decoder.go parsePoints)
+    are exact inverses over the clean domain — ',= ' escaping in measurement
+    and tags, quoted/escaped string fields, int 'i' suffix, bool forms,
+    ':field' name suffixes, 19-digit timestamps — across ~240 generated rows.
+    Excluded by construction (protocol-level ambiguities, not engine bugs):
+    '|' / '#$#' inside label values (the sls label wire format's own
+    separators), backslash in measurement/tags (line protocol does not
+    escape it there), '#'-leading measurements (comment lines)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from loongcollector_spark.operators.convert import InfluxMetricSerializer
+    from loongcollector_spark.operators.influx import InfluxDecoder, _fmt_g
+
+    rng = random.Random(7)
+    name_alpha = "aB9_,. -"
+    lab_alpha = 'x7_,= ".'
+    str_alpha = 'ab,= "\\.'
+
+    rows, expected = [], []
+    for i in range(240):
+        nlab = rng.randint(0, 3)
+        keys = sorted(rng.sample(["k", "ab", "z9", "_u", "q"], nlab))
+        labels = "|".join(
+            k + "#$#" + "".join(rng.choice(lab_alpha) for _ in range(rng.randint(0, 4)))
+            for k in keys
+        )
+        ts = str(rng.randint(10**18, 9 * 10**18)) if rng.random() < 0.8 else None
+        kind = rng.choice(["float", "int", "bool", "string", "suffix"])
+        base = "".join(rng.choice(name_alpha) for _ in range(rng.randint(1, 8)))
+        fld = None
+        if kind == "suffix":
+            fld = rng.choice(["load", "io", "x"])
+            name, typ = base + ":" + fld, None
+            val = repr(rng.uniform(-1e6, 1e6))
+        elif kind == "float":
+            name, typ = base, rng.choice([None, "float"])
+            val = rng.choice([
+                repr(rng.uniform(-1e6, 1e6)),
+                repr(rng.random() * 10 ** rng.randint(-8, 8)),
+                str(rng.randint(-1000, 1000)),
+            ])
+        elif kind == "int":
+            name, typ, val = base, "int", str(rng.randint(-2**40, 2**40))
+        elif kind == "bool":
+            name, typ, val = base, "bool", rng.choice(["1", "0"])
+        else:
+            name, typ = base, "string"
+            val = "".join(rng.choice(str_alpha) for _ in range(rng.randint(0, 8)))
+        rows.append((i, name, labels, val, ts, typ, fld))
+        expected.append({
+            "i": i, "__name__": name, "__labels__": labels,
+            "__time_nano__": ts if ts is not None else "0",
+            "__field__": fld or "value",
+            "kind": kind, "raw_value": val,
+        })
+
+    inp = _metric_like_df(spark, rows)
+    ser = InfluxMetricSerializer().apply(inp)
+    assert ser.filter(F.col("line").isNull()).count() == 0  # clean domain
+
+    from loongcollector_spark.operators.base import to_events
+
+    dec = InfluxDecoder(fields_extend=True).apply(
+        to_events(ser.select("i", "line"), content_col="line")
+    )
+    got = {r["i"]: r.asDict() for r in dec.collect()}
+    assert len(got) == len(rows)  # one metric row back per input row
+
+    # canonical float strings via the engine's own Go-%g renderer (pinned
+    # separately in test_gofmt / the exponent-boundary golden above)
+    float_ids = [e["i"] for e in expected if e["kind"] in ("float", "suffix")]
+    canon = {
+        r["i"]: r["c"]
+        for r in inp.filter(F.col("i").isin(float_ids))
+        .select("i", _fmt_g(F.col("__value__").cast("double")).alias("c"))
+        .collect()
+    }
+    for e in expected:
+        g = got[e["i"]]
+        for col in ("__name__", "__labels__", "__time_nano__", "__field__"):
+            assert g[col] == e[col], (e["i"], col, g[col], e[col])
+        want_val = canon[e["i"]] if e["kind"] in ("float", "suffix") else e["raw_value"]
+        assert g["__value__"] == want_val, (e["i"], g["__value__"], want_val)
+        want_type = "float" if e["kind"] == "suffix" else e["kind"]
+        assert g["__type__"] == want_type, (e["i"], g["__type__"], want_type)
+
+
+def _metric_like_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "i int, `__name__` string, `__labels__` string, `__value__` string, "
+        "`__time_nano__` string, `__type__` string, `__field__` string",
+    )
