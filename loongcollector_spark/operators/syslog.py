@@ -61,7 +61,7 @@ _RX5424 = (
     _PRI_RX
     + r"1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\]){1,128})(?: (.*))?"
 )
-_TS5424_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSS][.SSS][.SS][.S]XXX"
+_TS5424_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]XXX"
 
 def _sd_json(sd: Column) -> Column:
     """Render RFC5424 STRUCTURED-DATA as the reference's JSON

@@ -130,3 +130,99 @@ def test_timestamp_overflow_drops_line_not_job(spark):
         ],
     )
     assert [r["metric_name"] for r in rows] == ["ok", "ok2"]
+
+
+def test_prom_text_generated_roundtrip(spark):
+    """Property check over ~150 generated exposition lines: assembling
+    (name, labels, value, timestamp) with randomized spacing, trailing
+    commas, escape sequences, Inf/NaN case forms, seconds-vs-millis
+    timestamps and trailing comments, then parsing, recovers every field —
+    including the per-escape label-value decode (\\\\ → \\, \\" → ", \\n →
+    newline, unknown escapes kept verbatim) and the <2^31 seconds / else
+    millis timestamp split."""
+    import random
+
+    rng = random.Random(31)
+    name_first = "abcXYZ_:"
+    name_rest = "abcXYZ_:019"
+    key_first = "abkz_"
+    key_rest = "abkz_09"
+    # (display chars in the quoted value, decoded result)
+    val_atoms = [
+        ("a", "a"), ("7", "7"), ("#", "#"), (" ", " "), (":", ":"),
+        ("{", "{"), ("}", "}"), (",", ","), ("=", "="),
+        ("\\\\", "\\"), ('\\"', '"'), ("\\n", "\n"), ("\\t", "\\t"),
+    ]
+
+    lines, expected = [], []
+    for i in range(150):
+        name = rng.choice(name_first) + "".join(
+            rng.choice(name_rest) for _ in range(rng.randint(0, 10))
+        )
+        tags = {}
+        block = ""
+        shape = rng.random()
+        if shape < 0.15:
+            block = rng.choice(["{}", "{ }", "{  }"])
+        elif shape < 0.85:
+            keys = set()
+            parts = []
+            for _ in range(rng.randint(1, 4)):
+                k = rng.choice(key_first) + "".join(
+                    rng.choice(key_rest) for _ in range(rng.randint(0, 6))
+                )
+                if k in keys:
+                    continue
+                keys.add(k)
+                atoms = [rng.choice(val_atoms) for _ in range(rng.randint(0, 6))]
+                disp = "".join(a[0] for a in atoms)
+                tags[k] = "".join(a[1] for a in atoms)
+                sp = lambda: rng.choice(["", " ", "  "])  # noqa: E731
+                parts.append(f'{sp()}{k}{sp()}={sp()}"{disp}"')
+            block = "{" + ",".join(parts) + rng.choice(["", ",", " ,", ", "]) + "}"
+
+        vkind = rng.random()
+        if vkind < 0.6:
+            vtok = rng.choice([
+                repr(rng.uniform(-1e6, 1e6)),
+                repr(rng.random() * 10 ** rng.randint(-8, 8)),
+                str(rng.randint(-10**6, 10**6)),
+            ])
+            vexp = float(vtok)
+        elif vkind < 0.8:
+            sign = rng.choice(["", "+", "-"])
+            word = "".join(rng.choice([c.lower(), c.upper()]) for c in
+                           rng.choice(["inf", "infinity"]))
+            vtok = sign + word
+            vexp = float("-inf") if sign == "-" else float("inf")
+        else:
+            vtok = "".join(rng.choice([c.lower(), c.upper()]) for c in "nan")
+            vexp = float("nan")
+
+        if rng.random() < 0.5:
+            secs = rng.randint(1_000_000_000, 2**31 - 1)
+            tstok, ts, ns = str(secs), secs, 0
+        else:
+            # millis branch: must still yield seconds ≥ 1e9 (honor_timestamps
+            # fails the line otherwise, TextParser.cpp:296-304)
+            ms = rng.randint(10**12, 4 * 10**12)
+            tstok, ts, ns = str(ms), ms // 1000, (ms % 1000) * 1_000_000
+
+        lead = rng.choice(["", " ", "\t ", "  "])
+        gap1 = rng.choice([" ", "\t", "  "]) if not block else rng.choice(["", " ", "\t"])
+        gap2 = rng.choice([" ", "\t", " \t "])
+        tail = rng.choice(["", "  ", " # scrape comment", "\t# x"])
+        lines.append(f"{lead}{name}{gap1}{block}{gap2}{vtok} {tstok}{tail}")
+        tags["__name__"] = name
+        expected.append({"name": name, "tags": tags, "v": vexp, "ts": ts, "ns": ns})
+
+    rows = _parse(spark, lines)
+    assert len(rows) == len(expected)
+    for r, e in zip(rows, expected):
+        assert r["metric_name"] == e["name"], (r, e)
+        assert dict(r["tags"]) == e["tags"], (r, e)
+        if math.isnan(e["v"]):
+            assert math.isnan(r["value"])
+        else:
+            assert r["value"] == e["v"], (r, e)
+        assert (r["timestamp"], r["ns"]) == (e["ts"], e["ns"]), (r, e)

@@ -180,3 +180,119 @@ def test_invalid_date_fails_line_not_job(spark):
     )
     f = _fields(out)[0]
     assert f["_priority_"] == "-1"
+
+
+def test_syslog_generated_roundtrip_auto(spark):
+    """Property check over ~150 generated RFC3164 + RFC5424 lines in auto
+    mode: serializing (pri, timestamp, host, app, procid, msgid, SD, msg)
+    through each RFC grammar and parsing back recovers every emitted field —
+    priority/facility/severity split, µs-exact timestamps (all 1-6 fraction
+    digit widths and Z/±hh:mm offsets), nil-token defaults, sorted SD JSON.
+    Clean domain by construction (grammar-level ambiguities excluded, per
+    the module docstring): no escaped quotes inside SD values, messages do
+    not start with '[' when SD is non-nil, 3164 tags are colon-terminated."""
+    import json
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    rng = random.Random(23)
+    tok_alpha = "ahst019.-_"
+    msg_alpha = "msg hel-lo(wo:rld)=.[]#"
+
+    def tok():
+        return "".join(rng.choice(tok_alpha) for _ in range(rng.randint(1, 8))).strip("-") or "x"
+
+    lines, expected = [], []
+    for i in range(150):
+        pri = rng.randint(0, 191)
+        exp = {"_priority_": str(pri), "_facility_": str(pri // 8),
+               "_severity_": str(pri % 8)}
+        if rng.random() < 0.5:
+            # RFC3164: <pri>Mon d HH:MM:SS host tag[pid]: msg
+            mo = rng.randint(1, 12)
+            d, h, mi, s = rng.randint(1, 28), rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+            mon = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"][mo - 1]
+            day = (f" {d}" if rng.random() < 0.5 else f"{d:02d}") if d < 10 else str(d)
+            host, prog = tok(), tok().replace(":", "").replace("[", "") or "p"
+            pid = f"[{rng.randint(1, 9999)}]" if rng.random() < 0.4 else ""
+            msg = "".join(rng.choice(msg_alpha) for _ in range(rng.randint(1, 30)))
+            lines.append(f"<{pri}>{mon} {day} {h:02d}:{mi:02d}:{s:02d} {host} {prog}{pid}: {msg}")
+            exp.update({
+                "_hostname_": host, "_program_": prog, "_content_": msg,
+                "_unixtimestamp_": str(_ns(2024, mo, d, h, mi, s)),
+            })
+        else:
+            # RFC5424: <pri>1 TS HOST APP PROCID MSGID SD [MSG]
+            if rng.random() < 0.15:
+                ts_tok, ts_ns = "-", 0
+            else:
+                mo, d = rng.randint(1, 12), rng.randint(1, 28)
+                h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+                nfrac = rng.choice([0, 1, 2, 3, 4, 5, 6])
+                frac = "".join(rng.choice("0123456789") for _ in range(nfrac))
+                off_h, off_m = rng.choice([(0, 0), (5, 30), (-8, 0), (1, 0)])
+                if (off_h, off_m) == (0, 0) and rng.random() < 0.5:
+                    off = "Z"
+                else:
+                    sign = "-" if off_h < 0 else "+"
+                    off = f"{sign}{abs(off_h):02d}:{off_m:02d}"
+                ts_tok = (f"2024-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}"
+                          + (f".{frac}" if frac else "") + off)
+                us = int(frac.ljust(6, "0")) if frac else 0
+                delta = timedelta(hours=abs(off_h), minutes=off_m)
+                tz = timezone(-delta if off_h < 0 else delta)
+                dt = datetime(2024, mo, d, h, mi, s, us, tzinfo=tz)
+                ts_ns = int(dt.timestamp()) * 10**9 + us * 1000
+            host = "-" if rng.random() < 0.2 else tok()
+            app = "-" if rng.random() < 0.2 else tok()
+            procid = "-" if rng.random() < 0.5 else str(rng.randint(1, 99999))
+            msgid = "-" if rng.random() < 0.5 else tok()
+            if rng.random() < 0.5:
+                sd_tok, sd_json = "-", None
+            else:
+                elems = {}
+                for _ in range(rng.randint(1, 2)):
+                    sid = f"e{rng.randint(1, 99)}@{rng.randint(1, 99)}"
+                    if sid in elems:
+                        continue
+                    params = {
+                        f"k{j}{rng.choice('ab_')}":
+                            "".join(rng.choice("v0:. -") for _ in range(rng.randint(0, 5)))
+                        for j in range(rng.randint(0, 3))
+                    }
+                    elems[sid] = params
+                sd_tok = "".join(
+                    "[" + sid
+                    + "".join(f' {k}="{v}"' for k, v in sorted(ps.items()))
+                    + "]"
+                    for sid, ps in elems.items()
+                )
+                sd_json = json.dumps(
+                    {sid: dict(sorted(ps.items())) for sid, ps in sorted(elems.items())},
+                    separators=(",", ":"), sort_keys=True,
+                )
+            msg = "".join(rng.choice(msg_alpha) for _ in range(rng.randint(0, 30))).lstrip("[")
+            line = f"<{pri}>1 {ts_tok} {host} {app} {procid} {msgid} {sd_tok}"
+            if msg or rng.random() < 0.5:
+                line += f" {msg}"
+            lines.append(line)
+            exp.update({
+                "_hostname_": "" if host == "-" else host,
+                "_program_": "" if app == "-" else app,
+                "_content_": msg,
+                "_unixtimestamp_": str(ts_ns),
+            })
+            if procid != "-":
+                exp["_process_id_"] = procid
+            if msgid != "-":
+                exp["_message_id_"] = msgid
+            if sd_json is not None:
+                exp["_structured_data_"] = sd_json
+        expected.append(exp)
+
+    out = SyslogParser(mode="auto", year=2024).apply(_events(spark, lines))
+    got = _fields(out)
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, (i, lines[i], got[i], exp)
