@@ -601,6 +601,27 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
     p0 = cpu_probe()
     levels = [low_cpus, mid_cpus] + ([top_cpus] if top_cpus else [])
     workers = {n: _start_worker(n) for n in levels}
+
+    def _restart_worker(n: int) -> None:
+        """Replace a persistently degraded worker JVM with a fresh one.
+
+        Observed failure mode (driver-sim, 2026-08-19): the 32-wide worker
+        settles at ~2x CPU-seconds (365 vs ~190) with ZERO external load and
+        never recovers across in-place re-runs — JVM state (GC ergonomics /
+        JIT profile) poisoned during the contended concurrent warm, while a
+        freshly booted worker at the same width reaches steady state. Boot +
+        warms cost ~60-90 s at 32-wide; callers gate on budget."""
+        w = workers[n]
+        try:
+            w.stdin.write("quit\n")
+            w.stdin.flush()
+            w.wait(timeout=30)
+        except Exception:
+            w.kill()
+        workers[n] = _start_worker(n)
+        _wait_ready(workers[n])
+
+    restarted: set[int] = set()
     try:
         for w in workers.values():  # all warm concurrently (untimed)
             _wait_ready(w)
@@ -625,14 +646,47 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
             # faster one.
             retries: dict[int, list[dict]] = {}
             for i, n in enumerate(levels):
-                for _ in range(2):  # at most two re-runs per level per pass
+                # gate multiplier is env-tunable so the restart path can be
+                # forced (gate < 1 fails every wider level) in a harness test
+                cpu_gate = float(os.environ.get("SPARK_GRAFT_SCALE_CPU_GATE", "2.2"))
+                for attempt in range(3):  # 2 in-place re-runs, then 1 JVM restart
                     cpu_floor = min(r[m]["cpu"] for m in levels)
                     bad_wall = i > 0 and r[n]["wall"] > r[levels[i - 1]]["wall"]
-                    bad_cpu = cpu_floor > 0 and r[n]["cpu"] > 2.2 * cpu_floor
-                    if not (bad_wall or bad_cpu) or _budget_left() < reserve + r[n]["wall"]:
+                    bad_cpu = cpu_floor > 0 and r[n]["cpu"] > cpu_gate * cpu_floor
+                    if not (bad_wall or bad_cpu):
                         break
-                    retries.setdefault(n, []).append(r[n])
-                    r2 = _run(workers[n])
+                    if attempt < 2:
+                        if _budget_left() < reserve + r[n]["wall"]:
+                            break
+                        retries.setdefault(n, []).append(r[n])
+                        r2 = _run(workers[n])
+                    else:
+                        # In-place re-runs did not recover AND the window was
+                        # quiet (ext+steal < 1 core): the worker JVM itself is
+                        # degraded (see _restart_worker). One fresh-JVM shot
+                        # per level per bench, budget permitting. The gate uses
+                        # a SMALLER reserve than the pass gate: the query suite
+                        # runs unconditionally in ~130 s — the full 250 s
+                        # reserve only protects its retry capacity, and an
+                        # at-scale headline off a poisoned JVM costs more than
+                        # a few skipped query retries (the degraded driver-sim
+                        # run had ~270 s left at this decision point).
+                        restart_reserve = float(
+                            os.environ.get("SPARK_GRAFT_RESTART_RESERVE_S", "150")
+                        )
+                        quiet_window = (
+                            (r[n]["ext_cpu"] + r[n]["steal_cpu"]) / r[n]["wall"] < 1.0
+                        )
+                        if (
+                            n in restarted
+                            or not quiet_window
+                            or _budget_left() < restart_reserve + 90 + r[n]["wall"]
+                        ):
+                            break
+                        restarted.add(n)
+                        retries.setdefault(n, []).append({**r[n], "restarted_jvm": True})
+                        _restart_worker(n)
+                        r2 = _run(workers[n])
                     if r2["wall"] < r[n]["wall"]:
                         r[n] = r2
             # Narrow-level sanity gate (VERDICT r4 item 1c): efficiency > 1.05
@@ -664,6 +718,11 @@ def _scaling_bench(sf_dir: str, cpus: int, n_rows: int) -> dict:
                         "cpu": a["cpu"],
                         "ext_cores": round(a["ext_cpu"] / a["wall"], 1),
                         "steal_cores": round(a["steal_cpu"] / a["wall"], 1),
+                        **(
+                            {"restarted_jvm": True}
+                            if a.get("restarted_jvm")
+                            else {}
+                        ),
                     }
                     for a in attempts
                 ]
