@@ -328,15 +328,22 @@ def run_bench() -> dict:
         if _budget_left() < 150:
             result["scaling"] = {"skipped": "wall-clock budget exhausted"}
         else:
-            result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
-            # the sf0.1 headline is Spark-startup-bound (~2s fixed on 100k
-            # rows); the CPU-bound rate is the scaling block's widest run
-            result["seq_per_sec_at_scale"] = result["scaling"].get(
-                "seq_per_sec_top", result["scaling"]["seq_per_sec_high"]
-            )
-            result["tokens_per_sec_at_scale"] = round(
-                result["scaling"]["seq_per_sec_high"] * n_tokens / n_rows, 1
-            )
+            # a scaling failure (e.g. a worker JVM dying mid-bench or during
+            # a restart) must degrade to a missing at-scale number, never
+            # kill the bench — the final JSON line is the driver artifact
+            try:
+                result["scaling"] = _scaling_bench(sf_dir, cpus, n_rows)
+            except Exception as exc:  # noqa: BLE001
+                result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
+            if "seq_per_sec_high" in result["scaling"]:
+                # the sf0.1 headline is Spark-startup-bound (~2s fixed on 100k
+                # rows); the CPU-bound rate is the scaling block's widest run
+                result["seq_per_sec_at_scale"] = result["scaling"].get(
+                    "seq_per_sec_top", result["scaling"]["seq_per_sec_high"]
+                )
+                result["tokens_per_sec_at_scale"] = round(
+                    result["scaling"]["seq_per_sec_high"] * n_tokens / n_rows, 1
+                )
 
     queries = _bench_session(sf_dir, cpus)
     e2e = queries["pipeline_e2e"]
@@ -884,7 +891,7 @@ def _compact(full: dict) -> dict:
         if n_retried:
             out["queries_noise_max"]["retried"] = n_retried
     sc = full.get("scaling") or {}
-    if sc and "skipped" not in sc:
+    if sc and "skipped" not in sc and "error" not in sc:
         passes = sc.get("passes", [])
         retried = {}
         for p in passes:

@@ -102,6 +102,20 @@ def test_compact_line_under_2kb_and_carries_retry_count():
     assert d["full_record"] == "bench_full.json"
 
 
+def test_compact_carries_scaling_error_and_skip_verbatim():
+    # a scaling failure degrades to {"error": ...} in main (the bench must
+    # still print its final line); _compact must pass that through rather
+    # than synthesize an empty pass summary
+    import json
+
+    base = {"metric": "m", "value": 1.0, "unit": "sec"}
+    err = bench._compact({**base, "scaling": {"error": "RuntimeError: worker died"}})
+    assert err["scaling"] == {"error": "RuntimeError: worker died"}
+    skip = bench._compact({**base, "scaling": {"skipped": "budget"}})
+    assert skip["scaling"] == {"skipped": "budget"}
+    assert len(json.dumps(err)) <= 2048
+
+
 def test_tree_cpu_sampler_keeps_vanished_subtree(monkeypatch):
     """The window ledger's positive-delta integrator: CPU of a descendant
     that dies without cutime propagation (scaling-worker JVMs) must stay
